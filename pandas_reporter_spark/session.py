@@ -1,0 +1,76 @@
+"""SparkSession factory + runtime configuration.
+
+Engine posture (SURVEY §4.3-4.4):
+- ANSI off: double/0 -> NULL (matches the DuckDB oracle; the pandas
+  reference produces `inf` — documented divergence).
+- AQE on (runtime re-plan, skew-join handling, partition coalescing).
+- UTC session timezone (oracle timestamps are tz-naive UTC).
+- Arrow for any pandas interchange (vectorized Pandas UDF path).
+- Shuffle partitions sized to cores, not the 200 default: correct for
+  local[N]; on a real cluster this is set per-deploy (AQE coalesces
+  down when partitions run small, so erring high is safe at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL configs, applied both at build time and to
+# driver-provided sessions (the verify driver builds its own session;
+# `configure` is called at the top of every registered query).
+_RUNTIME_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an existing session (idempotent).
+
+    Safe to call per-query: `spark.conf.set` on an unchanged value is a
+    no-op driver-side and never touches executors.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # conf not recognized / immutable in this deployment: skip.
+            pass
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * _cpus():
+            spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
+    except Exception:
+        pass
+    return spark
+
+
+def get_session(app_name: str = "pandas_reporter_spark") -> SparkSession:
+    """Build (or fetch) the engine's local session.
+
+    local[N] for tests/bench; a cluster deployment passes its own
+    master/conf and relies on `configure` only.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
