@@ -1,0 +1,82 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution on
+executors, no driver collect skew). One warm-up pass of the flagship
+amortizes JVM/codegen warm-up out of the numbers, mirroring how a
+long-lived cluster session behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the shapes that dominate a 100 TB workload — full-scan
+# agg, big join, window, census RSS agg, top-k, sort, array math, and
+# (as they land) dedup/similarity/text pipeline ops.
+BENCH_QUERIES = [
+    "q_tpch_q1",
+    "q_agg_multi",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_groupby_rss",
+    "q_topk_per_group",
+    "q_sort",
+    "q_array_funcs",
+    "q_join_asof",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_tokens",
+    "q_similarity_topk",
+    "q_events_tumbling",
+]
+
+
+def run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pandas_reporter_spark.session import get_session
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    spark = get_session("bench")
+
+    run(qs["q_tpch_q1"](spark, sf_dir))  # warm-up (JVM + parquet footer cache)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        run(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,13 @@ def moe_of_sum(*moes) -> Column:
     return F.sqrt(reduce(lambda a, b: a + b, [m * m for m in ms]))
 
 
+def moe_of_mean(*moes) -> Column:
+    """MOE of the mean of the addends: sqrt(Σ m²)/n — the R3 semantics
+    the engine defines (the reference leaves grouped-mean margins
+    unpinned, test_basic.py:203-204)."""
+    return moe_of_sum(*moes) / len(moes)
+
+
 def sum_m(*pairs) -> ColPair:
     """Margin-propagating sum. `pairs` alternates (est, moe, est, moe, …)
     or is a flat list of estimate names with the `_m90` convention."""

@@ -160,6 +160,46 @@ def q_fillna(spark, sf):
 
 
 @query(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity')} AS sum_qty,
+           {oracle_dsum('l_extendedprice')} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {oracle_davg('l_quantity')} AS avg_qty,
+           {oracle_davg('l_discount', 6)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf):
+    """Flagship: TPC-H-Q1-style pricing summary (scan → pushed filter →
+    one partial-agg shuffle on a 6-group key → tiny sort). The canonical
+    scale-safe shape: at 100 TB this is a full scan with map-side
+    combine into ~6 groups — no skew, no large shuffle."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "sum_disc_price"
+            ),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount", 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "q_agg_global",
     oracle=f"""
     SELECT {oracle_dsum('l_quantity')} AS sum_qty,
@@ -552,17 +592,23 @@ def q_join_asof(spark, sf):
     configure(spark)
     ev = load(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(0).alias("_side"), F.lit(None).cast("bigint").alias("event_id"),
+        "user_id", "ts", F.lit(0).alias("_side"),
+        F.lit(None).cast("bigint").alias("event_id"),
         F.col("value").alias("_click_value"),
+        F.col("event_id").alias("_tie"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(1).alias("_side"), "event_id",
         F.lit(None).cast("double").alias("_click_value"),
+        F.lit(None).cast("bigint").alias("_tie"),
     )
-    # order clicks before purchases at equal ts so ties match (>= semantics)
+    # Order clicks before purchases at equal ts so ties match (>= asof
+    # semantics); among equal-(user_id, ts) clicks, take the highest
+    # event_id deterministically (DuckDB ASOF picks one arbitrarily too,
+    # but the driver tables have unique (user_id, ts) per side — probed).
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "_side")
+        .orderBy("ts", "_side", F.col("_tie").asc_nulls_last())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = clicks.unionByName(purchases).withColumn(
@@ -634,19 +680,24 @@ def q_window_lag_lead(spark, sf):
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_qty
     FROM lineitem
     """,
 )
 def q_window_running_sum(spark, sf):
     """Frame-spec running sum; decimal accumulator so the running value
-    is exact (double running sums are association-order dependent)."""
+    is exact (double running sums are association-order dependent).
+
+    RANGE frame, not ROWS: (l_orderkey, l_linenumber) is not unique in
+    the driver data (11,785 dup pairs at sf0.01), so a ROWS frame is
+    tie-order nondeterministic across engines; RANGE accumulates all
+    peers of the current order value together — deterministic."""
     configure(spark)
     w = (
         W.partitionBy("l_orderkey")
         .orderBy("l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
     )
     return load(spark, sf, "lineitem").select(
         "l_orderkey",
@@ -906,12 +957,15 @@ def q_math_funcs(spark, sf):
            CASE WHEN o_totalprice >= 100000 THEN 'large'
                 WHEN o_totalprice >= 30000 THEN 'medium'
                 ELSE 'small' END AS size_band,
-           CAST(o_totalprice AS BIGINT) AS price_int,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
            CAST(o_orderstatus = 'F' AS INT) AS is_final
     FROM orders
     """,
 )
 def q_case_when(spark, sf):
+    """Conditional + cast pack. double→int is spelled floor() explicitly
+    on both sides: a bare CAST truncates in Spark but rounds in DuckDB
+    (round-1 judge run: 717/1500 rows off by one)."""
     configure(spark)
     o = load(spark, sf, "orders")
     return o.select(
@@ -920,7 +974,7 @@ def q_case_when(spark, sf):
         .when(F.col("o_totalprice") >= 30000, "medium")
         .otherwise("small")
         .alias("size_band"),
-        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.floor("o_totalprice").alias("price_int"),
         (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
     )
 
@@ -1059,16 +1113,21 @@ def q_sample(spark, sf):
 def q_udf_pandas(spark, sf):
     """Arrow-batched pandas UDF (the sanctioned slow path — row-at-a-time
     Python UDFs are banned engine-wide). Computes a toy text statistic
-    that built-ins could also express; exists to pin the UDF surface."""
-    import pandas as pd
+    that built-ins could also express; exists to pin the UDF surface.
+
+    Built with an explicit returnType and no parameter annotations: this
+    module has `from __future__ import annotations`, which stringifies
+    signature annotations and breaks pandas_udf's type inference
+    (round-1: PySparkNotImplementedError 'Unsupported signature')."""
     from pyspark.sql.functions import pandas_udf
 
     configure(spark)
 
-    @pandas_udf("double")
-    def vowel_ratio(s: pd.Series) -> pd.Series:
+    def _vowel_ratio(s):
         low = s.str.lower()
         return low.str.count("[aeiou]") / low.str.len().clip(lower=1)
+
+    vowel_ratio = pandas_udf(_vowel_ratio, "double")
 
     return (
         load(spark, sf, "documents")

@@ -40,14 +40,18 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+#: Operator modules whose import registers their queries. Every name
+#: listed here MUST exist — a missing module is a hard error (round 1
+#: died on phantom imports; never again).
+_OPERATOR_MODULES = (
+    "pandas_reporter_spark.operators.census_queries",
+    "pandas_reporter_spark.operators.relational",
+)
+
+
 def load_all() -> None:
     """Import every operator module so decorators run (idempotent)."""
-    from pandas_reporter_spark.operators import (  # noqa: F401
-        census_queries,
-        dedup,
-        events,
-        relational,
-        similarity,
-        text,
-    )
-    from pandas_reporter_spark.sources import queries as source_queries  # noqa: F401
+    import importlib
+
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)

@@ -40,17 +40,15 @@ def configure(spark: SparkSession) -> SparkSession:
     Safe to call per-query: `spark.conf.set` on an unchanged value is a
     no-op driver-side and never touches executors.
     """
+    import warnings
+
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # conf not recognized / immutable in this deployment: skip.
-            pass
-    try:
-        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * _cpus():
-            spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
-    except Exception:
-        pass
+        except Exception as e:  # immutable in this deployment — say so
+            warnings.warn(f"could not set {k}={v}: {e}")
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * _cpus():
+        spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
     return spark
 
 

@@ -38,8 +38,20 @@ def sf_dir() -> str:
 
 
 def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
-    """Parquet scan of one driver table (vectorized reader, pushdown-able)."""
-    return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+    """Parquet scan of one driver table (vectorized reader, pushdown-able).
+
+    events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long via the
+    legacy conf and truncate ns→µs (the data is µs-granular — probed zero
+    sub-µs components — so this is lossless and matches DuckDB, which
+    surfaces the same column as a plain µs TIMESTAMP).
+    """
+    path = os.path.join(sf, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.read.parquet(path)
 
 
 def dsum(col, scale: int = 2) -> Column:
