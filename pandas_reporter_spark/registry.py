@@ -46,6 +46,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.census_queries",
     "pandas_reporter_spark.operators.relational",
+    "pandas_reporter_spark.operators.dedup",
 )
 
 
