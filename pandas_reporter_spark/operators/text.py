@@ -1,0 +1,321 @@
+"""Text-analysis operators for the LLM-data-pipeline layer (SURVEY §2.3).
+
+Token counting, quality scoring, document fingerprinting, TF-IDF and
+corpus-profile language ID over `documents.text` — every op expressed
+with JVM-side built-ins (split / explode / regexp / md5 / windows), so
+the whole pipeline stays inside whole-stage codegen and scales by
+partition count. No Python UDF anywhere.
+
+Float discipline: ratios/scores are `round(x, 6)`-ed on both the Spark
+and oracle side so the driver's value hash is stable; raw doubles only
+ever feed filters/orderings computed identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pandas_reporter_spark.registry import query
+from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.tables import load
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+#: Kept to a regex subset with identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: Tiny function-word list used by the quality score's stopword ratio.
+_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark, sf):
+    """Corpus token frequency + document frequency.
+
+    explode → groupBy(token): the shuffle carries (token, doc_id) pairs
+    and partial counts combine map-side; at 100 TB the token key space
+    is Zipf-skewed, which AQE skew-split handles (or salt the top-k
+    tokens into `token#salt` and re-merge — same plan, two stages).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@query(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars_obs,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark, sf):
+    """Per-document token counts: whitespace and BPE-ish regex tokens.
+
+    Pure per-row projection — no shuffle at all; scales embarrassingly.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        F.round(F.length("text").cast("double") / ws, 6).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                        t -> list_contains({list(_STOPWORDS)!r}, t)))
+                        AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+             round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text), 6) AS punct_ratio,
+             round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS mean_word_len
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT * FROM q
+    WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+    """,
+)
+def q_text_quality(spark, sf):
+    """Quality signals + keep-filter: length, stopword/punct ratios.
+
+    The classic pre-training quality gate (Gopher-style rules). One
+    scan, no shuffle; the filter is evaluated inside codegen and at
+    100 TB this runs at parquet-scan speed with column pruning down to
+    (doc_id, lang, text).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    lower_toks = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(toks)
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter(lower_toks, lambda t: F.array_contains(stops, t))).cast(
+            "double"
+        )
+        / n_tokens,
+        6,
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_tokens, 6
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            stop_ratio.alias("stop_ratio"),
+            punct_ratio.alias("punct_ratio"),
+            mean_word_len.alias("mean_word_len"),
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.2))
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS doc_md5,
+             string_split(lower(text), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, doc_md5,
+           list_min(list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           )) AS min_shingle_md5
+    FROM s
+    """,
+)
+def q_text_fingerprint(spark, sf):
+    """Document fingerprints: whole-doc md5 + winnowed min-shingle md5.
+
+    md5 (not xxhash64) so DuckDB computes bit-identical values — the
+    fingerprint itself is engine-portable, which is what you want from
+    a fingerprint. min-over-shingle-hashes is the 1-hash MinHash /
+    winnowing primitive; per-row only, no shuffle.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    shingle_md5 = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("doc_md5"),
+        F.array_min(shingle_md5).alias("min_shingle_md5"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token <> '' GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark, sf):
+    """Top-3 TF-IDF terms per document.
+
+    Two shuffles (tf groupBy, df groupBy) + a broadcast of the df
+    dictionary (vocab ≪ corpus — at 100 TB the distinct-token table is
+    MBs, the corpus is TBs, so the join must broadcast, never
+    shuffle-repartition the exploded corpus a second time). Top-3 via
+    rank window partitioned by doc_id — reuses the tf shuffle's
+    partitioning on doc_id, so no extra exchange.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    n_docs = d.count()  # scalar, driver-side; cheap metadata-ish count
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), lang_counts AS (
+      SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+    ), lang_top AS (
+      SELECT lang, token FROM (
+        SELECT lang, token,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+        FROM lang_counts
+      ) WHERE rn <= 20
+    ), doc_toks AS (
+      SELECT DISTINCT doc_id, token FROM tok
+    ), scores AS (
+      SELECT d.doc_id, lt.lang,
+             COUNT(*) AS hits
+      FROM doc_toks d JOIN lang_top lt USING (token)
+      GROUP BY d.doc_id, lt.lang
+    )
+    SELECT doc_id, lang AS pred_lang, hits FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY hits DESC, lang
+      ) AS rn FROM scores
+    ) WHERE rn <= 1
+    """,
+)
+def q_text_langid(spark, sf):
+    """Corpus-profile language ID: nearest lang by top-token overlap.
+
+    Cavnar–Trenkle-shaped: build per-lang top-20 token profiles from
+    the corpus, score each doc by profile hits, argmax with a
+    deterministic (hits DESC, lang ASC) tiebreak. The profile table is
+    tiny (n_langs × 20) → broadcast; the doc side never reshuffles
+    beyond its own distinct + groupBy(doc_id). On real multilingual
+    data the profile would be char n-grams — same plan, different
+    tokenizer expression.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    lang_counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w_top = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    lang_top = (
+        lang_counts.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "token")
+    )
+    doc_toks = tok.select("doc_id", "token").distinct()
+    scores = (
+        doc_toks.join(F.broadcast(lang_top), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w_pick = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") <= 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    )

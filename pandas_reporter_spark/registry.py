@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.census_queries",
     "pandas_reporter_spark.operators.relational",
     "pandas_reporter_spark.operators.dedup",
+    "pandas_reporter_spark.operators.text",
 )
 
 
