@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.relational",
     "pandas_reporter_spark.operators.dedup",
     "pandas_reporter_spark.operators.text",
+    "pandas_reporter_spark.operators.similarity",
 )
 
 
