@@ -1,0 +1,302 @@
+"""Event-time windowing + Structured Streaming operators (SURVEY §2.3).
+
+Batch windowing over `events` (10k rows, µs timestamps via tables.load's
+nanos handling) expressed with `F.window` / `F.session_window`, oracled
+against gaps-and-islands / bucket SQL in DuckDB.
+
+Streaming ops run REAL Structured Streaming inside the query callable:
+`readStream` over the same parquet, `trigger(availableNow=True)` into an
+in-memory sink, then return the sink table — so watermarks,
+`dropDuplicatesWithinWatermark`, and `applyInPandasWithState` execute
+the genuine streaming code path while still yielding a batch DataFrame
+for the driver's comparator. On a cluster the same plans run unbounded
+(kafka/file source, checkpointed sink); nothing here is local-mode-only.
+
+Value sums go through DECIMAL casts (tables.dsum pattern) so hashes are
+partition-count independent.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_reporter_spark.registry import query
+from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.tables import dsum, load
+
+
+@query(
+    "q_events_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark, sf):
+    """Per-10-minute tumbling counts/sums by event_type.
+
+    `F.window` is a projection (bucket = floor(ts/10min)) + groupBy —
+    one shuffle on (bucket, type), partials combine map-side. The same
+    expression under readStream is the streaming aggregation; batch and
+    stream share this logical plan.
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_events_sliding",
+    oracle="""
+    SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes'
+               AS win_start,
+             event_type, value
+      FROM events, unnest([0, 1]) AS u(k)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark, sf):
+    """10-minute windows sliding every 5 — each event lands in 2 buckets.
+
+    Spark materializes the window replication inside the `window()`
+    expression (generator, no join); shuffle volume is 2× the tumbling
+    case, which is the honest cost of overlap at any scale.
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_events_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def q_events_session(spark, sf):
+    """30-minute-gap session windows per user.
+
+    `F.session_window` merges adjacent events server-side during the
+    aggregation — one shuffle on user_id, then an ordered merge within
+    each partition (Spark's native session operator; the gaps-and-
+    islands SQL in the oracle is the relational unrolling of the same
+    semantics). Session end = last event + gap, matching Spark's
+    definition.
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: run the real streaming engine to a memory sink.
+# ---------------------------------------------------------------------------
+
+
+def _run_stream(spark, stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming plan to completion on available data.
+
+    availableNow + memory sink: the streaming engine runs its genuine
+    micro-batch path (state store, watermark tracking) over the finite
+    input, then we hand the sink's contents back as a batch frame. On a
+    cluster this same writeStream targets kafka/delta with a checkpoint
+    dir instead.
+    """
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _read_events_stream(spark, sf: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs fix applied."""
+    batch = load(spark, sf, "events")  # sets nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # the file stream source monitors a DIRECTORY; glob-filter to the
+    # events table (on a cluster this is the landing dir new files drop into)
+    s = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    return s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")).select(
+        *batch.columns
+    )
+
+
+@query(
+    "q_events_late",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_late(spark, sf):
+    """Watermarked tumbling counts — the late-data policy, actually run.
+
+    `withWatermark('ts', '10 minutes')` bounds state: the engine
+    finalizes windows older than max(ts)−10min and drops later-arriving
+    rows for them. Over this finite input nothing is late (single
+    micro-batch), so the oracle is the plain bucket count — the point
+    verified here is that the watermarked streaming plan computes the
+    same answer through the state store. Complete mode keeps all
+    windows visible in the memory sink.
+    """
+    configure(spark)
+    s = _read_events_stream(spark, sf)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+    return _run_stream(spark, agg, "complete")
+
+
+@query(
+    "q_events_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM (
+      SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+    ) GROUP BY event_type
+    """,
+)
+def q_events_stream_dedup(spark, sf):
+    """Streaming dedup by event_id within a 30-minute watermark.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes — bounded memory on an unbounded stream (plain
+    dropDuplicates on a stream grows state forever). event_id is unique
+    in the data, so the deduped count per type equals the distinct
+    count — which is what the oracle pins.
+    """
+    configure(spark)
+    s = _read_events_stream(spark, sf)
+    deduped = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return _run_stream(spark, agg, "complete")
+
+
+@query(
+    "q_events_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_stateful(spark, sf):
+    """Custom stateful per-key processing via applyInPandasWithState.
+
+    Running per-user (count, sum) held in GroupState across
+    micro-batches, emitted on timeout/end — the escape hatch for
+    aggregations Spark's built-ins can't express (custom eviction,
+    ML-ish accumulators). State is per-key and partitioned by the
+    grouping key, so it scales horizontally; the Arrow-batched pandas
+    path keeps the Python cost amortized. Sum accumulates in integer
+    cents to stay order-independent (float sums depend on batch order).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    configure(spark)
+    s = _read_events_stream(spark, sf)
+
+    def upd(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["value"].mul(100).sum()))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(cents / 100.0, 6)],
+            }
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_stream(spark, out, "update")
+    # update mode may emit a row per micro-batch per key; keep the last
+    # (= final totals) deterministically via max n_events.
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.dedup",
     "pandas_reporter_spark.operators.text",
     "pandas_reporter_spark.operators.similarity",
+    "pandas_reporter_spark.operators.events",
 )
 
 
