@@ -40,7 +40,11 @@ ColPair = Tuple[Column, Column]
 
 
 def _c(x) -> Column:
-    return F.col(x) if isinstance(x, str) else x
+    """Resolve to a Column and force double arithmetic: integer-typed
+    estimate columns (CSV inferSchema) overflow int32/int64 in the
+    squared terms (50624² > 2³¹ — caught by the handbook product pin)."""
+    c = F.col(x) if isinstance(x, str) else x
+    return c.cast("double")
 
 
 def moe_of_sum(*moes) -> Column:
@@ -62,8 +66,8 @@ def sum_m(*pairs) -> ColPair:
     if all(isinstance(p, str) for p in pairs) and not any(
         str(p).endswith("_m90") for p in pairs
     ):
-        ests = [F.col(p) for p in pairs]
-        moes = [F.col(f"{p}_m90") for p in pairs]
+        ests = [_c(p) for p in pairs]
+        moes = [_c(f"{p}_m90") for p in pairs]
     else:
         cols = [_c(p) for p in pairs]
         ests, moes = cols[0::2], cols[1::2]
