@@ -1,0 +1,83 @@
+"""Driver-registered queries for the source/sink layer (S3, S7, S12).
+
+These make the source adapters visible to the correctness gate:
+- q_source_cr_pivot: CR-JSON pivot over the committed offline fixture
+- q_source_csv_roundtrip: parquet → CSV → scan back → aggregate (S7)
+- q_sink_parquet: aggregate → parquet sink → read back (S12); the
+  oracle runs the same aggregate on the original table, so the sink
+  round-trip itself is what's being hash-checked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pandas_reporter_spark.registry import query
+from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.sources.crjson import cr_frame
+from pandas_reporter_spark.tables import dsum, load
+
+_FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@query("q_source_cr_pivot")  # rows-only: input is the committed fixture,
+# not a driver table, so no oracle view exists for it
+def q_source_cr_pivot(spark, sf):
+    """S3: CR-JSON → wide frame on the offline fixture (3 geos × 6 vars
+    → 3 rows × 14 cols, margins interleaved)."""
+    configure(spark)
+    with open(os.path.join(_FIXTURES, "cr_b99001.json")) as f:
+        data = json.load(f)
+    cf = cr_frame(spark, data, "B99001")
+    return cf.df
+
+
+@query(
+    "q_source_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_source_csv_roundtrip(spark, sf):
+    """S7: CSV scan. lineitem → CSV → read back with explicit schema →
+    aggregate; hash-matching the oracle on the parquet original proves
+    the CSV writer/scanner round-trips values exactly."""
+    configure(spark)
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    out = os.path.join(tempfile.gettempdir(), "prs_csv_roundtrip")
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.csv(out, header=True, schema="l_returnflag string, l_quantity double")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "q_sink_parquet",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sink_parquet(spark, sf):
+    """S12: parquet sink. Aggregate → write parquet → read back. The
+    read-back frame must hash-match the oracle's direct aggregate —
+    i.e. the sink loses nothing. Snappy parquet, one file per shuffle
+    partition (at scale: partitionBy on a stable key for pruning)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+    out = os.path.join(tempfile.gettempdir(), "prs_sink_parquet")
+    agg.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

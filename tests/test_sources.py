@@ -1,0 +1,256 @@
+"""Source-adapter pins (S1-S13) against the committed offline fixtures.
+
+URL pins reproduce reference/test/test_url.py:17-34 exactly (four
+accepted spellings, five rejected); pivot pins check the CR-JSON
+shaping rules (sorted codes, '.'-skip, title stack, margin interleave,
+scalar guard) from censusreporter.py:178-282; varrep/API pins come
+from test_basic.py:221-234 and test_censusapi.py:15-34.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pandas_reporter_spark.sources import (
+    CensusReporterURL,
+    URLError,
+    cr_frame,
+    cr_rows,
+    get_ave_weight,
+    get_k_val_f,
+    make_citation_dict,
+    varrep_frame,
+)
+from pandas_reporter_spark.sources.censusapi import CensusApi
+from pandas_reporter_spark.sources.crjson import cr_row_generator, get_cr_dataframe
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pandas_reporter_spark",
+    "sources",
+    "fixtures",
+)
+
+
+def fx(name):
+    with open(os.path.join(FIXTURES, name)) as f:
+        return json.load(f)
+
+
+# -- S1: URL scheme (test_url.py:17-34) -------------------------------------
+
+
+@pytest.mark.parametrize(
+    "us",
+    [
+        "censusreporter:B17001/140/05000US06073",
+        "censusreporter:/B17001/140/05000US06073",
+        "censusreporter://B17001/140/05000US06073",
+        "censusreporter://B17001/140/05000US06073/",
+    ],
+)
+def test_url_accepted_spellings(us):
+    u = CensusReporterURL(us)
+    assert u.table_id == "B17001"
+    assert u.summary_level == "140"
+    assert u.geoid == "05000US06073"
+    # str round-trips to a canonical form that re-parses identically
+    assert str(CensusReporterURL(str(u))) == str(u)
+
+
+@pytest.mark.parametrize(
+    "us",
+    [
+        "censusreporter:B17001",
+        "censusreporter:/B17001/140/",
+        "censusreporter://B17001/",
+        "censusreporter://B17001/140/",
+        "censusreporter://B17001/140/05000US06073/foobar",
+    ],
+)
+def test_url_rejected_spellings(us):
+    with pytest.raises(URLError):
+        CensusReporterURL(us)
+
+
+def test_url_locators():
+    u = CensusReporterURL("censusreporter:B17001/140/05000US06073")
+    assert u.cache_key == (
+        "api.censusreporter.org/1.0/B17001/140/05000US06073.json"
+    )
+    assert "table_ids=B17001" in u.resource_url
+    assert "geo_ids=140|05000US06073" in u.resource_url
+
+
+# -- S3/S4: CR-JSON pivot ----------------------------------------------------
+
+
+def test_cr_pivot_shape_and_metadata():
+    rows, columns, release = cr_rows(fx("cr_b99001.json"), "B99001")
+    # 3 geos; 2 lead cols + 6 real vars × 2 (dot-code skipped)
+    assert len(rows) == 3
+    assert len(columns) == 2 + 6 * 2
+    assert release["id"] == "acs2015_5yr"
+    codes = [c["code"] for c in columns]
+    assert codes[:2] == ["geoid", "name"]
+    # margins interleaved est-then-margin, sorted by code
+    assert codes[2:6] == ["B99001001", "B99001001_m90", "B99001002", "B99001002_m90"]
+    assert all("." not in c for c in codes)
+    # positions are dense and match list order
+    assert [c["position"] for c in columns] == list(range(len(columns)))
+
+
+def test_cr_pivot_title_stack():
+    _, columns, _ = cr_rows(fx("cr_b99001.json"), "B99001")
+    by_code = {c["code"]: c for c in columns}
+    # ':' stripped at every level; child title = joined stack
+    assert by_code["B99001001"]["title"] == "Total"
+    assert by_code["B99001002"]["title"] == "Total Male"
+    assert by_code["B99001003"]["title"] == "Total Male Under 5 years"
+    # sibling subtree replaces the stack slot, not appends
+    assert by_code["B99001006"]["title"] == "Total Female Under 5 years"
+    # margins mirror with the prefix
+    assert by_code["B99001003_m90"]["title"] == "Margins for Total Male Under 5 years"
+    assert by_code["B99001003"]["index"] == "003"
+
+
+def test_cr_pivot_single_column_scalar_guard():
+    rows, columns, _ = cr_rows(fx("cr_b99002.json"), "B99002")
+    assert len(columns) == 4  # geoid, name, est, m90
+    assert all(len(r) == 4 for r in rows)
+    assert sorted(r[2] for r in rows) == [1.0, 2.0, 3.0]
+
+
+def test_cr_row_generator_header_plus_rows():
+    gen = list(cr_row_generator(fx("cr_b99001.json"), "B99001"))
+    assert len(gen) == 4  # header + 3 rows (test_url.py:52 idiom)
+    assert gen[0][0] == "geoid"
+
+
+def test_cr_frame_materializes_census_frame(spark):
+    cf = cr_frame(spark, fx("cr_b99001.json"), "B99001")
+    assert cf.df.count() == 3
+    assert cf.release["id"] == "acs2015_5yr"
+    # margin-carry works over the pivoted frame
+    sel = cf[["geoid", "B99001001"]]
+    assert sel.df.columns == ["geoid", "B99001001", "B99001001_m90"]
+    # lookup by census index
+    assert cf.lookup("003").name == "B99001003"
+
+
+def test_get_cr_dataframe_via_cache(spark, tmp_path):
+    """S6+S2: cache-first fetch — prime the cache, then load with no
+    fetcher (a network call would raise)."""
+    u = CensusReporterURL("censusreporter:B99001/140/05000US06073")
+    path = tmp_path / u.cache_key
+    path.parent.mkdir(parents=True)
+    path.write_text(json.dumps(fx("cr_b99001.json")))
+    cf = get_cr_dataframe(
+        spark, "B99001", "140", "05000US06073", cache_dir=str(tmp_path),
+        fetcher=lambda url: (_ for _ in ()).throw(AssertionError("network hit")),
+    )
+    assert cf.df.count() == 3
+
+
+# -- S8-S10: Census Data API -------------------------------------------------
+
+
+def _api():
+    def fetcher(url):
+        if "variables" in url:
+            return fx("censusapi_variables.json")
+        return fx("censusapi_response.json")
+
+    return CensusApi(fetcher=fetcher, catalog=fx("censusapi_catalog.json"))
+
+
+def test_api_catalog_search_and_get():
+    api = _api()
+    hits = api.search_datasets("Vintage 2015 Population Estimates")
+    assert len(hits) == 1
+    ds = api.get_dataset("POPESTpop2015")
+    assert ds.title.startswith("Vintage 2015")
+
+
+def test_api_variables_and_search():
+    ds = _api().get_dataset("POPESTpop2015")
+    assert "POP" in ds.variables
+    assert ("POP", "Population") in ds.search_variables("population")
+
+
+def test_api_fetch_url_shape():
+    ds = _api().get_dataset("POPESTpop2015")
+    url = ds.fetch_url(
+        "PLACE", "GEONAME", "POP", geo_in="state:06+county:073", geo_for="place:*"
+    )
+    assert url == (
+        "https://api.census.gov/data/2015/pep/population"
+        "?get=PLACE,GEONAME,POP&for=place:*&in=state:06+county:073"
+    )
+
+
+def test_api_fetch_dataframe(spark):
+    ds = _api().get_dataset("POPESTpop2015")
+    df = ds.fetch_dataframe(spark, "GEONAME", "POP")
+    rows = {r["GEONAME"]: r for r in df.collect()}
+    assert rows["San Diego County, California"]["POP"] == 3299521.0
+    # GEOID synthesized from state+county FIPS
+    assert rows["San Diego County, California"]["GEOID"] == "05000US06073"
+    assert dict(df.dtypes)["POP"] == "double"
+
+
+# -- S11: varrep -------------------------------------------------------------
+
+
+def test_varrep_step_pins():
+    f = get_k_val_f()
+    assert f(1000) == 4
+    assert f(10000) == 10
+    assert f(49999) == 18
+    assert f(50001) == 22
+    assert get_ave_weight(11) == 13
+
+
+def test_varrep_moe_from_replicates(spark):
+    """MOE = 1.645·sqrt((4/80)·Σ(rep−est)²): replicates est±1 → every
+    squared diff is 1 → MOE = 1.645·sqrt(4/80·80) = 3.29."""
+    row = {"TBLID": "B01001", "GEOID": "g", "ESTIMATE": 100.0}
+    for i in range(1, 81):
+        row[f"VAR_REP{i}"] = 100.0 + (1 if i % 2 else -1)
+    df = varrep_frame(spark.createDataFrame([row]))
+    (moe,) = df.select("MOE_REP").collect()[0]
+    assert round(moe, 6) == round(1.645 * 2.0, 6)
+
+
+def test_varrep_missing_replicates_raise(spark):
+    df = spark.createDataFrame([{"ESTIMATE": 1.0, "VAR_REP1": 1.0}])
+    with pytest.raises(ValueError):
+        varrep_frame(df)
+
+
+# -- S13: citation -----------------------------------------------------------
+
+
+class _Term:
+    url = "censusreporter:B17001/140/05000US06073"
+    name = "B17001_test"
+    description = "Poverty Status"
+
+
+def test_citation_dict():
+    c = make_citation_dict(_Term())
+    assert c["publisher"] == "CensusReporter.org"
+    assert c["title"].endswith("Table B17001: Poverty Status")
+    assert c["year"] == 2015
+
+
+def test_citation_non_censusreporter_is_false():
+    class T:
+        url = "http://example.com/x.csv"
+        name = "x"
+        description = "d"
+
+    assert make_citation_dict(T()) is False
