@@ -1,0 +1,184 @@
+"""Multimodal-column operators (SURVEY §2.3): binary payloads + typed
+metadata, decode/feature-extract/frame-sample plumbing.
+
+The container has no image/audio codecs (and the driver tables have no
+media), so — per the brief — the DECODE step is stubbed: a clearly
+marked NotImplementedError for real codecs, plus a deterministic fake
+used by the registered queries. Everything Spark-side is real and
+tested: binary columns, metadata structs, Arrow-batched mapInPandas
+with explicit output schema, per-partition batch shaping, and the
+oracle-checkable parts (lengths, hashes, magic sniff) run as JVM
+expressions.
+
+Media bytes are synthesized from `documents.text` (utf-8) so the
+pipeline is reproducible on the driver tables; with real data the
+binary column comes straight off parquet/webdataset ingest unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_reporter_spark.registry import query
+from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.tables import load
+
+#: Output schema of the feature extractor — explicit, never inferred.
+_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, first_byte int, byte_sum_mod long, "
+    "n_batch_rows int"
+)
+
+
+def decode_image(data: bytes):  # pragma: no cover - codec stub
+    """STUB: real image decode requires a codec library (PIL/cv2) that
+    is not in this container. The Spark-side plumbing around this call
+    (binary column → mapInPandas → feature schema) is real; swap this
+    body for `PIL.Image.open(io.BytesIO(data))` in a full environment.
+    """
+    raise NotImplementedError(
+        "image decode stubbed: no codec library in this environment"
+    )
+
+
+def fake_decode_features(data: bytes) -> tuple[int, int, int]:
+    """Deterministic fake 'decode': (n_bytes, first_byte, Σbytes mod 997).
+
+    Stands in for decode→resize→embed so the distributed plumbing and
+    the driver's rows-check exercise a stable function.
+    """
+    return len(data), (data[0] if data else -1), sum(data) % 997
+
+
+def with_media(df: DataFrame) -> DataFrame:
+    """Attach a binary payload + typed metadata struct to documents.
+
+    The metadata struct (mime/width/height/n_frames) is the pattern for
+    real corpora: media bytes stay an opaque `binary`, everything
+    filterable lives in typed columns so Catalyst can prune/push down
+    WITHOUT touching payloads — the property that matters at 100 TB,
+    where metadata predicates must never force payload IO.
+    """
+    payload = F.encode(F.col("text"), "utf-8")
+    return df.select(
+        "doc_id",
+        "lang",
+        payload.alias("media"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            (F.col("doc_id") % 16 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "q_multimodal_pack",
+    oracle="""
+    -- payload = utf-8 bytes of text, so md5/left on the VARCHAR are
+    -- byte-identical to the blob ops (DuckDB's md5 is VARCHAR-only)
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           CASE WHEN octet_length(encode(text)) >= 2
+                THEN left(text, 2) = '{"' ELSE FALSE
+           END AS looks_json
+    FROM documents
+    """,
+)
+def q_multimodal_pack(spark, sf):
+    """Binary packing + payload hashing + magic-byte sniff, JVM-side.
+
+    Everything here runs without deserializing payloads into Python:
+    octet length, md5, and the leading-bytes 'magic' test are Catalyst
+    expressions over the binary column. This is the metadata-extraction
+    stage of a media pipeline — the part that CAN stay JVM-side, must.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    media = with_media(d)
+    return media.select(
+        "doc_id",
+        F.octet_length("media").alias("n_bytes"),
+        F.md5("media").alias("payload_md5"),
+        F.when(
+            F.octet_length("media") >= 2,
+            F.substring("media", 1, 2) == F.lit(b'{"'),
+        )
+        .otherwise(F.lit(False))
+        .alias("looks_json"),
+    )
+
+
+@query("q_multimodal_features")  # rows-only: exercises the Python path
+def q_multimodal_features(spark, sf):
+    """Feature extraction over binary payloads via mapInPandas.
+
+    The real-media pattern: Arrow ships (doc_id, media) batches to
+    Python, the decoder runs per batch, output schema is explicit.
+    `n_batch_rows` records the actual Arrow batch size so the batch
+    shape itself is observable/testable. At scale: repartition by size
+    bucket first so decode cost per task is even, and keep payloads
+    OUT of any shuffle (extract features, drop bytes, then join back
+    by doc_id if needed).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    media = with_media(d).select("doc_id", "media")
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd  # worker-side
+
+        for pdf in batches:
+            feats = [fake_decode_features(b) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "byte_sum_mod": [f[2] for f in feats],
+                    "n_batch_rows": len(pdf),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, frame_idx,
+           md5(doc_id::VARCHAR || ':' || frame_idx::VARCHAR) AS frame_key
+    FROM (
+      SELECT doc_id, unnest(range(0, (doc_id % 16 + 1)::BIGINT, 4)) AS frame_idx
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_frame_sample(spark, sf):
+    """Frame sampling plumbing: every 4th frame index per video.
+
+    The sample plan (explode of a bounded sequence from metadata) is
+    exactly how frame extraction parallelizes: one output row per
+    (video, frame) BEFORE the decoder runs, so decode work distributes
+    at frame granularity, not video granularity — the difference
+    between one straggler task per long video and even tasks. The
+    frame_key hash stands in for the decoded frame payload.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    media = with_media(d)
+    frames = media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(4))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.concat_ws(":", "doc_id", "frame_idx")).alias("frame_key"),
+    )

@@ -50,6 +50,8 @@ _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.text",
     "pandas_reporter_spark.operators.similarity",
     "pandas_reporter_spark.operators.events",
+    "pandas_reporter_spark.operators.multimodal",
+    "pandas_reporter_spark.sources.queries",
 )
 
 
