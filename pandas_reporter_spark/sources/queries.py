@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
 from pandas_reporter_spark.sources.crjson import cr_frame
+from pandas_reporter_spark.sources.varrep import moe_from_replicates
 from pandas_reporter_spark.tables import dsum, load
 
 _FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
@@ -57,6 +58,44 @@ def q_source_csv_roundtrip(spark, sf):
     back = spark.read.csv(out, header=True, schema="l_returnflag string, l_quantity double")
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "q_varrep_moe",
+    oracle="""
+    -- replicate i = est + ((i*o_orderkey) % 7 - 3): integer offsets, so
+    -- every squared diff is exact; sum order mirrors Spark's left-to-right
+    SELECT o_orderkey,
+           round(1.645 * sqrt(4.0/80.0 * list_aggregate(
+             list_transform(range(1, 81),
+                            i -> CAST((i * o_orderkey) % 7 - 3 AS DOUBLE) ^ 2),
+             'sum')), 6) AS moe_rep
+    FROM orders
+    """,
+)
+def q_varrep_moe(spark, sf):
+    """S11 on driver tables: MOE from 80 synthesized replicates.
+
+    Replicates are deterministic offsets of o_totalprice; the registered
+    check pins the successive-difference formula end-to-end
+    (1.645·sqrt((4/80)·Σ(repᵢ−est)²)) as an 80-term codegen'd
+    expression — no shuffle, scan-speed at any scale.
+    """
+    configure(spark)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    reps = [
+        (
+            F.col("o_totalprice")
+            + ((F.lit(i) * F.col("o_orderkey")) % 7 - 3).cast("double")
+        )
+        for i in range(1, 81)
+    ]
+    return o.select(
+        "o_orderkey",
+        F.round(moe_from_replicates(F.col("o_totalprice"), reps), 6).alias(
+            "moe_rep"
+        ),
     )
 
 
