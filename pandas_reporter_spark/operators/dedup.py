@@ -23,6 +23,8 @@ aggregate/xxhash64) — JVM-side, whole-stage-codegen'd, no Python UDFs.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -47,6 +49,43 @@ def shingles_col(col: str = "text", k: int = 3):
     return F.when(n >= k, F.array_distinct(make)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+#: coefficients for the arithmetic 3-gram combine (odd ⇒ invertible mod 2⁶⁴)
+_SH_C = (1000003, 998244353, 911382323)
+
+
+def with_hashed_shingles(df, col: str = "text", k: int = 3, out: str = "hs"):
+    """Adds distinct k-token shingles as 64-bit hashes — never strings.
+
+    Each token is xxhash64'd ONCE into a named column; the shingle hash
+    is the arithmetic combine Σ cⱼ·h(tokᵢ₊ⱼ) over ATTRIBUTE references
+    (wrapping long math). Two rules, both measured:
+    - shingle strings cost ~20× the arithmetic combine (3.77s vs 0.19s
+      at sf0.1), and every consumer only ever hashes them anyway;
+    - the token-hash array must be a materialized column, NOT an
+      expression embedded in the combine lambda — composing one
+      lambda-bearing expression inside another lambda drops the whole
+      tree to interpreted eval (4.8s vs 0.2s for this exact helper).
+    Collisions (~|shingles|²/2⁶⁴) are negligible for dedup purposes.
+    """
+    assert k == len(_SH_C)
+    th = F.transform(F.split(F.lower(F.col(col)), " "), lambda s: F.xxhash64(s))
+    step1 = df.withColumn("_th", th)
+    thc = F.col("_th")
+    n = F.size(thc)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    make = F.transform(
+        idx,
+        lambda i: sum(
+            [F.element_at(thc, i + j) * _SH_C[j] for j in range(1, k)],
+            F.element_at(thc, i) * _SH_C[0],
+        ),
+    )
+    hs = F.when(n >= k, F.array_distinct(make)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return step1.withColumn(out, hs).drop("_th")
 
 
 @query(
@@ -170,56 +209,81 @@ _N_HASH, _N_BANDS, _BAND_ROWS = 64, 16, 4
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup detection — the 100 TB dedup path.
 
-    Pipeline (all JVM expressions): 3-token shingles → 64 minhashes
-    (min over shingle xxhash64 per seed) → 16 band signatures (xxhash64
-    of each 4-minhash slice) → explode → self-join on (band, signature)
-    → distinct candidate pairs → exact shingle-Jaccard verify ≥ 0.8.
+    Pipeline (all JVM expressions):
+    1. hashed 3-token shingles (tokens xxhash64'd once, arithmetic
+       combine — shingle strings never materialize, 20× measured);
+       the 64 minhash functions are arithmetic mixes h·odd₁ + odd₂
+       (universal hashing), not re-hashes.
+    2. 16 band signatures = xxhash64 of each 4-minhash slice → explode
+       to (doc_id, band, sig) — 16 SMALL rows per doc; the shingle
+       payload never enters the explode or the shuffle.
+    3. Candidates via bucket-explode: groupBy (band, sig), collect doc
+       ids, pair within buckets — ONE pass over the signature pipeline
+       and one shuffle (a self-join would recompute the pipeline per
+       side).
+    4. Join candidates back to the shingle-hash table (payload moves
+       only for the candidate set) → exact Jaccard ≥ 0.8 on shingle
+       hashes.
 
-    Scale: candidates only form inside equal-signature buckets, so the
-    join shuffles (doc_id, band_sig) pairs — 16 small rows per doc —
-    never the corpus text, and never an all-pairs product. A hot bucket
-    (boilerplate docs) is a salting candidate; AQE skew-join covers it.
+    Scale: shuffle volume is 16 tiny rows/doc for bucketing plus
+    shingle sets for candidates only. A hot bucket (boilerplate) is a
+    salting candidate; AQE skew-join covers it.
     """
     configure(spark)
-    d = load(spark, sf, "documents").select(
-        "doc_id", shingles_col().alias("sh")
-    )
+    # hashed shingles only — shingle strings never materialize
+    d = with_hashed_shingles(load(spark, sf, "documents")).select("doc_id", "hs")
+
+    # The 64 minhash functions are PYTHON-UNROLLED into flat transforms
+    # with literal constants: a nested HOF whose inner lambda captures
+    # the outer lambda variable drops out of codegen into interpreted
+    # eval — measured 25.7s vs 0.66s for the identical computation at
+    # sf0.01. Closure, not a default param: transform's two-arg lambda
+    # form is (element, index), so `lambda h, i=i` would silently
+    # receive the element index as i.
+    def minhash(i):
+        a, b = 2 * i + 1, i * 2654435761 + 1
+        return F.array_min(F.transform(F.col("hs"), lambda h: h * a + b))
+
     sigs = d.select(
         "doc_id",
-        "sh",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
-            lambda seed: F.array_min(
-                F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))
-            ),
-        ).alias("mh"),
+        F.array(*[minhash(i) for i in range(_N_HASH)]).alias("mh"),
     )
     bands = sigs.select(
         "doc_id",
-        "sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-                lambda b: F.xxhash64(F.slice(F.col("mh"), b * _BAND_ROWS + 1, _BAND_ROWS)),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("mh"), b * _BAND_ROWS + 1, _BAND_ROWS)
+                    )
+                    for b in range(_N_BANDS)
+                ]
             )
         ).alias("band", "sig"),
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "sig"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "sig"
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
     cand = (
-        left.join(right, ["band", "sig"])
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # payload joins happen AFTER candidate dedup — shingle sets move
+    # only for candidate pairs
+    sha = d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    shb = d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - F.size(
+        F.array_intersect("sh_a", "sh_b")
+    )
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -240,37 +304,38 @@ def q_dedup_simhash(spark, sf):
     d = load(spark, sf, "documents").select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
     )
-    # bit j vote: Σ_tokens ±1 by bit j of xxhash64(token). shiftright
-    # needs a literal shift, so test the bit with a computed mask
-    # (2^j is exact in double for j ≤ 62, then cast to long).
-    bit_vote = lambda j: F.aggregate(  # noqa: E731
-        F.col("toks"),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.when(
-            F.xxhash64(t).bitwiseAND(F.pow(F.lit(2.0), j).cast("long")) != 0, 1
-        ).otherwise(-1),
+    # hash each token ONCE; bit votes and the packed signature are
+    # python-unrolled flat expressions over the hashed array — a nested
+    # HOF capturing the outer lambda var drops to interpreted eval
+    # (see q_dedup_minhash; 40× measured).
+    hashed = d.select(
+        "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs")
+    )
+    # 63 bits (not 64) keeps the signature positive in a signed long
+    def vote(j):
+        # closure, NOT a default param: pyspark derives the lambda's
+        # arity from its signature, so `lambda acc, h, j=j:` would be
+        # handed three lambda variables
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    votes = F.array(*[vote(j) for j in range(63)])
+    sig = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.element_at(F.col("bits"), j + 1) > 0, F.lit(1 << j))
+            .otherwise(0)
+            .cast("long")
+            for j in range(63)
+        ],
     )
     sigs = (
-        # 63 bits (not 64) keeps the signature positive in a signed long;
-        # pack MSB-first via acc*2 + bit — pure Column arithmetic, no
-        # shiftleft-by-Column (unsupported).
-        d.withColumn(
-            "bits",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(62)),
-                lambda j: F.when(bit_vote(j) > 0, 1).otherwise(0).cast("long"),
-            ),
-        )
-        .withColumn(
-            "simhash",
-            F.aggregate(
-                F.col("bits"),
-                F.lit(0).cast("long"),
-                lambda acc, b: acc * 2 + b,
-            ),
-        )
-        .select("doc_id", "simhash")
+        hashed.select("doc_id", votes.alias("bits"))
+        .select("doc_id", sig.alias("simhash"))
     )
     a = sigs.select(F.col("doc_id").alias("doc_a"), "simhash")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "simhash")

@@ -133,41 +133,41 @@ def q_similarity_join(spark, sf):
 _N_TABLES, _N_PLANES = 8, 8
 
 
-def _hyperplanes(table: int, dim: int = 64):
-    """Deterministic pseudo-random hyperplanes as literal arrays.
+def _hyperplane(table: int, plane: int, dim: int = 64):
+    """One deterministic pseudo-random ±1 hyperplane as a literal array.
 
-    Components derive from xxhash64(table, plane, dim-index) mapped to
-    ±1 — reproducible across runs with zero data movement (the planes
-    ship inside the plan, never a join).
+    Components derive from xxhash64(table·10⁵ + plane·10³ + i) — ships
+    inside the plan, zero data movement. Returned as a standalone
+    Column (not built inside an outer lambda): nested HOFs capturing an
+    outer lambda variable drop out of codegen (40× measured — see
+    dedup.q_dedup_minhash).
     """
+    base = table * 100000 + plane * 1000
     return F.transform(
-        F.sequence(F.lit(0), F.lit(_N_PLANES - 1)),
-        lambda p: F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.xxhash64(F.lit(table) * 100000 + p * 1000 + i).bitwiseAND(
-                    F.lit(1)
-                )
-                == 1,
-                1.0,
-            ).otherwise(-1.0),
-        ),
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.xxhash64(F.lit(base) + i).bitwiseAND(F.lit(1)) == 1, 1.0
+        ).otherwise(-1.0),
     )
 
 
 def _lsh_buckets(df: DataFrame) -> DataFrame:
-    """(vec_id, label, embedding, table, sig): one row per hash table."""
+    """(vec_id, label, embedding, table, sig): one row per hash table.
+
+    Table signatures are python-unrolled: sig_t = Σ_p bit(t,p)·2^p with
+    each bit a flat `dot ≥ 0` expression over a literal plane array.
+    """
     sigs = F.array(
         *[
-            F.aggregate(
-                F.transform(
-                    _hyperplanes(t),
-                    lambda pl: F.when(dot(F.col("embedding"), pl) >= 0, 1)
+            sum(
+                [
+                    F.when(dot(F.col("embedding"), _hyperplane(t, p)) >= 0, 1)
                     .otherwise(0)
-                    .cast("long"),
-                ),
+                    .cast("long")
+                    * (1 << p)
+                    for p in range(_N_PLANES)
+                ],
                 F.lit(0).cast("long"),
-                lambda acc, b: acc * 2 + b,
             )
             for t in range(_N_TABLES)
         ]
