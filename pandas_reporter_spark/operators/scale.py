@@ -1,0 +1,147 @@
+"""Scale-technique operators: bucketing, salting, partition pruning.
+
+Each 100 TB technique is a driver-verified query whose RESULT equals
+the plain relational answer (oracle hash-check) while the PLAN shows
+the scale property — shuffle-free bucketed join, skew-safe salted
+join, source-level partition pruning. tests/test_scale.py pins the
+plan properties; the oracle pins the semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pandas_reporter_spark.registry import query
+from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.tables import dsum, load
+
+_N_BUCKETS = 8
+_N_SALTS = 8
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_bucketed(spark, sf):
+    """Co-located join via bucketed tables — the shuffle-elimination path.
+
+    Both sides are written bucketed (and sorted) by the join key into
+    `_N_BUCKETS` buckets; the sort-merge join then reads bucket i of
+    each side in task i — NO Exchange on either side (pinned by
+    tests/test_scale.py). At 100 TB this is the difference between
+    shuffling both fact tables per join and shuffling neither for
+    every downstream join on the same key; the MERGE hint keeps AQE
+    from demoting the demonstration to a broadcast at toy scale.
+    """
+    configure(spark)
+    base = os.path.join(tempfile.gettempdir(), "prs_buckets")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    (
+        li.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .saveAsTable("prs_lineitem_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable("prs_orders_bucketed")
+    )
+    lb = spark.table("prs_lineitem_bucketed")
+    ob = spark.table("prs_orders_bucketed")
+    return (
+        lb.hint("merge")
+        .join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    -- the salted join is semantically the identity join on l_returnflag:
+    -- every (flag, salt) fact row matches exactly one replicated dim row
+    SELECT l_returnflag, 'flag_' || l_returnflag AS flag_name,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_join_salted(spark, sf):
+    """Skew-safe salted join: fact side salts, dim side replicates.
+
+    `l_returnflag` has 3 values over the whole fact table — the
+    textbook hot-key join. The fact side appends salt = pmod(xxhash64
+    (row-identity), N); the dim side cross-joins the salt domain
+    (dim×N rows, still tiny); the join key becomes (key, salt), so
+    each hot key spreads over N reducers instead of one straggler.
+    Result is identical to the unsalted join — which is exactly what
+    the oracle checks. (AQE skew-join does this adaptively; explicit
+    salting is the portable form and composes with aggregates.)
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_N_SALTS))
+    )
+    # tiny dim keyed by the skewed value
+    dim = (
+        load(spark, sf, "lineitem")
+        .select("l_returnflag")
+        .distinct()
+        .withColumn("flag_name", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    salts = spark.range(_N_SALTS).select(F.col("id").alias("salt"))
+    dim_salted = dim.crossJoin(salts)
+    return (
+        li.join(
+            F.broadcast(dim_salted),
+            ["l_returnflag", "salt"],
+        )
+        .groupBy("l_returnflag", "flag_name")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q_partition_pruned_scan",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    """,
+)
+def q_partition_pruned_scan(spark, sf):
+    """Hive-partitioned write + partition-pruned read.
+
+    documents are re-written `partitionBy(lang)`; the filtered read
+    then lists ONLY the en/de directories — partition pruning at the
+    source, before any IO (PartitionFilters in the scan node, pinned
+    by tests/test_scale.py). At 100 TB this is the primary access-path
+    optimization: a predicate on the partition column turns a full-
+    corpus scan into a directory listing.
+    """
+    configure(spark)
+    out = os.path.join(tempfile.gettempdir(), "prs_part_docs")
+    d = load(spark, sf, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.similarity",
     "pandas_reporter_spark.operators.events",
     "pandas_reporter_spark.operators.multimodal",
+    "pandas_reporter_spark.operators.scale",
     "pandas_reporter_spark.sources.queries",
 )
 

@@ -1,0 +1,68 @@
+"""Plan-property pins for the scale techniques (operators/scale.py).
+
+The oracle checks semantics; these tests pin the PLANS — the part that
+matters at 100 TB and that a result comparison can't see.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from pandas_reporter_spark.operators.scale import (
+    q_join_bucketed,
+    q_join_salted,
+    q_partition_pruned_scan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key → SortMergeJoin with zero
+    Exchange nodes: the co-location actually eliminated the shuffle."""
+    df = q_join_bucketed(spark, SF)
+    p = plan_of(df)
+    assert "SortMergeJoin" in p
+    # in the tree rendering the join's CHILDREN print below it; no
+    # Exchange may appear between the join and its scans
+    tree = p.split("(1) Scan")[0]
+    below_join = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join
+    assert "Bucketed: true" in p
+    assert "SelectedBucketsCount" in p  # scan is bucket-aware
+
+
+def test_salted_join_broadcasts_and_matches(spark):
+    """Salted dim is broadcast; the join key includes the salt."""
+    df = q_join_salted(spark, SF)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    rows = {r["l_returnflag"]: r["n"] for r in df.collect()}
+    # identity-join semantics: per-flag counts equal raw counts
+    from pandas_reporter_spark.tables import load
+
+    raw = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert rows == raw
+
+
+def test_partition_pruned_scan_prunes(spark):
+    """The filtered read of the lang-partitioned copy must show
+    partition filters on lang and read only 2 of the partitions."""
+    df = q_partition_pruned_scan(spark, SF)
+    p = plan_of(df)
+    assert "PartitionFilters" in p and "lang" in p
