@@ -469,6 +469,113 @@ def q_join_full(spark, sf):
 
 
 @query(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders RIGHT JOIN customer
+      ON o_custkey = c_custkey AND o_totalprice > 150000
+    """,
+)
+def q_join_right(spark, sf):
+    """Right outer join (planner rewrites to left-outer with sides
+    swapped — registered so the user-facing surface is complete)."""
+    configure(spark)
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 150000), "right"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    -- exact moment sums through DECIMAL make variance/stddev/corr
+    -- bit-deterministic across engines and partition counts
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxx - sx*sx/n) / (n - 1), 6) AS var_qty,
+           round(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS std_qty,
+           round((sxy - sx*sy/n)
+                 / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS corr_qty_disc
+    FROM m
+    """,
+)
+def q_agg_stats(spark, sf):
+    """Statistical aggregates: sample variance/stddev + correlation.
+
+    Built from exact decimal moment sums (n, Σx, Σx², Σy, Σy², Σxy) —
+    NOT stddev_samp/corr built-ins, whose float accumulation is
+    partition-order dependent and engine-divergent at the last ulp.
+    The moment form is also the distributed-friendly shape: one
+    map-side-combined aggregation, constant state per group.
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d).cast("double").alias("sy"),
+        F.sum(d * d).cast("double").alias("syy"),
+        F.sum(q * d).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / F.sqrt(
+        (sxx - sx * sx / n) * (syy - sy * sy / n)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("std_qty"),
+        F.round(corr, 6).alias("corr_qty_disc"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, sf):
+    """Exact interpolated percentiles (median, p90).
+
+    `percentile` is Spark's exact interpolated quantile — identical
+    semantics to DuckDB's quantile_cont on the same sorted multiset,
+    so it hash-matches without rounding. At 100 TB prefer
+    approx_percentile (t-digest sketch, q_agg_approx_countd's family)
+    for one-pass estimation; the exact form sorts within groups.
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+@query(
     "q_join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer
