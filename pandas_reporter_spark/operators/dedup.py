@@ -344,3 +344,56 @@ def q_dedup_simhash(spark, sf):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "simhash")
     )
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    -- keep a vector iff no lower-id vector in the same label block is
+    -- a cosine >= 0.99 near-duplicate (same blocked-pair space as
+    -- q_similarity_join; left-anti = the keeper set)
+    WITH dup_b AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE (list_aggregate(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))))
+            >= 0.99
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dup_b)
+    """,
+)
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup dedup: keep the lowest-id member of
+    every >= 0.99-cosine pair (within label blocks).
+
+    Near-dup PAIRS come from the blocked self-join (q_similarity_join
+    shape); the KEEPER set is a left-anti join of the corpus against
+    the pairs' higher ids. Not connected components: the keep-lowest
+    rule is single-pass and deterministic, which is what a production
+    dedup wants (CC is iterative and order-sensitive). At 100 TB the
+    label block becomes an LSH/IVF bucket - same two-join plan.
+    """
+    from pandas_reporter_spark.operators.similarity import cosine
+
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dup_b = (
+        a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
+        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.99)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dup_b, "vec_id", "left_anti").select("vec_id", "label")
