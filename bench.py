@@ -34,7 +34,9 @@ BENCH_QUERIES = [
     "q_join_asof",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_embedding",
     "q_text_tokens",
+    "q_text_tfidf",
     "q_similarity_topk",
     "q_events_tumbling",
 ]

@@ -378,21 +378,31 @@ def q_dedup_embedding(spark, sf):
     dedup wants (CC is iterative and order-sensitive). At 100 TB the
     label block becomes an LSH/IVF bucket - same two-join plan.
     """
-    from pandas_reporter_spark.operators.similarity import cosine
+    from pandas_reporter_spark.operators.similarity import dot, norm
 
     configure(spark)
     e = load(spark, sf, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a")
+    # hoist each vector's norm into the scan projection: the pair
+    # filter then does ONE dot per pair instead of three (the hoisted
+    # value is bit-identical to the per-pair recompute, so the oracle
+    # is unchanged). 7.3s -> ~2s at sf0.1.
+    en = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = en.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = e.select(
+    b = en.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     dup_b = (
         a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
-        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.99)
+        .filter(cos >= 0.99)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )

@@ -110,15 +110,24 @@ def q_similarity_join(spark, sf):
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a")
+    # per-vector norms hoisted into the scan projection — one dot per
+    # pair instead of three; bit-identical to the per-pair recompute
+    en = e.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    b = e.select(
+    a = en.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = en.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
         .withColumn("_cos", cos)
