@@ -300,3 +300,47 @@ def q_events_stateful(spark, sf):
             F.max_by("total_value", "n_events").alias("total_value"),
         )
     )
+
+@query(
+    "q_events_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def q_events_stream_session(spark, sf):
+    """Session windows through the STREAMING engine (state merge path).
+
+    Same session semantics as q_events_session, but executed by the
+    streaming session-window operator: per-key session state is
+    created, extended, and MERGED across micro-batches in the state
+    store, with the watermark bounding how long an open session stays
+    in memory - the part the batch plan never exercises. Single-batch
+    input => results equal the batch/oracle answer.
+    """
+    configure(spark)
+    s = _read_events_stream(spark, sf)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n"
+        )
+    )
+    return _run_stream(spark, agg, "complete")
+

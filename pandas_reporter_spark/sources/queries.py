@@ -120,3 +120,20 @@ def q_sink_parquet(spark, sf):
     out = os.path.join(tempfile.gettempdir(), "prs_sink_parquet")
     agg.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+@query("q_census_workflow")  # rows-only: input is the committed fixture
+def q_census_workflow(spark, sf):
+    """The reference's core workflow end-to-end on the CR fixture:
+    pivot -> margin-carrying select -> sum_m derived measure -> RSS
+    grouped margins (censusreporter.py ingest + test_basic.py:90-207
+    semantics, all through the CensusFrame layer)."""
+    configure(spark)
+    with open(os.path.join(_FIXTURES, "cr_b99001.json")) as f:
+        data = json.load(f)
+    cf = cr_frame(spark, data, "B99001")
+    sel = cf[["geoid", "B99001002", "B99001005"]]  # margin-carry expands
+    est, moe = sel.sum_m("B99001002", "B99001005")
+    with_total = sel.with_measure("total_sex", est, moe)
+    grouped = with_total.group_sum("geoid")
+    return grouped.df
+
