@@ -230,8 +230,17 @@ def q_dedup_minhash(spark, sf):
     salting candidate; AQE skew-join covers it.
     """
     configure(spark)
+    return minhash_pairs(load(spark, sf, "documents"))
+
+
+def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8):
+    """MinHash-LSH near-dup pairs over any (id, text) frame.
+
+    The reusable core of q_dedup_minhash — see that docstring for the
+    plan rationale; tests/test_dedup.py pins recall on planted dups.
+    """
     # hashed shingles only — shingle strings never materialize
-    d = with_hashed_shingles(load(spark, sf, "documents")).select("doc_id", "hs")
+    d = with_hashed_shingles(docs).select(F.col(id_col).alias("doc_id"), "hs")
 
     # The 64 minhash functions are PYTHON-UNROLLED into flat transforms
     # with literal constants: a nested HOF whose inner lambda captures
@@ -284,7 +293,7 @@ def q_dedup_minhash(spark, sf):
         cand.join(sha, "doc_a")
         .join(shb, "doc_b")
         .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 

@@ -1,0 +1,59 @@
+"""Dedup-operator behavior pins: planted near-duplicates.
+
+The driver gate only row-counts the hash-defined dedup ops; these
+tests pin their BEHAVIOR — a planted near-duplicate must be found, an
+unrelated document must not pair with anything.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_reporter_spark.operators.dedup import minhash_pairs, with_hashed_shingles
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall "
+        "green trees beside the quiet river bank every single morning"
+    )
+    near = base.replace("quiet river", "noisy river")  # 1-word edit
+    far = (
+        "completely different content about spark query engines and "
+        "distributed joins with shuffles partitions and broadcast "
+        "exchanges running on large clusters processing huge datasets"
+    )
+    return spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": far},
+            {"doc_id": 4, "text": base},  # exact dup of 1
+        ]
+    )
+
+
+def test_minhash_finds_planted_near_dup(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs(corpus, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs  # one-word edit → high-Jaccard pair
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert not any(3 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_minhash_threshold_excludes(corpus):
+    pairs = minhash_pairs(corpus, threshold=0.999).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 4)}
+
+
+def test_hashed_shingles_shape(spark):
+    df = spark.createDataFrame(
+        [{"doc_id": 1, "text": "a b c d"}, {"doc_id": 2, "text": "a b"}]
+    )
+    rows = {r["doc_id"]: r["hs"] for r in with_hashed_shingles(df).collect()}
+    assert len(rows[1]) == 2  # 4 tokens → 2 trigram shingles
+    assert rows[2] == []  # shorter than k → empty, not null
