@@ -319,3 +319,72 @@ def q_text_langid(spark, sf):
         .filter(F.col("rn") <= 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
     )
+
+@query(
+    "q_text_decontaminate",
+    oracle="""
+    -- 5-token md5 shingles; a corpus doc is contaminated if it shares
+    -- any shingle with the benchmark set (doc_id < 25)
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 4, 0) + 1),
+               i -> md5(concat_ws(' ',
+                      string_split(lower(text), ' ')[i],
+                      string_split(lower(text), ' ')[i+1],
+                      string_split(lower(text), ' ')[i+2],
+                      string_split(lower(text), ' ')[i+3],
+                      string_split(lower(text), ' ')[i+4]))
+             ))) AS shingle
+      FROM documents
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared
+    FROM sh c JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25) b
+      USING (shingle)
+    WHERE c.doc_id >= 25
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_decontaminate(spark, sf):
+    """Benchmark decontamination: flag corpus docs sharing any 5-token
+    shingle with a benchmark set (here: doc_id < 25).
+
+    The standard pre-training hygiene op (n-gram overlap against eval
+    benchmarks). Benchmark shingles are a SMALL set -> broadcast; the
+    corpus explodes its shingles and inner-joins, so each corpus doc is
+    checked at scan speed with no corpus-side shuffle before the join.
+    md5 shingle keys keep the oracle engine-portable (DuckDB computes
+    identical digests). At 100 TB the benchmark side stays broadcast-
+    sized by construction (eval sets are MBs), so this never becomes a
+    shuffle join.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 4, F.lit(0))),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                    F.element_at(toks, i + 4),
+                )
+            ),
+        )
+    )
+    shingled = d.select("doc_id", F.explode(sh).alias("shingle"))
+    bench = (
+        shingled.filter(F.col("doc_id") < 25).select("shingle").distinct()
+    )
+    return (
+        shingled.filter(F.col("doc_id") >= 25)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
