@@ -38,19 +38,6 @@ def tokens_col(col: str = "text"):
     return F.array_distinct(F.split(F.lower(F.col(col)), " "))
 
 
-def shingles_col(col: str = "text", k: int = 3):
-    """k-token shingles as strings; empty array for docs shorter than k."""
-    toks = F.split(F.lower(F.col(col)), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    make = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
-    )
-    return F.when(n >= k, F.array_distinct(make)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 #: coefficients for the arithmetic 3-gram combine (odd ⇒ invertible mod 2⁶⁴)
 _SH_C = (1000003, 998244353, 911382323)
 

@@ -176,17 +176,21 @@ def q_text_fingerprint(spark, sf):
     winnowing primitive; per-row only, no shuffle.
     """
     configure(spark)
-    d = load(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    n = F.size(toks)
+    # toks is materialized as a column: referencing the split EXPRESSION
+    # inside the transform lambda re-plans it per element and drops the
+    # tree to interpreted eval (15x measured — see SCALING.md / memory)
+    d = load(spark, sf, "documents").withColumn(
+        "toks", F.split(F.lower(F.col("text")), " ")
+    )
+    tc = F.col("toks")
     shingle_md5 = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size(tc) - 2, F.lit(0))),
         lambda i: F.md5(
             F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.element_at(tc, i),
+                F.element_at(tc, i + 1),
+                F.element_at(tc, i + 2),
             )
         ),
     )
@@ -359,20 +363,22 @@ def q_text_decontaminate(spark, sf):
     shuffle join.
     """
     configure(spark)
-    d = load(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    n = F.size(toks)
+    # toks materialized (see q_text_fingerprint note; 15x measured)
+    d = load(spark, sf, "documents").withColumn(
+        "toks", F.split(F.lower(F.col("text")), " ")
+    )
+    tc = F.col("toks")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 4, F.lit(0))),
+            F.sequence(F.lit(1), F.greatest(F.size(tc) - 4, F.lit(0))),
             lambda i: F.md5(
                 F.concat_ws(
                     " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                    F.element_at(toks, i + 4),
+                    F.element_at(tc, i),
+                    F.element_at(tc, i + 1),
+                    F.element_at(tc, i + 2),
+                    F.element_at(tc, i + 3),
+                    F.element_at(tc, i + 4),
                 )
             ),
         )
