@@ -182,3 +182,47 @@ def q_multimodal_frame_sample(spark, sf):
         "frame_idx",
         F.md5(F.concat_ws(":", "doc_id", "frame_idx")).alias("frame_key"),
     )
+
+def fake_resize(data: bytes, target: int = 128) -> bytes:
+    """Deterministic fake 'resize': stride-sample payload bytes down to
+    ≤ target. Stands in for image resize (PIL.thumbnail) so the
+    distributed plumbing is real while the codec is stubbed."""
+    if len(data) <= target:
+        return data
+    stride = len(data) // target
+    return data[::stride][:target]
+
+
+@query("q_multimodal_resize")  # rows-only: exercises the Python path
+def q_multimodal_resize(spark, sf):
+    """Resize stage: mapInPandas over (id, media, meta) -> smaller
+    payload + updated metadata.
+
+    The pattern for any payload TRANSFORM (resize, re-encode,
+    normalize): Arrow batches in, bytes out, metadata recomputed next
+    to the new payload so downstream pruning stays truthful. Output
+    schema explicit; payloads still never enter a shuffle (the op is a
+    map, partitioning is preserved).
+    """
+    import pandas as pd  # worker-side
+
+    configure(spark)
+    d = load(spark, sf, "documents")
+    media = with_media(d).select("doc_id", "media")
+
+    def resize(batches):
+        for pdf in batches:
+            out = [fake_resize(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    resized = media.mapInPandas(
+        resize, schema="doc_id long, media binary, n_bytes int"
+    )
+    return resized.select("doc_id", "n_bytes", F.md5("media").alias("payload_md5"))
+
