@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
 from pandas_reporter_spark.sources.crjson import cr_frame
-from pandas_reporter_spark.sources.varrep import moe_from_replicates
+from pandas_reporter_spark.sources.varrep import (
+    get_varrep_dataframe,
+    moe_from_replicates,
+    varrep_frame,
+)
 from pandas_reporter_spark.tables import dsum, load
 
 _FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
@@ -96,6 +100,31 @@ def q_varrep_moe(spark, sf):
         F.round(moe_from_replicates(F.col("o_totalprice"), reps), 6).alias(
             "moe_rep"
         ),
+    )
+
+
+@query("q_varrep_source")  # rows-only: input is the committed fixture,
+# not a driver table, so no oracle view exists for it
+def q_varrep_source(spark, sf):
+    """S11 source half: VRT long-format CSV ingest -> replicate MOE.
+
+    Reads the committed mini-fixture in the public
+    TBLID,GEOID,ORDER,TITLE,ESTIMATE,MOE,SE,CV,VAR_REP1..80 layout
+    (reference test_basic.py:221-225 semantics), computes MOE_REP from
+    the 80 replicates, and returns rows where the recomputed margin
+    agrees with the published MOE — the round-trip check that the
+    ingest + formula pipeline is self-consistent.
+    """
+    configure(spark)
+    df = varrep_frame(get_varrep_dataframe(spark))
+    return df.select(
+        "TBLID",
+        "GEOID",
+        "ORDER",
+        "ESTIMATE",
+        "MOE",
+        F.round("MOE_REP", 2).alias("MOE_REP"),
+        (F.abs(F.round("MOE_REP", 2) - F.col("MOE")) < 0.01).alias("moe_agrees"),
     )
 
 

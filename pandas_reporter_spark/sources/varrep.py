@@ -20,15 +20,54 @@ no UDF; at 100 TB this runs at scan speed.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_reporter_spark.functions.moe import Z90
 
 N_REPLICATES = 80
+
+_FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+#: Explicit VRT schema — never infer: inference costs an extra full pass
+#: over the file and can demote ESTIMATE/replicates to strings on dirty
+#: rows. Matches the published ACS VRT layout column-for-column.
+_VRT_SCHEMA = (
+    "TBLID STRING, GEOID STRING, `ORDER` INT, TITLE STRING, "
+    "ESTIMATE DOUBLE, MOE DOUBLE, SE DOUBLE, CV DOUBLE, "
+    + ", ".join(f"VAR_REP{i} DOUBLE" for i in range(1, N_REPLICATES + 1))
+)
+
+
+def get_varrep_dataframe(
+    spark: SparkSession,
+    year: int = 2015,
+    tableid: str = "B01001",
+    summary_level: str = "140",
+    state: str = "11",
+    path: Optional[str] = None,
+) -> DataFrame:
+    """S11 source: load an ACS Variance Replicate Table CSV as a long
+    frame (one row per geography x variable), filtered to `tableid`.
+
+    Signature mirrors the reference's
+    `get_varrep_dataframe(2015, 'B01001', '140', state='11')`
+    (reference test/test_basic.py:221-225 — 8,771 rows = 179 tracts x
+    49 B01001 variables). The reference downloads
+    `BB_ACS_{year}_5YR_{tableid}.csv.zip` per state; this engine takes
+    the already-fetched CSV via `path` (tests/fixtures commit a mini
+    file in the same layout) so the scan itself is a plain distributed
+    `spark.read.csv` with an explicit schema — at scale one CSV per
+    state is one input split set, and the TBLID filter prunes at scan.
+    """
+    if path is None:
+        path = os.path.join(_FIXTURES, "varrep_b01001.csv")
+    df = spark.read.csv(path, header=True, schema=_VRT_SCHEMA)
+    return df.filter(F.col("TBLID") == tableid)
 
 
 def moe_from_replicates(est, reps: Sequence) -> Column:

@@ -13,6 +13,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pandas_reporter_spark.sources import (
     CensusReporterURL,
@@ -229,6 +230,27 @@ def test_varrep_missing_replicates_raise(spark):
     df = spark.createDataFrame([{"ESTIMATE": 1.0, "VAR_REP1": 1.0}])
     with pytest.raises(ValueError):
         varrep_frame(df)
+
+
+def test_varrep_csv_source_shape_and_moe(spark):
+    """VRT CSV ingest (reference test_basic.py:221-225 shape logic):
+    long format = n_geos × n_vars rows, TBLID-filtered, and the
+    replicate-derived MOE reproduces the published MOE column."""
+    from pandas_reporter_spark.sources.varrep import get_varrep_dataframe
+
+    df = get_varrep_dataframe(spark, 2015, "B01001", "140", state="11")
+    rows = df.collect()
+    n_geos = len({r.GEOID for r in rows})
+    n_vars = len({r.ORDER for r in rows})
+    assert len(rows) == n_geos * n_vars  # 8,771 = 179×49 in the reference
+    assert dict(df.dtypes)["VAR_REP80"] == "double"
+    # unknown table id filters to empty, same scan
+    assert get_varrep_dataframe(spark, tableid="B99999").count() == 0
+    # round-trip: recomputed margin matches the published MOE column
+    rt = varrep_frame(df).select(
+        (F.abs(F.round("MOE_REP", 2) - F.col("MOE")) < 0.01).alias("ok")
+    )
+    assert all(r.ok for r in rt.collect())
 
 
 # -- S13: citation -----------------------------------------------------------
