@@ -19,26 +19,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: the shapes that dominate a 100 TB workload — full-scan
-# agg, big join, window, census RSS agg, top-k, sort, array math, and
-# (as they land) dedup/similarity/text pipeline ops.
+# agg, big join, window, census RSS agg, top-k, sort, array math, the
+# dedup/similarity/text pipeline ops, scalar-function packs, event
+# windows (incl. one true streaming run), and the scale techniques.
 BENCH_QUERIES = [
     "q_tpch_q1",
     "q_agg_multi",
+    "q_agg_stats",
     "q_join_inner",
     "q_join_broadcast",
     "q_window_rank",
+    "q_window_running_sum",
     "q_groupby_rss",
     "q_topk_per_group",
     "q_sort",
     "q_array_funcs",
+    "q_json_extract",
+    "q_map_funcs",
+    "q_case_when",
     "q_join_asof",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_dedup_embedding",
     "q_text_tokens",
     "q_text_tfidf",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_decontaminate",
     "q_similarity_topk",
+    "q_similarity_join",
     "q_events_tumbling",
+    "q_events_session",
+    "q_events_stateful",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_partition_pruned_scan",
 ]
 
 

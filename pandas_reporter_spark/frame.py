@@ -243,6 +243,19 @@ class CensusFrame:
             if not is_margin(c) and margin_name(c) in self.df.columns
         ]
 
+    @staticmethod
+    def _rss_sum(m: str) -> Column:
+        """Σ m² as an exact long sum of centi-units (see tables.dsum for
+        the cross-engine quantizer argument): floor((m·m)·100 + 0.5) is
+        a double op chain identical in both engines, the long sum is
+        commutative, and sqrt of the restored double is IEEE-identical.
+        Oracle: sqrt(CAST(SUM(CAST(floor((m*m)*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0).
+        """
+        sq = F.col(m) * F.col(m)
+        return F.sum(
+            F.floor(sq * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        ).cast("double") / F.lit(100.0)
+
     def group_sum(self, *keys: str) -> "CensusFrame":
         """groupby(k).sum(): estimates summed, margins root-sum-squared
         (`_sum` / `_sum_rs` flat suffixes for pandas' multilevel header —
@@ -251,11 +264,7 @@ class CensusFrame:
         for e in self._pairs():
             m = margin_name(e)
             aggs.append(dsum(e).alias(f"{e}_sum"))
-            aggs.append(
-                F.sqrt(
-                    F.sum((F.col(m) * F.col(m)).cast("decimal(28,6)")).cast("double")
-                ).alias(f"{m}_sum_rs")
-            )
+            aggs.append(F.sqrt(self._rss_sum(m)).alias(f"{m}_sum_rs"))
         return CensusFrame(self.df.groupBy(*keys).agg(*aggs), release=self.release)
 
     def group_mean(self, *keys: str) -> "CensusFrame":
@@ -267,13 +276,8 @@ class CensusFrame:
             m = margin_name(e)
             aggs.append(davg(e).alias(f"{e}_mean"))
             aggs.append(
-                (
-                    F.sqrt(
-                        F.sum((F.col(m) * F.col(m)).cast("decimal(28,6)")).cast(
-                            "double"
-                        )
-                    )
-                    / F.count(F.col(m))
-                ).alias(f"{m}_mean_rs")
+                (F.sqrt(self._rss_sum(m)) / F.count(F.col(m))).alias(
+                    f"{m}_mean_rs"
+                )
             )
         return CensusFrame(self.df.groupBy(*keys).agg(*aggs), release=self.release)

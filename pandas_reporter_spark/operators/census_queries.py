@@ -8,7 +8,7 @@ keeping every MOE formula DuckDB-expressible (plain arithmetic + sqrt).
 
 Per-row outputs are raw doubles — IEEE +,*,/ and sqrt are identical
 across engines — EXCEPT where a formula squares a value (m*m written
-out, never pow; SURVEY §4.4). Grouped sums use exact decimal casts.
+out, never pow; SURVEY §4.4). Grouped sums use exact integer-unit longs.
 """
 
 from __future__ import annotations
@@ -19,7 +19,12 @@ from pandas_reporter_spark.frame import CensusFrame
 from pandas_reporter_spark.functions import moe
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
-from pandas_reporter_spark.tables import load
+from pandas_reporter_spark.tables import load, oracle_davg, oracle_dsum
+
+#: Oracle twin of CensusFrame._rss_sum (exact long sum of m² centi-units).
+_ORACLE_RSS = (
+    "(CAST(SUM(CAST(floor(({m} * {m}) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)"
+)
 
 # The margin-pair derivation, shared by every query in this module.
 _PAIR_SQL = """
@@ -153,18 +158,18 @@ def q_project_margin_carry(spark, sf):
     "q_groupby_rss",
     oracle=f"""
     SELECT grp,
-           CAST(SUM(CAST(a AS DECIMAL(18,2))) AS DOUBLE) AS a_sum,
-           sqrt(CAST(SUM(CAST(a_m90 * a_m90 AS DECIMAL(28,6))) AS DOUBLE)) AS a_m90_sum_rs,
-           CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS b_sum,
-           sqrt(CAST(SUM(CAST(b_m90 * b_m90 AS DECIMAL(28,6))) AS DOUBLE)) AS b_m90_sum_rs
+           {oracle_dsum('a')} AS a_sum,
+           sqrt({_ORACLE_RSS.format(m='a_m90')}) AS a_m90_sum_rs,
+           {oracle_dsum('b')} AS b_sum,
+           sqrt({_ORACLE_RSS.format(m='b_m90')}) AS b_m90_sum_rs
     FROM ({_PAIR_SQL}) GROUP BY grp
     """,
 )
 def q_groupby_rss(spark, sf):
     """R2: grouped sum with root-sum-of-squares margins
     (test_basic.py:197-206, executed ipynb:1047-1056). One shuffle with
-    map-side partial aggregation; decimal accumulators keep the result
-    partition-count independent."""
+    map-side partial aggregation; integer-cents long accumulators keep
+    the result partition-count independent on the codegen path."""
     configure(spark)
     cf = CensusFrame(margin_frame(spark, sf).select("grp", "a", "a_m90", "b", "b_m90"))
     return cf.group_sum("grp").df
@@ -174,10 +179,10 @@ def q_groupby_rss(spark, sf):
     "q_groupby_mean",
     oracle=f"""
     SELECT grp,
-           CAST(SUM(CAST(a AS DECIMAL(18,4))) AS DOUBLE) / COUNT(a) AS a_mean,
-           sqrt(CAST(SUM(CAST(a_m90 * a_m90 AS DECIMAL(28,6))) AS DOUBLE)) / COUNT(a_m90) AS a_m90_mean_rs,
-           CAST(SUM(CAST(b AS DECIMAL(18,4))) AS DOUBLE) / COUNT(b) AS b_mean,
-           sqrt(CAST(SUM(CAST(b_m90 * b_m90 AS DECIMAL(28,6))) AS DOUBLE)) / COUNT(b_m90) AS b_m90_mean_rs
+           {oracle_davg('a')} AS a_mean,
+           sqrt({_ORACLE_RSS.format(m='a_m90')}) / COUNT(a_m90) AS a_m90_mean_rs,
+           {oracle_davg('b')} AS b_mean,
+           sqrt({_ORACLE_RSS.format(m='b_m90')}) / COUNT(b_m90) AS b_m90_mean_rs
     FROM ({_PAIR_SQL}) GROUP BY grp
     """,
 )

@@ -341,63 +341,70 @@ def q_dedup_simhash(spark, sf):
         .select("doc_a", "doc_b", "simhash")
     )
 
-@query(
-    "q_dedup_embedding",
-    oracle="""
-    -- keep a vector iff no lower-id vector in the same label block is
-    -- a cosine >= 0.99 near-duplicate (same blocked-pair space as
-    -- q_similarity_join; left-anti = the keeper set)
-    WITH dup_b AS (
-      SELECT DISTINCT b.vec_id
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE (list_aggregate(list_transform(range(1, 65),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
-             / (sqrt(list_aggregate(list_transform(range(1, 65),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
-              * sqrt(list_aggregate(list_transform(range(1, 65),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))))
-            >= 0.99
+def _dedup_embedding_oracle() -> str:
+    from pandas_reporter_spark.operators.similarity import (
+        _duck_cand_cte,
+        _duck_cos,
+    )
+
+    return f"""
+    -- keep a vector iff no lower-id vector sharing an LSH bucket is a
+    -- cosine >= 0.99 near-duplicate (identical literal hyperplanes to
+    -- the Spark plan, so the candidate set matches exactly)
+    WITH {_duck_cand_cte()},
+    dup_b AS (
+      SELECT DISTINCT c.vec_b AS vec_id
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE {_duck_cos('ea.embedding', 'eb.embedding')} >= 0.99
     )
     SELECT e.vec_id, e.label FROM embeddings e
     WHERE e.vec_id NOT IN (SELECT vec_id FROM dup_b)
-    """,
-)
+    """
+
+
+@query("q_dedup_embedding", oracle=_dedup_embedding_oracle())
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup dedup: keep the lowest-id member of
-    every >= 0.99-cosine pair (within label blocks).
+    every >= 0.99-cosine pair found via hyperplane-LSH buckets.
 
-    Near-dup PAIRS come from the blocked self-join (q_similarity_join
-    shape); the KEEPER set is a left-anti join of the corpus against
-    the pairs' higher ids. Not connected components: the keep-lowest
-    rule is single-pass and deterministic, which is what a production
-    dedup wants (CC is iterative and order-sensitive). At 100 TB the
-    label block becomes an LSH/IVF bucket - same two-join plan.
+    Near-dup PAIRS come from shared LSH buckets (similarity.
+    lsh_candidate_pairs) with an exact-cosine rerank — pair space is
+    Σ_buckets n_b², never the round-2 label-blocked quadratic. The
+    KEEPER set is a left-anti join of the corpus against the pairs'
+    higher ids. Not connected components: the keep-lowest rule is
+    single-pass and deterministic, which is what a production dedup
+    wants (CC is iterative and order-sensitive). The deterministic
+    literal planes make the whole pipeline oracle-checkable; recall on
+    planted near-identical vectors is pinned in tests/test_similarity.py.
     """
-    from pandas_reporter_spark.operators.similarity import dot, norm
+    from pandas_reporter_spark.operators.similarity import (
+        dot,
+        lsh_candidate_pairs,
+        norm,
+    )
 
     configure(spark)
     e = load(spark, sf, "embeddings")
-    # hoist each vector's norm into the scan projection: the pair
-    # filter then does ONE dot per pair instead of three (the hoisted
-    # value is bit-identical to the per-pair recompute, so the oracle
-    # is unchanged). 7.3s -> ~2s at sf0.1.
-    en = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
-    a = en.select(
+    cand = lsh_candidate_pairs(e)
+    # norms hoisted into the scan projection: ONE dot per candidate
+    # pair instead of three (bit-identical to the per-pair recompute)
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    ea = en.select(
         F.col("vec_id").alias("vec_a"),
-        "label",
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = en.select(
+    eb = en.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     dup_b = (
-        a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .filter(cos >= 0.99)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()

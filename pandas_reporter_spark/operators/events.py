@@ -12,7 +12,7 @@ the genuine streaming code path while still yielding a batch DataFrame
 for the driver's comparator. On a cluster the same plans run unbounded
 (kafka/file source, checkpointed sink); nothing here is local-mode-only.
 
-Value sums go through DECIMAL casts (tables.dsum pattern) so hashes are
+Value sums go through exact integer-cents longs (tables.dsum pattern) so hashes are
 partition-count independent.
 """
 
@@ -33,7 +33,8 @@ from pandas_reporter_spark.tables import dsum, load
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -64,7 +65,8 @@ def q_events_tumbling(spark, sf):
     "q_events_sliding",
     oracle="""
     SELECT win_start, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM (
       SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes'
                AS win_start,
@@ -117,7 +119,8 @@ def q_events_sliding(spark, sf):
     SELECT user_id, MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '30 minutes' AS session_end,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM numbered GROUP BY user_id, sess_id
     """,
 )
@@ -248,7 +251,8 @@ def q_events_stream_dedup(spark, sf):
     "q_events_stateful",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+           round(CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 6)
+             AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -263,6 +267,7 @@ def q_events_stateful(spark, sf):
     path keeps the Python cost amortized. Sum accumulates in integer
     cents to stay order-independent (float sums depend on batch order).
     """
+    import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -273,7 +278,9 @@ def q_events_stateful(spark, sf):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(pdf["value"].mul(100).sum()))
+            # per-ROW floor(x*100 + 0.5) to cents (matches the oracle's
+            # quantizer exactly), THEN the exact int sum
+            cents += int(np.floor(pdf["value"].mul(100).add(0.5)).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {

@@ -9,7 +9,7 @@ Scale notes (100 TB design point):
   parquet scan (PushedFilters/ReadSchema), joins are left to AQE with
   explicit broadcast() where a side is dimension-sized.
 - No collect(), no driver-side loops, no Python UDFs in this module.
-- Double aggregates go through exact DECIMAL sums (tables.dsum) so the
+- Double aggregates go through exact integer-unit long sums (tables.dsum) so the
   result is accumulation-order independent — which is also what makes
   results stable across partition counts on a real cluster.
 """
@@ -490,20 +490,22 @@ def q_join_right(spark, sf):
 @query(
     "q_agg_stats",
     oracle="""
-    -- exact moment sums through DECIMAL make variance/stddev/corr
-    -- bit-deterministic across engines and partition counts
-    WITH m AS (
+    -- exact integer-cents moment sums (see tables.dsum) make variance/
+    -- stddev/corr bit-deterministic across engines and partition counts
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dc
+      FROM lineitem
+    ), m AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(qc) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(qc * qc) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(dc) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(dc * dc) AS DOUBLE) / 10000.0 AS syy,
+             CAST(SUM(qc * dc) AS DOUBLE) / 10000.0 AS sxy
+      FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
            round((sxx - sx*sx/n) / (n - 1), 6) AS var_qty,
@@ -516,23 +518,25 @@ def q_join_right(spark, sf):
 def q_agg_stats(spark, sf):
     """Statistical aggregates: sample variance/stddev + correlation.
 
-    Built from exact decimal moment sums (n, Σx, Σx², Σy, Σy², Σxy) —
-    NOT stddev_samp/corr built-ins, whose float accumulation is
+    Built from exact integer-cents moment sums (n, Σx, Σx², Σy, Σy²,
+    Σxy) — NOT stddev_samp/corr built-ins, whose float accumulation is
     partition-order dependent and engine-divergent at the last ulp.
-    The moment form is also the distributed-friendly shape: one
-    map-side-combined aggregation, constant state per group.
+    Long sums are exact/commutative and stay on the codegen path
+    (tables.dsum rationale). The moment form is also the distributed-
+    friendly shape: one map-side-combined aggregation, constant state
+    per group.
     """
     configure(spark)
     li = load(spark, sf, "lineitem")
-    q = F.col("l_quantity").cast("decimal(18,2)")
-    d = F.col("l_discount").cast("decimal(18,2)")
+    q = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    d = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(q).cast("double").alias("sx"),
-        F.sum(q * q).cast("double").alias("sxx"),
-        F.sum(d).cast("double").alias("sy"),
-        F.sum(d * d).cast("double").alias("syy"),
-        F.sum(q * d).cast("double").alias("sxy"),
+        (F.sum(q).cast("double") / F.lit(100.0)).alias("sx"),
+        (F.sum(q * q).cast("double") / F.lit(10000.0)).alias("sxx"),
+        (F.sum(d).cast("double") / F.lit(100.0)).alias("sy"),
+        (F.sum(d * d).cast("double") / F.lit(10000.0)).alias("syy"),
+        (F.sum(q * d).cast("double") / F.lit(10000.0)).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
@@ -785,16 +789,17 @@ def q_window_lag_lead(spark, sf):
     "q_window_running_sum",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_qty
+             / 100.0 AS running_qty
     FROM lineitem
     """,
 )
 def q_window_running_sum(spark, sf):
-    """Frame-spec running sum; decimal accumulator so the running value
-    is exact (double running sums are association-order dependent).
+    """Frame-spec running sum; exact integer-cents accumulator so the
+    running value is engine-identical (double running sums are
+    association-order dependent; see tables.dsum).
 
     RANGE frame, not ROWS: (l_orderkey, l_linenumber) is not unique in
     the driver data (11,785 dup pairs at sf0.01), so a ROWS frame is
@@ -809,9 +814,16 @@ def q_window_running_sum(spark, sf):
     return load(spark, sf, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").alias(
-            "running_qty"
-        ),
+        (
+            F.sum(
+                F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .over(w)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("running_qty"),
     )
 
 

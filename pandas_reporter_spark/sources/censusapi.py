@@ -107,11 +107,19 @@ class Dataset:
             )
             for h in header
         ]
+        def _num(v):
+            # Census numeric columns carry annotation sentinels
+            # ('N', '(X)', '*****', ...): degrade to NULL cells, never
+            # fail the whole frame build on one annotated value
+            if v in (None, ""):
+                return None
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+
         typed = [
-            [
-                (v if h in _GEO_COLS else (None if v in (None, "") else float(v)))
-                for h, v in zip(header, r)
-            ]
+            [(v if h in _GEO_COLS else _num(v)) for h, v in zip(header, r)]
             for r in rows
         ]
         df = spark.createDataFrame(typed, StructType(fields))

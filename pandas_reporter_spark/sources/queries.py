@@ -45,7 +45,8 @@ def q_source_cr_pivot(spark, sf):
     "q_source_csv_roundtrip",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -132,7 +133,8 @@ def q_varrep_source(spark, sf):
     "q_sink_parquet",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )

@@ -269,6 +269,30 @@ def test_citation_dict():
     assert c["year"] == 2015
 
 
+# -- S4: entry-point packaging ----------------------------------------------
+
+
+def test_entry_points_resolve():
+    """pyproject.toml registers the reference's dispatch entry points
+    (reference setup.py:50-58: appurl.urls 'censusreporter:',
+    rowgenerators 'CRJSON+'); each target must import and be callable/
+    instantiable so third-party dispatchers can load them."""
+    import importlib
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        proj = tomllib.load(f)
+    eps = proj["project"]["entry-points"]
+    assert "censusreporter:" in eps["appurl.urls"]
+    assert "CRJSON+" in eps["rowgenerators"]
+    for group in eps.values():
+        for target in group.values():
+            mod, _, attr = target.partition(":")
+            obj = getattr(importlib.import_module(mod), attr)
+            assert callable(obj)
+
+
 def test_citation_non_censusreporter_is_false():
     class T:
         url = "http://example.com/x.csv"
