@@ -245,16 +245,19 @@ class CensusFrame:
 
     @staticmethod
     def _rss_sum(m: str) -> Column:
-        """Σ m² as an exact long sum of centi-units (see tables.dsum for
-        the cross-engine quantizer argument): floor((m·m)·100 + 0.5) is
+        """Σ m² as an exact long sum of micro-units (see tables.dsum for
+        the cross-engine quantizer argument): floor((m·m)·1e6 + 0.5) is
         a double op chain identical in both engines, the long sum is
         commutative, and sqrt of the restored double is IEEE-identical.
-        Oracle: sqrt(CAST(SUM(CAST(floor((m*m)*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0).
+        1e6 units keep quantization error (5e-7/row) below the engine's
+        own 1e-6 precision bar while Σm²·1e6 < 2^63 holds for any
+        driver-scale margin data (m up to ~1e6 over ~1e9 rows).
+        Oracle: sqrt(CAST(SUM(CAST(floor((m*m)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0).
         """
         sq = F.col(m) * F.col(m)
         return F.sum(
-            F.floor(sq * F.lit(100.0) + F.lit(0.5)).cast("bigint")
-        ).cast("double") / F.lit(100.0)
+            F.floor(sq * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        ).cast("double") / F.lit(1000000.0)
 
     def group_sum(self, *keys: str) -> "CensusFrame":
         """groupby(k).sum(): estimates summed, margins root-sum-squared

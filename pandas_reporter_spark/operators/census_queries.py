@@ -21,9 +21,10 @@ from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
 from pandas_reporter_spark.tables import load, oracle_davg, oracle_dsum
 
-#: Oracle twin of CensusFrame._rss_sum (exact long sum of m² centi-units).
+#: Oracle twin of CensusFrame._rss_sum (exact long sum of m² micro-units).
 _ORACLE_RSS = (
-    "(CAST(SUM(CAST(floor(({m} * {m}) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)"
+    "(CAST(SUM(CAST(floor(({m} * {m}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0)"
 )
 
 # The margin-pair derivation, shared by every query in this module.

@@ -142,7 +142,8 @@ def q_join_salted(spark, sf):
 @query(
     "q_partition_pruned_scan",
     oracle="""
-    SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+    SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents WHERE lang IN ('en', 'de')
     GROUP BY lang, source
     """,

@@ -57,11 +57,14 @@ def test_proportion_never_nan_and_falls_back(spark, rows):
     out = eval_pair(spark, rows, moe.proportion("n", "nm", "d", "dm"))
     for (n, nm, d, dm), r in zip(rows, out):
         p = n / d
-        rad = nm * nm - p * p * dm * dm
+        # association mirrors moe.py's (p*p)*(dm*dm) grouping exactly —
+        # left-to-right p*p*dm*dm differs by ~1ulp and flips the
+        # radicand's sign at the rad==0 boundary
+        rad = nm * nm - (p * p) * (dm * dm)
         if rad >= 0:
             want = math.sqrt(rad) / d
         else:
-            want = math.sqrt(nm * nm + p * p * dm * dm) / d
+            want = math.sqrt(nm * nm + (p * p) * (dm * dm)) / d
         assert not math.isnan(r["m"])
         assert math.isclose(r["m"], want, rel_tol=1e-12)
 
