@@ -272,6 +272,23 @@ def q_events_stateful(spark, sf):
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     configure(spark)
+    # Bound the STATE partition count (fixed at stream start from
+    # spark.sql.shuffle.partitions): each state partition costs a state
+    # store + a Python state worker (pandas import, Arrow channel), so
+    # running 32 of them for per-key counters oversubscribes the box —
+    # measured 2-5× wall-clock noise under concurrent JVM load. 8 state
+    # partitions still spread 1.5k keys evenly; a real deployment sizes
+    # this to keys×state-bytes / executor, not to core count. Batch
+    # shuffles keep the session's own setting (restored below).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(8, int(prev_parts)))
+    )
+    # fewer, larger Arrow batches through the Python state channel
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     s = _read_events_stream(spark, sf)
 
     def upd(key, pdfs, state):
@@ -297,7 +314,13 @@ def q_events_stateful(spark, sf):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    res = _run_stream(spark, out, "update")
+    try:
+        res = _run_stream(spark, out, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
+        )
     # update mode may emit a row per micro-batch per key; keep the last
     # (= final totals) deterministically via max n_events.
     return (

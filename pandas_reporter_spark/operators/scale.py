@@ -9,6 +9,7 @@ plan properties; the oracle pins the semantics.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import tempfile
@@ -32,8 +33,12 @@ _BUILT: dict = {}
 
 
 def _tag(sf: str) -> str:
+    # basename for readability + a hash of the FULL path so two sf dirs
+    # sharing a basename (e.g. /a/sf0.1 vs /b/sf0.1) never collide on
+    # table names/paths within one process
     base = re.sub(r"[^A-Za-z0-9]+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
-    return f"{base}_{os.getpid()}"
+    digest = hashlib.sha256(os.path.abspath(sf).encode()).hexdigest()[:8]
+    return f"{base}_{digest}_{os.getpid()}"
 
 
 @query(
@@ -59,6 +64,12 @@ def q_join_bucketed(spark, sf):
     """
     configure(spark)
     key = ("buckets", sf)
+    # revalidate against the ACTIVE session: a cached name is useless if
+    # this is a new SparkSession whose in-memory catalog never saw it
+    if key in _BUILT and not all(
+        spark.catalog.tableExists(n) for n in _BUILT[key]
+    ):
+        del _BUILT[key]
     if key not in _BUILT:
         tag = _tag(sf)
         base = os.path.join(tempfile.gettempdir(), f"prs_buckets_{tag}")
@@ -160,6 +171,8 @@ def q_partition_pruned_scan(spark, sf):
     """
     configure(spark)
     key = ("part_docs", sf)
+    if key in _BUILT and not os.path.isdir(_BUILT[key]):
+        del _BUILT[key]  # tmpdir swept since the build
     if key not in _BUILT:
         out = os.path.join(tempfile.gettempdir(), f"prs_part_docs_{_tag(sf)}")
         d = load(spark, sf, "documents")
