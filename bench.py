@@ -83,6 +83,17 @@ def main() -> None:
         if prime in qs:
             qs[prime](spark, sf_dir).limit(1).collect()
 
+    # Warm the Python worker pool (workers import pandas/numpy on first
+    # use; a long-lived cluster session has them resident, same argument
+    # as the JVM warm-up above).
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 256, 1, 32).mapInPandas(_ident, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:

@@ -245,19 +245,35 @@ class CensusFrame:
 
     @staticmethod
     def _rss_sum(m: str) -> Column:
-        """Σ m² as an exact long sum of micro-units (see tables.dsum for
-        the cross-engine quantizer argument): floor((m·m)·1e6 + 0.5) is
-        a double op chain identical in both engines, the long sum is
-        commutative, and sqrt of the restored double is IEEE-identical.
-        1e6 units keep quantization error (5e-7/row) below the engine's
-        own 1e-6 precision bar while Σm²·1e6 < 2^63 holds for any
-        driver-scale margin data (m up to ~1e6 over ~1e9 rows).
-        Oracle: sqrt(CAST(SUM(CAST(floor((m*m)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0).
+        """Σ m² as TWO exact long sums — ⌊m²⌋ plus the fraction in 1e-8
+        units — recombined once (see tables.dsum for the cross-engine
+        quantizer argument: every op here is a double/long instruction
+        both engines evaluate identically, and long sums are exact and
+        commutative, so the result is partition-count independent).
+
+        Why split instead of one scaled sum: a single floor(m²·10^s)
+        long trades precision against overflow headroom THROUGH THE
+        SAME dial — centi-units (round 3) drifted the RSS 1e-4 from
+        truth, micro-units (first round-4 attempt) saturated 2^63 at
+        sf0.1 price-scale margins (measured Σm²·1e6 = 2.2e19 ungrouped;
+        Spark's non-ANSI long cast saturates SILENTLY where DuckDB
+        errors). Splitting decouples them: the integer sum overflows
+        only at Σm² ≥ 2^63 (~9.2e18 — 1e6× more headroom, enough for
+        ~1e10 rows of price-scale margins; tests/test_frame.py pins the
+        guard), while the fraction sum (≤1e8/row) carries 5e-9/row
+        quantization error — three decades under the engine's 1e-6
+        precision bar. Cost: two codegen'd long aggregates instead of
+        one.
+
+        Oracle twin: census_queries._ORACLE_RSS.
         """
         sq = F.col(m) * F.col(m)
-        return F.sum(
-            F.floor(sq * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-        ).cast("double") / F.lit(1000000.0)
+        ip = F.floor(sq)
+        int_sum = F.sum(ip.cast("bigint")).cast("double")
+        frac_sum = F.sum(
+            F.floor((sq - ip) * F.lit(1e8) + F.lit(0.5)).cast("bigint")
+        ).cast("double")
+        return int_sum + frac_sum / F.lit(1e8)
 
     def group_sum(self, *keys: str) -> "CensusFrame":
         """groupby(k).sum(): estimates summed, margins root-sum-squared

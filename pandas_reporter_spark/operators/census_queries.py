@@ -21,10 +21,13 @@ from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
 from pandas_reporter_spark.tables import load, oracle_davg, oracle_dsum
 
-#: Oracle twin of CensusFrame._rss_sum (exact long sum of m² micro-units).
+#: Oracle twin of CensusFrame._rss_sum: exact long sums of ⌊m²⌋ and the
+#: fraction in 1e-8 units, recombined once (split for overflow headroom
+#: — see the _rss_sum docstring).
 _ORACLE_RSS = (
-    "(CAST(SUM(CAST(floor(({m} * {m}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
-    " / 1000000.0)"
+    "(CAST(SUM(CAST(floor({m} * {m}) AS BIGINT)) AS DOUBLE)"
+    " + CAST(SUM(CAST(floor(({m} * {m} - floor({m} * {m})) * 100000000.0"
+    " + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0)"
 )
 
 # The margin-pair derivation, shared by every query in this module.

@@ -119,8 +119,9 @@ _PRIORITY = (
     "q_join_bucketed",
     "q_join_salted",
     "q_partition_pruned_scan",
-    # sources / sinks
-    "q_source_cr_pivot",
+    # sources / sinks (cr_pivot recorded rows-only in r3; the NEW bulk
+    # ingest takes its slot this round)
+    "q_source_cr_bulk",
     "q_source_csv_roundtrip",
     "q_varrep_moe",
     "q_varrep_source",
@@ -129,7 +130,8 @@ _PRIORITY = (
     # evicted to make room (every one green in BOTH r2 and r3 official
     # records): q_ratio_moe q_proportion_moe q_product_moe q_rse
     # q_project_margin_carry q_tpch_q1 q_join_asof q_window_rank
-    # q_agg_stats — they re-register right after the fold
+    # q_agg_stats, plus r3-recorded rows-only q_source_cr_pivot — all
+    # re-register right after the fold
 )
 
 

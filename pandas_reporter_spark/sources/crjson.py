@@ -13,21 +13,34 @@ Recovered contract (reference censusreporter.py:178-282):
   scalars from itemgetter — re-wrapped as lists (`:269-273`)
 - row order = iteration order of data keys; release dict rides along
 
-The pivot itself is driver-side (one API response is a few hundred
-rows × a few hundred columns — metadata scale, not data scale); the
-result is immediately a distributed DataFrame. Bulk ingest of MANY
-responses would `spark.read.json` the cache dir and run this same
-shaping as explode/pivot expressions; that variant only matters once
-responses stop fitting a driver heartbeat.
+Two ingest paths share the column contract:
+
+- `cr_frame` — ONE response, driver-side pivot (a response is a few
+  hundred rows × columns: metadata scale), then a distributed frame.
+- `cr_bulk_frame` — MANY responses: `spark.read.json` over the cache
+  dir with an explicit Map-typed schema (one record per file via
+  multiLine), `explode` of the geoid map and a wide map-extract
+  projection, all executor-side. Column layout/titles come from ONE
+  response's `tables` section (every response for a table carries
+  identical metadata). This is the path that scales to a cache dir of
+  millions of responses; tests pin it frame-equal to per-file
+  `cr_frame` pivots.
 """
 
 from __future__ import annotations
 
 from operator import itemgetter
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
-from pyspark.sql import SparkSession
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from pandas_reporter_spark.frame import CensusFrame
 from pandas_reporter_spark.sources.url import CensusReporterURL, fetch_json
@@ -132,6 +145,138 @@ def cr_row_generator(data: dict, table_id: str):
     rows, columns, _ = cr_rows(data, table_id)
     yield [c["code"] for c in columns]
     yield from rows
+
+
+#: Explicit CR-JSON schema for the bulk reader. Dynamic-key objects
+#: (geoids, column codes) are MAPS, not inferred structs — inference
+#: over millions of responses would union every geoid into one giant
+#: struct and re-scan the corpus to do it.
+CR_BULK_SCHEMA = StructType(
+    [
+        StructField("release", MapType(StringType(), StringType())),
+        StructField(
+            "tables",
+            MapType(
+                StringType(),
+                StructType(
+                    [
+                        StructField("title", StringType()),
+                        StructField(
+                            "columns",
+                            MapType(
+                                StringType(),
+                                StructType(
+                                    [
+                                        StructField("name", StringType()),
+                                        StructField("indent", IntegerType()),
+                                    ]
+                                ),
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ),
+        StructField(
+            "data",
+            MapType(
+                StringType(),
+                MapType(
+                    StringType(),
+                    StructType(
+                        [
+                            StructField(
+                                "estimate", MapType(StringType(), DoubleType())
+                            ),
+                            StructField(
+                                "error", MapType(StringType(), DoubleType())
+                            ),
+                        ]
+                    ),
+                ),
+            ),
+        ),
+        StructField(
+            "geography",
+            MapType(
+                StringType(),
+                StructType([StructField("name", StringType())]),
+            ),
+        ),
+    ]
+)
+
+
+def cr_bulk_frame(
+    spark: SparkSession,
+    paths: Union[str, Sequence[str]],
+    table_id: str,
+) -> CensusFrame:
+    """S3 scale path: many CR-JSON responses → ONE wide CensusFrame.
+
+    `paths` is a cache directory, glob, or explicit file list; each
+    file is one API response (multiLine → one record per file). The
+    shaping is all executor-side Column work: `explode` the per-geoid
+    map, extract the per-table estimate/error maps, then a wide
+    projection of map lookups — the same sorted-code + interleaved
+    `_m90` layout `cr_frame` produces (same `cr_columns` contract).
+    The `tables` metadata (tiny, identical in every response for a
+    table) is read from one record driver-side to fix the column list;
+    data rows never touch the driver. Responses partition by file, so
+    a million-response cache dir scans like any other distributed
+    source; one geoid appearing in several responses yields one row
+    per response (dedup is the caller's policy, e.g. dedup.keep_first).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = (
+        spark.read.schema(CR_BULK_SCHEMA)
+        .option("multiLine", "true")
+        .json(list(paths))
+    )
+    meta = (
+        raw.select(F.col("tables")[table_id].alias("t"), "release")
+        .filter(F.col("t").isNotNull())
+        .first()
+    )
+    if meta is None:
+        raise KeyError(f"table {table_id!r} not found in any response")
+    tcols = {
+        code: {"name": c["name"], "indent": c["indent"]}
+        for code, c in meta["t"]["columns"].items()
+    }
+    columns = cr_columns({"tables": {table_id: {"columns": tcols}}}, table_id)
+    codes = [
+        c["code"] for c in columns[2:] if not c["code"].endswith("_m90")
+    ]
+    per_geo = (
+        raw.select(
+            F.explode("data").alias("geoid", "by_table"),
+            F.col("geography"),
+        )
+        .select(
+            "geoid",
+            F.col("geography")[F.col("geoid")]["name"].alias("name"),
+            F.col("by_table")[table_id]["estimate"].alias("_est"),
+            F.col("by_table")[table_id]["error"].alias("_err"),
+        )
+        .filter(F.col("_est").isNotNull())
+    )
+    wide = per_geo.select(
+        "geoid",
+        "name",
+        *[
+            col
+            for code in codes
+            for col in (
+                F.col("_est")[code].alias(code),
+                F.col("_err")[code].alias(f"{code}_m90"),
+            )
+        ],
+    )
+    out = CensusFrame(wide, release=dict(meta["release"] or {}))
+    out.meta = {c["code"]: c for c in columns}
+    return out
 
 
 def get_cr_dataframe(

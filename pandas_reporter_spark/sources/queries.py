@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
-from pandas_reporter_spark.sources.crjson import cr_frame
+from pandas_reporter_spark.sources.crjson import cr_bulk_frame, cr_frame
 from pandas_reporter_spark.sources.varrep import (
     get_varrep_dataframe,
     moe_from_replicates,
@@ -39,6 +39,24 @@ def q_source_cr_pivot(spark, sf):
         data = json.load(f)
     cf = cr_frame(spark, data, "B99001")
     return cf.df
+
+
+@query("q_source_cr_bulk")  # rows-only: fixture-dir input, no driver table
+def q_source_cr_bulk(spark, sf):
+    """S3 scale path: `spark.read.json` over a cache dir of ≥2 CR-JSON
+    responses → explode + wide map-extract projection (5 geos × 14
+    cols). Frame-equality with the per-file driver pivots is pinned in
+    tests/test_sources.py."""
+    configure(spark)
+    cf = cr_bulk_frame(
+        spark,
+        [
+            os.path.join(_FIXTURES, "cr_b99001.json"),
+            os.path.join(_FIXTURES, "cr_b99001_part2.json"),
+        ],
+        "B99001",
+    )
+    return cf.df.orderBy("geoid")
 
 
 @query(

@@ -65,6 +65,17 @@ def get_varrep_dataframe(
     state is one input split set, and the TBLID filter prunes at scan.
     """
     if path is None:
+        # the committed fixture is the (2015, '140', '11') slice; any
+        # OTHER selector would silently get the wrong data, so refuse
+        # rather than return the default file under a different label
+        defaults = {"year": 2015, "summary_level": "140", "state": "11"}
+        got = {"year": year, "summary_level": summary_level, "state": state}
+        off = {k: v for k, v in got.items() if v != defaults[k]}
+        if off:
+            raise ValueError(
+                f"no local VRT file for {off}; pass path= to the "
+                f"downloaded BB_ACS_{year}_5YR_{tableid}.csv for that slice"
+            )
         path = os.path.join(_FIXTURES, "varrep_b01001.csv")
     df = spark.read.csv(path, header=True, schema=_VRT_SCHEMA)
     return df.filter(F.col("TBLID") == tableid)

@@ -144,6 +144,46 @@ def test_group_sum_rss_margins(cf):
         assert abs(r["col0_m90_sum_rs"] - want_m) < 1e-6
 
 
+def test_quantizer_headroom_guard():
+    """Overflow guard for the integer-unit quantizer (tables.dsum /
+    CensusFrame._rss_sum): Spark's non-ANSI double→long cast SATURATES
+    silently on overflow while DuckDB errors, so Σ|x|·10^scale must stay
+    far below 2^63 for every column routed through a quantized sum.
+    This pins the actual driver data at the verify SF with a 2× safety
+    factor; re-run against any new corpus before raising a scale.
+    """
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    # (table, value expression, quantizer scale) for every quantized sum
+    # in the engine: dsum(scale=2) on prices/quantities/event values,
+    # davg(scale=4), and the m² micro-unit RSS over the derived margins
+    # (m = 0.2·l_quantity is the larger relative margin pair).
+    # (table, value expression, quantizer scale): dsum(scale=2) /
+    # davg(scale=4) columns guard at their scale; _rss_sum's split
+    # integer sum is scale 0 over m² (its 1e-8 fraction sum is bounded
+    # by 1e8·n rows independent of data). This very guard caught the
+    # single-sum micro-unit RSS saturating 2^63 at sf0.1 — keep it.
+    cases = [
+        ("lineitem", "l_extendedprice", 4),
+        ("lineitem", "l_quantity", 4),
+        ("orders", "o_totalprice", 4),
+        ("events", "value", 4),
+        ("lineitem", "(l_extendedprice * 0.1) * (l_extendedprice * 0.1)", 0),
+        ("embeddings", "64.0", 0),  # norm² upper bound, unit-ish vecs
+    ]
+    con = duckdb.connect()
+    for table, expr, scale in cases:
+        n, mx = con.execute(
+            f"SELECT COUNT(*), MAX(ABS({expr})) "
+            f"FROM read_parquet('{sf}/{table}.parquet')"
+        ).fetchone()
+        assert n > 0
+        # the fraction sums add ≤ 1e8 units/row on a separate long
+        assert n * 1e8 < 2**62, (table, "frac-sum", n)
+        assert n * mx * 10**scale < 2**62, (table, expr, scale, n, mx)
+
+
 def test_group_mean_margins(cf):
     """groupby(k).mean(): est = avg, MOE = sqrt(Σ m²)/n (engine-defined
     R3 semantics; reference leaves it unpinned, test_basic.py:203-204)."""

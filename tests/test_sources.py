@@ -26,7 +26,11 @@ from pandas_reporter_spark.sources import (
     varrep_frame,
 )
 from pandas_reporter_spark.sources.censusapi import CensusApi
-from pandas_reporter_spark.sources.crjson import cr_row_generator, get_cr_dataframe
+from pandas_reporter_spark.sources.crjson import (
+    cr_bulk_frame,
+    cr_row_generator,
+    get_cr_dataframe,
+)
 
 FIXTURES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -140,6 +144,49 @@ def test_cr_frame_materializes_census_frame(spark):
     assert sel.df.columns == ["geoid", "B99001001", "B99001001_m90"]
     # lookup by census index
     assert cf.lookup("003").name == "B99001003"
+
+
+def test_cr_bulk_frame_equals_per_file_pivots(spark):
+    """S3 scale path: spark.read.json over ≥2 responses == the union of
+    driver-side per-file pivots, column-for-column and value-for-value."""
+    paths = [
+        os.path.join(FIXTURES, "cr_b99001.json"),
+        os.path.join(FIXTURES, "cr_b99001_part2.json"),
+    ]
+    bulk = cr_bulk_frame(spark, paths, "B99001")
+    single = cr_frame(spark, fx("cr_b99001.json"), "B99001")
+    part2 = cr_frame(spark, fx("cr_b99001_part2.json"), "B99001")
+    assert bulk.df.columns == single.df.columns
+    assert bulk.release == single.release
+    assert bulk.meta == single.meta  # identical column contract (titles etc.)
+    nullsafe = lambda t: [(v is None, str(v)) for v in t]  # noqa: E731
+    want = sorted(
+        (tuple(r) for r in single.df.union(part2.df).collect()), key=nullsafe
+    )
+    got = sorted((tuple(r) for r in bulk.df.collect()), key=nullsafe)
+    assert got == want
+    # the part2 fixture carries a null estimate/margin pair — nulls must
+    # survive the map-extract projection, not turn into 0.0
+    by_geoid = {r[0]: r for r in got}
+    assert by_geoid["14000US06073000400"][6] is None  # B99001003
+    assert by_geoid["14000US06073000400"][7] is None  # B99001003_m90
+
+
+def test_cr_bulk_frame_single_column_table(spark):
+    """Single-column tables take the same bulk path (no itemgetter
+    scalar special-case executor-side)."""
+    bulk = cr_bulk_frame(
+        spark, os.path.join(FIXTURES, "cr_b99002.json"), "B99002"
+    )
+    assert bulk.df.columns == ["geoid", "name", "B99002001", "B99002001_m90"]
+    assert sorted(r["B99002001"] for r in bulk.df.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_cr_bulk_frame_missing_table_raises(spark):
+    with pytest.raises(KeyError):
+        cr_bulk_frame(
+            spark, os.path.join(FIXTURES, "cr_b99001.json"), "B77777"
+        )
 
 
 def test_get_cr_dataframe_via_cache(spark, tmp_path):
@@ -278,7 +325,8 @@ def test_entry_points_resolve():
     rowgenerators 'CRJSON+'); each target must import and be callable/
     instantiable so third-party dispatchers can load them."""
     import importlib
-    import tomllib
+
+    tomllib = pytest.importorskip("tomllib")  # stdlib only on >=3.11
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "pyproject.toml"), "rb") as f:
