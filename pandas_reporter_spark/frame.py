@@ -91,6 +91,43 @@ class CensusSeries:
         return self._frame.df.agg(F.sum(self.name)).collect()[0][0]
 
 
+class _ILoc:
+    """Positional row access, the display slice of the reference
+    notebook (`df.iloc[:3].T`, Pandas Reporter Examples.ipynb:656).
+
+    Supports non-negative, step-1 slices only: `[:n]` compiles to
+    `limit(n)` and `[a:b]` to `offset(a).limit(b-a)` — plain plan
+    nodes, no collect. Spark frames are unordered, so (as with
+    `head`) the rows are "some n rows" unless upstream sorted;
+    that matches the reference's display-only use. Anything pandas
+    allows beyond that (negative indices, steps, boolean masks,
+    column tuples) raises rather than silently approximating.
+    """
+
+    def __init__(self, frame: "CensusFrame"):
+        self._frame = frame
+
+    def __getitem__(self, key) -> "CensusFrame":
+        if not isinstance(key, slice):
+            raise TypeError(
+                "iloc supports row slices only (display idiom); "
+                f"got {type(key).__name__}"
+            )
+        if key.step not in (None, 1):
+            raise ValueError("iloc slices must have step 1")
+        start = key.start or 0
+        if start < 0 or (key.stop is not None and key.stop < 0):
+            raise ValueError("iloc does not support negative positions")
+        df = self._frame.df
+        if start:
+            df = df.offset(start)
+        if key.stop is not None:
+            if key.stop <= start:
+                return self._frame._wrap(df.limit(0))
+            df = df.limit(key.stop - start)
+        return self._frame._wrap(df)
+
+
 class CensusFrame:
     """Wrapper: Spark DataFrame + per-column census metadata + release."""
 
@@ -179,6 +216,51 @@ class CensusFrame:
         out = CensusFrame(df, release=self.release)
         out.meta = {k: v for k, v in self.meta.items() if k in df.columns}
         return out
+
+    # -- display idioms (reference Pandas Reporter Examples.ipynb:656) ---------
+
+    def head(self, n: int = 5) -> "CensusFrame":
+        """First-n display idiom; compiles to `limit(n)` (no collect).
+        Rows are "some n" unless upstream sorted — Spark frames are
+        unordered, matching the idiom's display-only contract."""
+        return self._wrap(self.df.limit(n))
+
+    @property
+    def iloc(self) -> _ILoc:
+        return _ILoc(self)
+
+    # At most this many rows may be transposed; .T turns rows into
+    # columns, which is driver-side by construction.
+    _T_MAX_ROWS = 100
+
+    @property
+    def T(self) -> "CensusFrame":
+        """Transpose for display (`df.iloc[:3].T`, ipynb:656): column
+        names become a `column` string column, each original row becomes
+        a string column "0".."n-1".
+
+        Transposing swaps the axes, so the row count becomes a column
+        count — inherently driver-sized. This collects (the one
+        sanctioned collect in the wrapper: display idiom, bounded) and
+        refuses frames over _T_MAX_ROWS rows rather than OOM-ing the
+        driver; values are stringified since a transposed row mixes the
+        original column types.
+        """
+        rows = self.df.limit(self._T_MAX_ROWS + 1).collect()
+        if len(rows) > self._T_MAX_ROWS:
+            raise ValueError(
+                f".T is a display idiom for <= {self._T_MAX_ROWS} rows; "
+                "slice first (df.iloc[:n].T or df.head(n).T)"
+            )
+        cols = self.df.columns
+        data = [
+            tuple([c] + [None if r[c] is None else str(r[c]) for r in rows])
+            for c in cols
+        ]
+        out_names = ["column"] + [str(i) for i in range(len(rows))]
+        schema = ", ".join(f"`{n}` string" for n in out_names)
+        tdf = self.df.sparkSession.createDataFrame(data, schema=schema)
+        return CensusFrame(tdf, release=self.release)
 
     # -- renamed views (R6) ----------------------------------------------------
 

@@ -197,3 +197,37 @@ def test_group_mean_margins(cf):
         want_m = math.sqrt(sum(s["col0_m90"] ** 2 for s in members)) / n
         assert abs(r["col0_mean"] - want_est) < 1e-9
         assert abs(r["col0_m90_mean_rs"] - want_m) < 1e-6
+
+
+def test_head_and_iloc_slices(cf):
+    """head/iloc compile to limit/offset plan nodes (display idioms,
+    reference ipynb:656 `df.iloc[:3].T`); bounds and guards pinned."""
+    assert cf.head(2).df.count() == 2
+    assert cf.iloc[:3].df.count() == 3
+    assert cf.iloc[1:3].df.count() == 2
+    assert cf.iloc[2:2].df.count() == 0
+    assert cf.iloc[:].df.count() == cf.df.count()
+    # metadata survives the wrap
+    assert cf.iloc[:2].meta_for("col0").get("code") == cf.meta_for("col0").get("code")
+    with pytest.raises(TypeError):
+        cf.iloc[0]
+    with pytest.raises(ValueError):
+        cf.iloc[::2]
+    with pytest.raises(ValueError):
+        cf.iloc[-1:]
+
+
+def test_transpose_display(cf):
+    """`df.iloc[:3].T`: columns become rows of a `column` col plus one
+    string col per original row; oversize frames refused."""
+    sliced = cf.df.orderBy("geoid").limit(3)
+    t = CensusFrame(sliced, schema_meta=meta_for_make_df()).T
+    assert t.df.columns == ["column", "0", "1", "2"]
+    trows = {r["column"]: r for r in t.df.collect()}
+    assert set(trows) == set(sliced.columns)
+    src = sliced.collect()
+    assert trows["geoid"]["0"] == str(src[0]["geoid"])
+    assert trows["col0"]["2"] == str(src[2]["col0"])
+    big = CensusFrame(cf.df.sparkSession.range(101).toDF("id"))
+    with pytest.raises(ValueError):
+        big.T
