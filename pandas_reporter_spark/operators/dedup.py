@@ -349,7 +349,14 @@ def q_dedup_simhash(spark, sf):
             for j in range(63)
         ],
     )
-    sigs = agg.select("doc_id", sig.alias("simhash"))
+    # persist: the self-join below reads the signature table twice and
+    # would otherwise run the explode+aggregate pipeline per side (the
+    # minhash_pairs argument; n_docs·16B rows, trivially cacheable)
+    from pyspark import StorageLevel
+
+    sigs = agg.select("doc_id", sig.alias("simhash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = sigs.select(F.col("doc_id").alias("doc_a"), "simhash")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "simhash")
     return (
