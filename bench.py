@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_embedding",
+    "q_pipeline_curate",
+    "q_sketch_hll",
     "q_text_tokens",
     "q_text_tfidf",
     "q_text_quality",

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window as W
 
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
-from pandas_reporter_spark.tables import load
+from pandas_reporter_spark.tables import davg, load
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 #: Kept to a regex subset with identical semantics in Java regex (Spark)
@@ -414,3 +414,82 @@ def q_text_decontaminate(spark, sf):
         .agg(F.countDistinct("shingle").alias("n_shared"))
     )
 
+
+
+@query(
+    "q_pipeline_curate",
+    oracle="""
+    -- quality gate -> exact dedup on whitespace-normalized text ->
+    -- per-language corpus rollup (identical stage shapes to the Spark
+    -- plan; davg-style quantized mean for bit-stable hashing)
+    WITH gated AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text), 6) AS punct_ratio
+      FROM documents
+      WHERE length(text) > 0
+    ), kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             MIN_BY(lang, doc_id) AS lang,
+             MIN_BY(n_tokens, doc_id) AS n_tokens,
+             MIN_BY(punct_ratio, doc_id) AS punct_ratio
+      FROM gated
+      WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+      GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           (CAST(SUM(CAST(floor(punct_ratio * 10000.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 10000.0) / COUNT(punct_ratio) AS mean_punct
+    FROM kept GROUP BY lang
+    """,
+)
+def q_pipeline_curate(spark, sf):
+    """Composed curation pipeline: the training-data flagship shape.
+
+    quality gate → exact dedup → per-language rollup as ONE declared
+    plan, the way a 100 TB pre-training sweep actually runs — not as
+    three materialized passes. Catalyst fuses the gate and the
+    per-doc signals into the parquet scan stage (filter + projection
+    inside codegen, columns pruned to doc_id/lang/text), so the
+    corpus is read ONCE; the only shuffles are the dedup groupBy
+    (map-side partial combine shrinks it to the distinct-text
+    dictionary, the q_dedup_exact argument) and the tiny per-lang
+    rollup. Signals ride along the dedup via min_by, never a rejoin
+    to the corpus.
+
+    Stages reuse the pinned operators: the gate is q_text_quality's
+    n_tokens/punct rules, the dedup is q_dedup_exact's keep-lowest on
+    whitespace-normalized text, and the rollup uses the davg quantized
+    mean so the value hash is engine-exact.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast(
+            "double"
+        )
+        / F.length("text"),
+        6,
+    )
+    gated = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm_text"),
+    ).filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.2))
+    kept = gated.groupBy("norm_text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("punct_ratio", "doc_id").alias("punct_ratio"),
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        davg("punct_ratio").alias("mean_punct"),
+    )

@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.events",
     "pandas_reporter_spark.operators.multimodal",
     "pandas_reporter_spark.operators.scale",
+    "pandas_reporter_spark.operators.sketch",
     "pandas_reporter_spark.sources.queries",
 )
 
@@ -88,14 +89,16 @@ _PRIORITY = (
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_embedding",
-    # text analysis
+    # text analysis (token_stats + fingerprint evicted this round —
+    # both green in the r3 official record — for the two NEW round-4
+    # queries: the composed curation pipeline and the HLL sketch)
     "q_text_tokens",
-    "q_text_token_stats",
     "q_text_quality",
-    "q_text_fingerprint",
     "q_text_tfidf",
     "q_text_langid",
     "q_text_decontaminate",
+    "q_pipeline_curate",
+    "q_sketch_hll",
     # similarity search
     "q_similarity_topk",
     "q_similarity_join",

@@ -1,0 +1,28 @@
+"""HLL sketch accuracy pins (no SQL oracle possible: estimates are
+DataSketches-algorithm-defined; the correctness contract here is
+estimate-vs-exact tolerance and merge consistency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_reporter_spark.operators.sketch import q_sketch_hll
+from pandas_reporter_spark.tables import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_estimates_within_tolerance(spark):
+    est = {r["event_type"]: r["approx_users"] for r in q_sketch_hll(spark, SF).collect()}
+    ev = load(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        # lgK=12 standard error ~1.6%; 2% bound with driver-data margin
+        assert abs(est[k] - e) <= max(2, 0.02 * e), (k, est[k], e)
