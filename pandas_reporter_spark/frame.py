@@ -217,6 +217,24 @@ class CensusFrame:
         out.meta = {k: v for k, v in self.meta.items() if k in df.columns}
         return out
 
+    # -- pandas-parity conveniences -------------------------------------------
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """(n_rows, n_cols) — eager count, the pandas contract; the
+        reference API is eager throughout so a switcher expects this."""
+        return (self.df.count(), len(self.df.columns))
+
+    def to_pandas(self):
+        """Driver-side materialization (Arrow transfer). The escape
+        hatch for reference users handing results to matplotlib etc. —
+        display-sized frames only, like any toPandas."""
+        return self.df.toPandas()
+
     # -- display idioms (reference Pandas Reporter Examples.ipynb:656) ---------
 
     def head(self, n: int = 5) -> "CensusFrame":

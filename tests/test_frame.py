@@ -231,3 +231,11 @@ def test_transpose_display(cf):
     big = CensusFrame(cf.df.sparkSession.range(101).toDF("id"))
     with pytest.raises(ValueError):
         big.T
+
+
+def test_columns_shape_to_pandas(cf):
+    assert cf.columns == cf.df.columns
+    n_rows, n_cols = cf.shape
+    assert n_rows == cf.df.count() and n_cols == len(cf.df.columns)
+    pdf = cf.head(3).to_pandas()
+    assert list(pdf.columns) == cf.df.columns and len(pdf) == 3

@@ -66,3 +66,19 @@ def test_partition_pruned_scan_prunes(spark):
     df = q_partition_pruned_scan(spark, SF)
     p = plan_of(df)
     assert "PartitionFilters" in p and "lang" in p
+
+
+def test_pipeline_curate_plan_fuses_gate_into_scan(spark):
+    """The composed curation pipeline reads the corpus ONCE with the
+    quality gate fused into the scan stage and columns pruned to
+    (doc_id, text, lang); the only exchanges are the dedup groupBy
+    and the per-lang rollup."""
+    from pandas_reporter_spark.operators.text import q_pipeline_curate
+
+    p = plan_of(q_pipeline_curate(spark, SF))
+    # one scan node: appears once as a "(N) Scan parquet" detail header
+    assert p.count(") Scan parquet") == 1
+    scan = p.split("(1) Scan parquet")[1]
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in scan
+    assert "IsNotNull(text)" in scan  # null gate pushed to the reader
+    assert p.count(") Exchange") == 2  # dedup + rollup, nothing else
