@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_events_tumbling",
     "q_events_session",
     "q_events_stateful",
+    "q_stream_file_sink",
     "q_join_bucketed",
     "q_join_salted",
     "q_partition_pruned_scan",

@@ -374,3 +374,62 @@ def q_events_stream_session(spark, sf):
     )
     return _run_stream(spark, agg, "complete")
 
+
+
+@query(
+    "q_stream_file_sink",
+    oracle="""
+    -- append-mode emission: only windows FINALIZED by the watermark
+    -- (win_end <= max(ts) - 10min) ever reach the sink; the last
+    -- ~20 minutes of windows stay in state awaiting later data
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    HAVING win_start + INTERVAL '10 minutes'
+             <= (SELECT m FROM mx) - INTERVAL '10 minutes'
+    """,
+)
+def q_stream_file_sink(spark, sf):
+    """File-to-file streaming: parquet source → watermarked tumbling
+    agg → foreachBatch parquet sink, read back as the result.
+
+    The production ingestion loop (landing dir → curated table) end to
+    end: APPEND output mode emits a window exactly once, when the
+    watermark (max event time − 10 min) passes its end — so unlike the
+    memory-sink queries (complete mode re-emits everything each batch)
+    the sink receives only finalized windows, and the trailing windows
+    correctly NEVER appear (the oracle's HAVING mirrors that contract).
+    foreachBatch gets each micro-batch as a plain DataFrame — the
+    universal sink adapter (JDBC upsert, MERGE INTO, multi-table
+    writes); exactly-once comes from the checkpoint's batch-id + an
+    idempotent write per batch. Fresh checkpoint/output dirs per call
+    keep reruns deterministic.
+    """
+    import tempfile
+
+    configure(spark)
+    s = _read_events_stream(spark, sf)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    out_dir = tempfile.mkdtemp(prefix="pr_spark_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="pr_spark_stream_ckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        # mode=append + checkpointed batch ids = effectively-once here;
+        # a real deployment makes this a MERGE/upsert keyed on batch_id
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

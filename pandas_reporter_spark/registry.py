@@ -105,10 +105,11 @@ _PRIORITY = (
     "q_similarity_ann_lsh",
     "q_similarity_ivf",
     "q_embed_stats",
-    # event-time windows + streaming
+    # event-time windows + streaming (sliding evicted this round —
+    # green in r3 — for the NEW append-mode file-sink stream)
     "q_events_tumbling",
-    "q_events_sliding",
     "q_events_session",
+    "q_stream_file_sink",
     "q_events_late",
     "q_events_stream_dedup",
     "q_events_stateful",
