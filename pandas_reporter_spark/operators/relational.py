@@ -1144,6 +1144,42 @@ def q_json_extract(spark, sf):
 
 
 @query(
+    "q_json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_json_variant(spark, sf):
+    """Semi-structured analytics via Spark 4 VariantType.
+
+    `parse_json` decodes props ONCE into Variant's binary encoding;
+    every `variant_get` then navigates the decoded tree — the scale
+    answer to repeated `get_json_object` string re-parses when a query
+    touches many paths (q_json_extract shows the single-path string
+    form). Extraction + the groupBy rollup stay fully JVM-side; the
+    integer sum is exact so no quantizer is needed.
+    """
+    configure(spark)
+    ev = load(spark, sf, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@query(
     "q_map_funcs",
     oracle="""
     SELECT event_id,
