@@ -104,7 +104,9 @@ _PRIORITY = (
     "q_similarity_join",
     "q_similarity_ann_lsh",
     "q_similarity_ivf",
-    "q_embed_stats",
+    # NEW round-4 VariantType query takes q_embed_stats's slot
+    # (embed_stats green in r3, unchanged since)
+    "q_json_variant",
     # event-time windows + streaming (sliding evicted this round —
     # green in r3 — for the NEW append-mode file-sink stream)
     "q_events_tumbling",
@@ -134,8 +136,8 @@ _PRIORITY = (
     # evicted to make room (every one green in BOTH r2 and r3 official
     # records): q_ratio_moe q_proportion_moe q_product_moe q_rse
     # q_project_margin_carry q_tpch_q1 q_join_asof q_window_rank
-    # q_agg_stats, plus r3-recorded rows-only q_source_cr_pivot — all
-    # re-register right after the fold
+    # q_agg_stats q_embed_stats, plus r3-recorded rows-only
+    # q_source_cr_pivot — all re-register right after the fold
 )
 
 
