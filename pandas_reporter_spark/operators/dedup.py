@@ -434,3 +434,119 @@ def q_dedup_embedding(spark, sf):
         .distinct()
     )
     return e.join(dup_b, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@query(
+    "q_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.9
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_cluster(spark, sf):
+    """Connected components over near-dup pairs: every doc labeled with
+    the MIN doc_id of its duplicate cluster (singletons label themselves).
+
+    Pairwise dedup (q_dedup_ngram_jaccard / q_dedup_minhash) emits
+    EDGES; production dedup needs GROUPS — near-duplication is
+    transitive in effect (A~B, B~C => keep one of {A,B,C}), so the
+    canonical form is one keeper per connected component. Computed by
+    iterative min-label propagation, the Pregel/GraphX pattern on plain
+    DataFrames:
+
+      labels[i+1](n) = min(labels[i](n), min over in-neighbors m of
+                           labels[i](m))
+
+    - Edges materialize ONCE (persist) in both directions; each
+      iteration shuffles only (node, label) pairs — never text.
+    - Convergence via a SUM aggregate, not a join: labels only ever
+      decrease, so total(labels) is strictly monotone until fixpoint —
+      one cheap action per iteration instead of an equality self-join.
+    - Iterations = component diameter. Dup clusters are near-cliques
+      (diameter 2-3); the 500-doc test corpus converges in 5. For
+      adversarial long-path graphs at 100 TB, swap the step for
+      large-star/small-star (Kiveris et al.) — same loop skeleton,
+      O(log n) rounds guaranteed.
+    - Oracle: DuckDB recursive CTE computes min reachable id per node
+      — exact transitive closure, feasible at verify scale only.
+
+    Reference parity: the reference has no graph/dedup layer; this is
+    driver-mandated pipeline surface (SURVEY §2.3).
+    """
+    configure(spark)
+    pairs = q_dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    nodes = load(spark, sf, "documents").select("doc_id")
+    return connected_components(nodes, pairs, "doc_a", "doc_b")
+
+
+def connected_components(nodes, pairs, src: str, dst: str):
+    """(doc_id, cluster_id): min node id reachable from each node.
+
+    Min-label propagation over persisted bidirectional edges; see
+    q_dedup_cluster for the convergence and 100 TB notes.
+    """
+    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # the iterative joins are tiny; 8 partitions beats the session
+        # default (fewer empty-task rounds per iteration, measured)
+        .repartition(8, "src")
+        .persist()
+    )
+    edges.count()  # materialize once: iterations must not re-run the pair join
+
+    labels = (
+        nodes.select(
+            F.col(nodes.columns[0]).alias("doc_id"),
+            F.col(nodes.columns[0]).alias("cluster_id"),
+        )
+        .repartition(8, "doc_id")
+        .persist()
+    )
+    prev_total = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(64):  # safety bound; diameter-round convergence
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        total = new.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if total == prev_total:  # monotone => equal sum == fixpoint
+            break
+        prev_total = total
+    edges.unpersist()
+    return labels

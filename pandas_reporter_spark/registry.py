@@ -82,8 +82,9 @@ _PRIORITY = (
     "q_explode",
     "q_sample",
     "q_udf_pandas",
-    # dedup family
-    "q_dedup_exact",
+    # dedup family (exact evicted this round — green r2+r3, unchanged —
+    # for the NEW connected-components cluster query)
+    "q_dedup_cluster",
     "q_dedup_keep_first",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 import pytest
 
-from pandas_reporter_spark.operators.dedup import minhash_pairs, with_hashed_shingles
+from pandas_reporter_spark.operators.dedup import (
+    connected_components,
+    minhash_pairs,
+    with_hashed_shingles,
+)
 
 
 @pytest.fixture(scope="module")
@@ -57,3 +61,15 @@ def test_hashed_shingles_shape(spark):
     rows = {r["doc_id"]: r["hs"] for r in with_hashed_shingles(df).collect()}
     assert len(rows[1]) == 2  # 4 tokens → 2 trigram shingles
     assert rows[2] == []  # shorter than k → empty, not null
+
+
+def test_connected_components_transitive_chain(spark):
+    # path graph 1-2-3 (transitivity: 1 and 3 never paired directly),
+    # plus isolated node 4 labeling itself
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["doc_id"])
+    pairs = spark.createDataFrame([(2, 1), (2, 3)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
