@@ -493,3 +493,112 @@ def q_pipeline_curate(spark, sf):
         F.sum("n_tokens").alias("n_tokens_total"),
         davg("punct_ratio").alias("mean_punct"),
     )
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, GREATEST(length(text) - 1, 0), 150))
+               AS start
+      FROM documents
+    )
+    SELECT doc_id, CAST(start // 150 AS BIGINT) AS chunk_idx,
+           substr(text, start + 1, 200) AS chunk,
+           CAST(length(substr(text, start + 1, 200)) AS BIGINT)
+             AS n_chunk_chars
+    FROM starts
+    """,
+)
+def q_text_chunk(spark, sf):
+    """Sliding-window document chunking: 200-char chunks, stride 150
+    (50-char overlap) — the context-window prep step of a training
+    pipeline (long docs must split; overlap preserves boundary context).
+
+    `sequence(0, length-1, stride)` builds the start offsets IN-PLAN
+    (no driver loop, no UDF), posexplode gives (chunk_idx, start), and
+    substring slices — all whole-stage-codegen'd, and chunking is
+    per-row/narrow: zero shuffle at any scale; output rows ≈ corpus
+    chars / stride. Token-aligned chunking is the same plan over a
+    token array (split + slice instead of substring).
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.length("text") - F.lit(1)),
+        F.lit(150),
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr("substring(text, start + 1, 200)").alias("chunk"),
+        F.length(F.expr("substring(text, start + 1, 200)"))
+        .cast("long")
+        .alias("n_chunk_chars"),
+    )
+
+
+@query(
+    "q_text_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{3}[- ]?[0-9]{2}[- ]?[0-9]{4}', '<ID>', 'g'),
+             '\bcustomer\b', '<NAME>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT)
+             AS n_names
+    FROM documents
+    """,
+)
+def q_text_redact(spark, sf):
+    """PII-style redaction pass: emails, SSN-shaped ids, and a
+    name-dictionary term each rewritten to a typed placeholder, plus a
+    per-doc match count — the privacy-scrub step of a curation
+    pipeline.
+
+    Three chained `regexp_replace` (JVM, codegen'd, per-row/narrow —
+    zero shuffle at any corpus size). Patterns are restricted to the
+    RE2∩Java common dialect (char classes, bounded repeats, \\b) so
+    the DuckDB oracle runs the IDENTICAL regexes: engine-portable
+    redaction, hash-checked. At 100 TB a longer dictionary becomes a
+    broadcast join against a token explode (see q_text_decontaminate)
+    rather than a regex alternation — same output contract.
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"[0-9]{3}[- ]?[0-9]{2}[- ]?[0-9]{4}",
+            "<ID>",
+        ),
+        r"\bcustomer\b",
+        "<NAME>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\bcustomer\b"), F.lit(0)))
+        .cast("long")
+        .alias("n_names"),
+    )

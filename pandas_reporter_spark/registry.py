@@ -82,10 +82,10 @@ _PRIORITY = (
     "q_explode",
     "q_sample",
     "q_udf_pandas",
-    # dedup family (exact evicted this round — green r2+r3, unchanged —
-    # for the NEW connected-components cluster query)
+    # dedup family (exact + keep_first evicted this round — green in the
+    # r3 official record, unchanged — for the NEW connected-components
+    # cluster query and the NEW chunking query below)
     "q_dedup_cluster",
-    "q_dedup_keep_first",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -100,6 +100,8 @@ _PRIORITY = (
     "q_text_decontaminate",
     "q_pipeline_curate",
     "q_sketch_hll",
+    "q_text_chunk",
+    "q_text_redact",
     # similarity search
     "q_similarity_topk",
     "q_similarity_join",
@@ -108,9 +110,9 @@ _PRIORITY = (
     # NEW round-4 VariantType query takes q_embed_stats's slot
     # (embed_stats green in r3, unchanged since)
     "q_json_variant",
-    # event-time windows + streaming (sliding evicted this round —
-    # green in r3 — for the NEW append-mode file-sink stream)
-    "q_events_tumbling",
+    # event-time windows + streaming (sliding + tumbling evicted this
+    # round — green in r3 — for the NEW append-mode file-sink stream
+    # and the NEW redaction query above)
     "q_events_session",
     "q_stream_file_sink",
     "q_events_late",
@@ -137,8 +139,10 @@ _PRIORITY = (
     # evicted to make room (every one green in BOTH r2 and r3 official
     # records): q_ratio_moe q_proportion_moe q_product_moe q_rse
     # q_project_margin_carry q_tpch_q1 q_join_asof q_window_rank
-    # q_agg_stats q_embed_stats, plus r3-recorded rows-only
-    # q_source_cr_pivot — all re-register right after the fold
+    # q_agg_stats q_embed_stats q_dedup_exact q_dedup_keep_first
+    # q_events_sliding q_events_tumbling q_text_token_stats
+    # q_text_fingerprint, plus r3-recorded rows-only q_source_cr_pivot —
+    # all re-register right after the fold
 )
 
 

@@ -50,3 +50,45 @@ def test_decontaminate_survives_short_docs(spark, short_doc_sf):
             QUERIES["q_text_decontaminate"](spark, short_doc_sf).collect()}
     # doc 30 duplicates benchmark doc 3 (7 tokens -> 3 5-gram shingles)
     assert rows == {30: 3}
+
+
+def test_chunk_covers_text_with_overlap(spark, short_doc_sf):
+    """Chunks tile each doc: starts at 0,150,300,...; 200-char slices;
+    stripping the 50-char overlap reconstructs the original text."""
+    rows = QUERIES["q_text_chunk"](spark, short_doc_sf).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 1, 2, 3, 30}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        rebuilt = chunks[0].chunk + "".join(c.chunk[50:] for c in chunks[1:])
+        text = next(
+            r.text for r in spark.read.parquet(
+                os.path.join(short_doc_sf, "documents.parquet")).collect()
+            if r.doc_id == doc_id
+        )
+        assert rebuilt == text
+        assert all(c.n_chunk_chars == len(c.chunk) for c in chunks)
+
+
+def test_redact_rewrites_pii_and_counts(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("redact"))
+    rows = [
+        (0, "mail me at jo.doe+x@ex-ample.co.uk now", "en", "web", 38),
+        (1, "ssn 123-45-6789 and 987 65 4321 ok", "en", "web", 34),
+        (2, "customer met a customer; customers stayed", "en", "web", 41),
+        (3, "clean text, nothing to redact", "en", "web", 29),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r for r in QUERIES["q_text_redact"](spark, sf).collect()}
+    assert out[0].redacted == "mail me at <EMAIL> now"
+    assert out[1].redacted == "ssn <ID> and <ID> ok"
+    # \b keeps 'customers' (different token) intact
+    assert out[2].redacted == "<NAME> met a <NAME>; customers stayed"
+    assert out[2].n_names == 2
+    assert out[3].redacted == out[3].redacted == rows[3][1]
+    assert out[3].n_names == 0
