@@ -602,3 +602,103 @@ def q_text_redact(spark, sf):
         .cast("long")
         .alias("n_names"),
     )
+
+
+@query(
+    "q_text_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_before
+      FROM t
+    )
+    SELECT lang, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_pack,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY lang, pack_id
+    """,
+)
+def q_text_pack(spark, sf):
+    """Token-budget sequence packing: per-lang shard, docs in doc_id
+    order are packed into ~512-token context windows by cumulative
+    token offset (pack_id = tokens_before // 512) — the batch-prep
+    step that turns a curated corpus into training sequences.
+
+    Offset-based packing (a doc may straddle a boundary; the chunker
+    q_text_chunk handles the split) instead of sequential greedy
+    first-fit because it is ORDER-PARALLEL: one running-sum window per
+    shard + a groupBy, no sequential state. At 100 TB the partition-by
+    key IS the output shard key — real pipelines pack per shard after a
+    repartitionByRange write, so the per-shard sort is the write sort,
+    already paid. A single global pack order would serialize; per-shard
+    is the scalable contract.
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.select("lang", "doc_id", n.alias("n_tokens")).withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.groupBy(
+        "lang", F.floor(F.col("cum_before") / 512).alias("pack_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_pack"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          ['3333', '6666', '9999', 'cccc']
+            [CAST(CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4
+                  AS INT) + 1]
+    """,
+)
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified sampling / data mixing: each source
+    stratum keeps a different fraction (20/40/60/80% by source index
+    mod 4) — the mixture-weighting step of corpus assembly.
+
+    The sampler is a pure predicate: keep iff the first 4 hex chars of
+    md5(doc_id) sort below the stratum's threshold. Hash-threshold
+    sampling beats rand() at scale because it is (a) deterministic and
+    engine-portable (the DuckDB oracle reproduces the EXACT sample —
+    rand() never hash-matches), (b) reproducible across reruns/retries
+    (a re-executed task keeps the same rows — rand() breaks exactly-
+    once), and (c) stable under resharding since the key, not the
+    partition, decides. Zero shuffle: filter-only, evaluated inside the
+    scan's codegen stage; at 100 TB it runs at parquet-scan speed.
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    idx = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("long")
+    thr = F.element_at(
+        F.array(F.lit("3333"), F.lit("6666"), F.lit("9999"), F.lit("cccc")),
+        (idx % 4 + 1).cast("int"),
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    return d.filter(keep).select("doc_id", "source")

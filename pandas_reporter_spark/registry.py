@@ -86,14 +86,12 @@ _PRIORITY = (
     # r3 official record, unchanged — for the NEW connected-components
     # cluster query and the NEW chunking query below)
     "q_dedup_cluster",
-    "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_embedding",
     # text analysis (token_stats + fingerprint evicted this round —
     # both green in the r3 official record — for the two NEW round-4
     # queries: the composed curation pipeline and the HLL sketch)
-    "q_text_tokens",
     "q_text_quality",
     "q_text_tfidf",
     "q_text_langid",
@@ -102,6 +100,8 @@ _PRIORITY = (
     "q_sketch_hll",
     "q_text_chunk",
     "q_text_redact",
+    "q_text_pack",
+    "q_sample_stratified",
     # similarity search
     "q_similarity_topk",
     "q_similarity_join",
@@ -140,9 +140,10 @@ _PRIORITY = (
     # records): q_ratio_moe q_proportion_moe q_product_moe q_rse
     # q_project_margin_carry q_tpch_q1 q_join_asof q_window_rank
     # q_agg_stats q_embed_stats q_dedup_exact q_dedup_keep_first
-    # q_events_sliding q_events_tumbling q_text_token_stats
-    # q_text_fingerprint, plus r3-recorded rows-only q_source_cr_pivot —
-    # all re-register right after the fold
+    # q_dedup_ngram_jaccard q_events_sliding q_events_tumbling
+    # q_text_tokens q_text_token_stats q_text_fingerprint, plus
+    # r3-recorded rows-only q_source_cr_pivot — all re-register right
+    # after the fold
 )
 
 
