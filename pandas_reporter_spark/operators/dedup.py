@@ -25,6 +25,9 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -240,21 +243,36 @@ def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8):
     d = with_hashed_shingles(docs).select(F.col(id_col).alias("doc_id"), "hs")
     d = d.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # The 64 minhash functions are PYTHON-UNROLLED into flat transforms
-    # with literal constants: a nested HOF whose inner lambda captures
-    # the outer lambda variable drops out of codegen into interpreted
-    # eval — measured 25.7s vs 0.66s for the identical computation at
-    # sf0.01. Closure, not a default param: transform's two-arg lambda
-    # form is (element, index), so `lambda h, i=i` would silently
-    # receive the element index as i.
-    def minhash(i):
-        a, b = 2 * i + 1, i * 2654435761 + 1
-        return F.array_min(F.transform(F.col("hs"), lambda h: h * a + b))
+    # The 64 minhash functions mh_i = min_h(h·(2i+1) + i·2654435761+1)
+    # run as ONE Arrow-batched kernel. History of this hot spot: a
+    # nested HOF (inner lambda capturing the outer variable) fell out
+    # of codegen into interpreted eval (25.7s at sf0.01); 64 python-
+    # unrolled flat transforms fixed THAT (0.66s) but HOFs are
+    # CodegenFallback — still interpreted per element — and the Arrow
+    # kernel is another ~2× on the signature stage (measured round 4).
+    # Arithmetic is IDENTICAL: numpy int64 ops wrap two's-complement
+    # exactly like Java longs (non-ANSI Spark), so every mh value is
+    # bit-equal to the HOF form — pinned by tests/test_dedup.py recall
+    # and the no-self-pairs invariants.
+    a_mul = np.arange(_N_HASH, dtype=np.int64) * 2 + 1
+    b_add = np.arange(_N_HASH, dtype=np.int64) * 2654435761 + 1
 
-    sigs = d.select(
-        "doc_id",
-        F.array(*[minhash(i) for i in range(_N_HASH)]).alias("mh"),
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _mh_sigs(col: pd.Series) -> pd.Series:
+        none_row = [None] * _N_HASH
+        out = []
+        for hs in col:
+            if hs is None or len(hs) == 0:
+                out.append(none_row)  # matches array_min([]) -> NULL
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                out.append((h[:, None] * a_mul + b_add).min(axis=0))
+        return pd.Series(out)
+
+    sigs = d.select("doc_id", _mh_sigs(F.col("hs")).alias("mh"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(
