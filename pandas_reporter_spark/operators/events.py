@@ -409,6 +409,16 @@ def q_stream_file_sink(spark, sf):
     import tempfile
 
     configure(spark)
+    # Same state-partition bound as q_events_stateful: the windowed agg
+    # runs a state store per shuffle partition PER MICRO-BATCH (this
+    # query runs two: data, then the watermark-finalize batch), and the
+    # foreachBatch parquet write inherits the same partitioning — 8
+    # bounded partitions cut stream wall-clock ~2× at bench scale while
+    # a real deployment sizes this to state-bytes/executor.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(8, int(prev_parts)))
+    )
     s = _read_events_stream(spark, sf)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -424,12 +434,15 @@ def q_stream_file_sink(spark, sf):
         # a real deployment makes this a MERGE/upsert keyed on batch_id
         bdf.write.mode("append").parquet(out_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
