@@ -251,8 +251,22 @@ def q_text_tfidf(spark, sf):
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark import StorageLevel
+
+    # df DERIVED from tf — tf already has exactly one row per
+    # (doc, token), so COUNT(*) per token IS the document frequency.
+    # With tf persisted, the exploded corpus is tokenized+shuffled
+    # ONCE and the countDistinct over all token rows becomes a plain
+    # count over the much smaller tf table; at 100 TB this removes a
+    # full second tokenize+shuffle pass (the cache holds the (doc,
+    # token) aggregate, already far smaller than the exploded corpus,
+    # spilling to local disk like the minhash shingle cache).
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
