@@ -200,6 +200,61 @@ def q_tpch_q1(spark, sf):
 
 
 @query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf):
+    """TPC-H-Q3-style shipping-priority: the canonical 3-table
+    join-ordering shape (dim filter → fact join → fact join → agg →
+    top-k). Catalyst's decisions here ARE the 100 TB story: the
+    segment filter prunes customer BEFORE the join (predicate
+    pushdown), the filtered customer side broadcasts under the 64 MB
+    threshold, orders⨝lineitem shuffles on orderkey with both date
+    filters pushed to the scans, the revenue agg combines map-side on
+    the join's own orderkey partitioning (no extra exchange), and the
+    top-10 compiles to TakeOrderedAndProject — no global sort. At 100
+    TB only the orderkey shuffle moves real data, exactly as a
+    warehouse would plan it (adapted from the public TPC-H spec, Q3;
+    o_shippriority is not in the driver tables, o_orderpriority
+    stands in)."""
+    configure(spark)
+    c = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@query(
     "q_agg_global",
     oracle=f"""
     SELECT {oracle_dsum('l_quantity')} AS sum_qty,
