@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q_pipeline_curate",
     "q_sketch_hll",
     "q_text_tokens",
+    "q_text_chunk",
+    "q_text_redact",
     "q_text_tfidf",
     "q_text_quality",
     "q_text_langid",
