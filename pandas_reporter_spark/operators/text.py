@@ -716,3 +716,46 @@ def q_sample_stratified(spark, sf):
     )
     keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
     return d.filter(keep).select("doc_id", "source")
+
+
+@query(
+    "q_filter_quantile",
+    oracle="""
+    WITH m AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, round(m.med, 6) AS lang_median
+    FROM documents d JOIN m USING (lang)
+    WHERE CAST(d.n_chars AS DOUBLE) >= m.med
+    """,
+)
+def q_filter_quantile(spark, sf):
+    """Per-group quantile gate: keep documents at/above their
+    language's median length — the distribution-relative curation
+    filter (absolute thresholds misfire across languages; 'top half
+    per lang' self-calibrates).
+
+    Two-step, NOT a window over the corpus: the per-lang exact
+    interpolated median is a TINY aggregate (n_langs rows) that
+    broadcasts back onto the scan — the corpus itself is never
+    sorted or reshuffled (a percent_rank window would shuffle+sort
+    100 TB by (lang, n_chars) to answer the same question). Same
+    map-side-combined agg + broadcast-dim join shape as the langid
+    profiles.
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    return (
+        d.join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars").cast("double") >= F.col("med"))
+        .select(
+            "doc_id", "lang", "n_chars", F.round("med", 6).alias("lang_median")
+        )
+    )
