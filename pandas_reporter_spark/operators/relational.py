@@ -841,6 +841,51 @@ def q_window_lag_lead(spark, sf):
 
 
 @query(
+    "q_window_rolling",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+           round(CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+                      AS DOUBLE) / 100.0 / COUNT(*) OVER w, 6) AS rolling_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_rolling(spark, sf):
+    """7-row rolling average of event value per user — the moving-
+    window smoothing shape (monitoring, rate trending, anomaly
+    baselines).
+
+    ROWS frame with a deterministic (ts, event_id) order; the sum runs
+    over integer cents (floor(x·100+0.5) per row, exact int window
+    sum, ONE divide) so the result is frame-order independent and
+    hash-identical across engines — a raw double SUM OVER a sliding
+    frame is accumulation-order dependent and never portably exact.
+    Scale: one shuffle on user_id, per-partition sort, single pass
+    with a bounded 7-row buffer — the same plan an unbounded stream
+    would run with a row-count state window.
+    """
+    configure(spark)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    n_w = F.count("*").over(w)
+    return load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        n_w.alias("n_window"),
+        F.round(
+            F.sum(cents).over(w).cast("double") / 100.0 / n_w, 6
+        ).alias("rolling_avg"),
+    )
+
+
+@query(
     "q_window_running_sum",
     oracle="""
     SELECT l_orderkey, l_linenumber,
