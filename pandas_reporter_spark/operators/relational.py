@@ -609,6 +609,66 @@ def q_agg_stats(spark, sf):
 
 
 @query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'doc_id' AS col,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) - COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_profile_table(spark, sf):
+    """Data-quality profile: per-column null count, distinct count,
+    min/max — the audit every pipeline runs before training on a new
+    drop.
+
+    ONE aggregate pass over the scan computes all columns' stats
+    (the oracle's UNION ALL spelling would scan once per column —
+    Spark's multi-countDistinct compiles to a single Expand + two-
+    stage aggregate instead), then `stack` pivots the 1-row result to
+    the long audit format driver-side-free. At 100 TB: one scan, one
+    tiny shuffle; add approx_count_distinct when exact NDV is not
+    required and the Expand fan-out matters.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
     "q_agg_percentile",
     oracle="""
     SELECT l_returnflag,

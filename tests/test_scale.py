@@ -82,3 +82,28 @@ def test_pipeline_curate_plan_fuses_gate_into_scan(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in scan
     assert "IsNotNull(text)" in scan  # null gate pushed to the reader
     assert p.count(") Exchange") == 2  # dedup + rollup, nothing else
+
+
+def test_quantized_sum_headroom(spark):
+    """ADVICE guard: the floor(x·10^s+0.5) BIGINT quantizer saturates
+    silently on overflow in non-ANSI Spark while DuckDB errors — so pin
+    that driver-scale data keeps ample headroom: even a 1000× scale-up
+    of the sf0.01 totals stays under 2^63 for every quantized column."""
+    import duckdb
+
+    con = duckdb.connect()
+    budget = 2**63 - 1
+    for table, col, scale in (
+        ("lineitem", "l_quantity", 100),
+        ("lineitem", "l_extendedprice", 10_000),
+        ("events", "value", 100),
+        ("documents", "n_chars", 1),
+    ):
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{table}.parquet')"
+        )
+        total = con.execute(
+            f"SELECT SUM(CAST(abs({col}) AS HUGEINT)) * {scale} FROM t"
+        ).fetchone()[0]
+        assert total * 1000 < budget, (table, col, total)
