@@ -759,3 +759,41 @@ def q_filter_quantile(spark, sf):
             "doc_id", "lang", "n_chars", F.round("med", 6).alias("lang_median")
         )
     )
+
+
+@query(
+    "q_mix_epochs",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1,
+             CAST(CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3
+                  AS BIGINT) + 1)) AS BIGINT) AS epoch
+    FROM documents
+    """,
+)
+def q_mix_epochs(spark, sf):
+    """Mixture upsampling: each source repeats 1-3× by weight (source
+    index mod 3 + 1) with an epoch tag — the duplication half of
+    dataset mixing (q_sample_stratified is the downsampling half;
+    real mixtures combine both: epochs for scarce high-quality
+    sources, hash-thresholds for abundant low-quality ones).
+
+    `explode(sequence(1, n_epochs))` inflates IN THE SCAN STAGE —
+    per-row/narrow, zero shuffle; output size is Σ weight_s·|s|,
+    chosen by the weights, not the plan. The epoch column matters
+    downstream: shuffling per (epoch) keeps repeats in different
+    training shards instead of adjacent.
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    n_epochs = (
+        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("long") % 3 + 1
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("long"), n_epochs)).alias("epoch"),
+    )
