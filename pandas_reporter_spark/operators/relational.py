@@ -609,6 +609,35 @@ def q_agg_stats(spark, sf):
 
 
 @query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM lineitem
+    UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def q_unpivot(spark, sf):
+    """Wide→long unpivot (pandas melt / SQL UNPIVOT) — the inverse of
+    q_pivot, and the standard prep step for measure-generic analytics
+    (one (key, measure, value) stream feeds the same downstream agg
+    regardless of how many measure columns the source grows).
+
+    `DataFrame.unpivot` compiles to an Expand projection — per-row,
+    narrow, zero shuffle; 3× row inflation is the declared output,
+    not plan waste. NULL measures are dropped to match SQL UNPIVOT
+    semantics (Spark's unpivot keeps them).
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).filter(F.col("value").isNotNull())
+
+
+@query(
     "q_profile_table",
     oracle="""
     SELECT 'doc_id' AS col,
