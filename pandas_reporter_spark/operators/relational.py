@@ -609,6 +609,36 @@ def q_agg_stats(spark, sf):
 
 
 @query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_stringagg(spark, sf):
+    """Grouped string aggregation (SQL LISTAGG / string_agg): the
+    per-group concatenated member list every report footer needs.
+
+    collect_set → array_sort → array_join: the explicit sort makes the
+    result DETERMINISTIC — bare collect_list/string_agg order is
+    partition-arrival order, unstable on any cluster (same reasoning
+    as q_dedup_keep_first). Set semantics bound group payload by
+    cardinality, not row count; a group whose member list is truly
+    huge belongs in q_sketch_hll territory instead.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
     "q_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, measure, value
