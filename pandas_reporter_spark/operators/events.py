@@ -446,3 +446,64 @@ def q_stream_file_sink(spark, sf):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_click_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.first_view_us
+      GROUP BY 1
+    )
+    SELECT v.user_id, v.first_view_us, c.first_click_us,
+           CASE WHEN c.first_click_us IS NOT NULL THEN 1 ELSE 0 END AS converted,
+           c.first_click_us - v.first_view_us AS latency_us
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+    """,
+)
+def q_events_funnel(spark, sf):
+    """Two-step conversion funnel: first 'view' -> first subsequent
+    'click' per user, with conversion flag and latency.
+
+    The standard product-analytics funnel, expressed as two map-side-
+    combined MIN aggregations joined on user_id — no window over the
+    raw event stream, so state per user is two timestamps regardless
+    of event volume. Timestamps travel as epoch MICROSECOND longs
+    (`unix_micros` / `epoch_us`) so the driver hash is exact — no
+    float epoch, no second-truncation divergence. At 100 TB both
+    aggs and the join shuffle on user_id; AQE handles the power-law
+    user skew (hot users still reduce to one row each at combine).
+
+    Reference parity: none (driver-mandated events surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_view_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("click_us"))
+        .join(v, "user_id")
+        .filter(F.col("click_us") > F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("click_us").alias("first_click_us"))
+    )
+    return v.join(c, "user_id", "left").select(
+        "user_id",
+        "first_view_us",
+        "first_click_us",
+        F.when(F.col("first_click_us").isNotNull(), 1).otherwise(0).alias(
+            "converted"
+        ),
+        (F.col("first_click_us") - F.col("first_view_us")).alias("latency_us"),
+    )

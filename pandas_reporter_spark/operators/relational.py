@@ -1507,3 +1507,42 @@ def q_udf_pandas(spark, sf):
         load(spark, sf, "documents")
         .select("doc_id", F.round(vowel_ratio("text"), 6).alias("vratio"))
     )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_ntile(spark, sf):
+    """Rank-distribution window pack: ntile / percent_rank / cume_dist.
+
+    Completes the window-function family (rank/dense_rank in
+    q_window_rank, lag/lead, running frames, rolling frames elsewhere).
+    Deterministic because the ORDER BY ends in the unique o_orderkey —
+    tie rows get stable quartiles in both engines. One shuffle on the
+    partition key; per-partition sort feeds all three functions in a
+    single Window physical node. At 100 TB the partition key
+    (o_orderpriority, 5 values) is coarse — a real deployment windows
+    within finer keys or pre-bucket-sorts; the plan shape is unchanged.
+
+    Reference parity: none (engine-supplied builtin, SURVEY §2.2).
+    """
+    configure(spark)
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

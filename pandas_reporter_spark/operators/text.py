@@ -797,3 +797,113 @@ def q_mix_epochs(spark, sf):
         "source",
         F.explode(F.sequence(F.lit(1).cast("long"), n_epochs)).alias("epoch"),
     )
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    bg AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+      FROM t
+    ),
+    bs AS (
+      SELECT doc_id, n_tokens,
+             MAX(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n_bg
+      FROM (SELECT doc_id, n_tokens, bigram, COUNT(*) AS c
+            FROM bg GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS trigram
+      FROM t
+    ),
+    ts AS (
+      SELECT doc_id, COUNT(DISTINCT trigram) AS nd, COUNT(*) AS nt
+      FROM tg GROUP BY 1
+    )
+    SELECT bs.doc_id, bs.n_tokens,
+           round(CAST(top_n AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+           round(1 - CAST(nd AS DOUBLE) / nt, 6) AS dup_trigram_frac
+    FROM bs JOIN ts ON bs.doc_id = ts.doc_id
+    """,
+)
+def q_text_repetition(spark, sf):
+    """Repetition quality signals: top-2-gram fraction + duplicate-
+    3-gram fraction per document (the Gopher repetition rules; docs
+    with a single dominant bigram or heavy trigram reuse are machine-
+    generated/boilerplate candidates).
+
+    Plan: one scan builds the shingle arrays (slice + flat zip_with —
+    kept single-level per the measured interpreted-HOF trap), explode,
+    then groupBy(doc_id, gram) -> groupBy(doc_id). Both aggregations
+    are map-side combined and keyed by doc_id-prefixed keys, so at
+    100 TB this is one corpus-wide shuffle of (doc, gram, count)
+    dictionaries, never raw text; skew is bounded because grams are
+    counted WITHIN a document (partition count scales with the corpus,
+    state per key is one long).
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "t",
+            F.size("t").alias("n_tokens"),
+            # bigram[i] = t[i] + ' ' + t[i+1] — ONE flat zip_with (the
+            # measured interpreted-HOF trap forbids nesting lambdas).
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ).alias("bigrams"),
+        )
+        # trigram[i] = bigram[i] + ' ' + t[i+2]; the bigrams column is
+        # materialized above so this lambda stays single-level too.
+        .withColumn(
+            "trigrams",
+            F.zip_with(
+                F.expr("slice(bigrams, 1, size(bigrams) - 1)"),
+                F.expr("slice(t, 3, size(t) - 2)"),
+                lambda b, z: F.concat_ws(" ", b, z),
+            ),
+        )
+    )
+    bstats = (
+        base.select("doc_id", "n_tokens", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "n_tokens", "bigram")
+        .count()
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("count").alias("top_n"), F.sum("count").alias("n_bg"))
+    )
+    tstats = (
+        base.select("doc_id", F.explode("trigrams").alias("trigram"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("trigram").alias("nd"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+    )
+    return bstats.join(tstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_n").cast("double") / F.col("n_bg"), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.lit(1) - F.col("nd").cast("double") / F.col("nt"), 6).alias(
+            "dup_trigram_frac"
+        ),
+    )
