@@ -507,3 +507,109 @@ def q_events_funnel(spark, sf):
         ),
         (F.col("first_click_us") - F.col("first_view_us")).alias("latency_us"),
     )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        / 7.0) AS BIGINT) AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+    )
+    SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN cohort c ON uw.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark, sf):
+    """Cohort retention: users bucketed by first-activity week, counted
+    at each later week offset — the classic retention triangle.
+
+    Week indexes are integer day-arithmetic from a fixed origin
+    (2024-01-01), not calendar `date_trunc('week')`, so both engines
+    bucket identically with no week-start convention risk. Plan: one
+    distinct over (user, week) — map-side combined, carries at most
+    n_users x n_weeks rows — then a groupBy(user) for cohorts and a
+    join back on user_id. At 100 TB the distinct is the only scan-wide
+    shuffle and it reduces to the activity matrix, which is tiny
+    relative to raw events; the retention aggregation runs on that
+    matrix alone.
+
+    Reference parity: none (driver-mandated events surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7.0
+    ).alias("week")
+    uw = e.select("user_id", week).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_c,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - (sum_c / 100.0) / n)
+                 / sqrt(((sumsq_c / 10000.0) - (sum_c / 100.0)
+                         * ((sum_c / 100.0) / n)) / n), 6) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((e.value - (sum_c / 100.0) / n)
+              / sqrt(((sumsq_c / 10000.0) - (sum_c / 100.0)
+                      * ((sum_c / 100.0) / n)) / n)) > 3.0
+    """,
+)
+def q_events_anomaly(spark, sf):
+    """Per-type z-score outlier gate: |value - mean| > 3 sigma.
+
+    The standard metric-stream anomaly screen. Moment sums accumulate
+    in integer cents (values are 2-decimal) so mean/variance are
+    bit-identical across engines and partition orders; the broadcast
+    of per-type stats (a handful of rows) back onto the stream makes
+    the scoring pass shuffle-free — at 100 TB this is scan + broadcast
+    hash join + filter, fully inside codegen.
+
+    Reference parity: none (driver-mandated events surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = e.groupBy("event_type").agg(
+        F.sum(cents).alias("sum_c"),
+        F.sum(cents * cents).alias("sumsq_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = (F.col("sum_c") / 100.0) / F.col("n")
+    var = (
+        (F.col("sumsq_c") / 10000.0) - (F.col("sum_c") / 100.0) * mean
+    ) / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )

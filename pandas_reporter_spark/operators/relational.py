@@ -1546,3 +1546,74 @@ def q_window_ntile(spark, sf):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_custkey,
+             round(o_totalprice * 1.1, 2) AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'N'
+      FROM orders WHERE o_orderkey % 100 = 1
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                  THEN 'update'
+                WHEN b.o_orderkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM orders b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark, sf):
+    """MERGE INTO semantics on plain DataFrames: a CDC batch (10%%
+    price updates + synthetic inserts) full-outer-joined onto the base
+    table with per-column COALESCE and a matched/not-matched action tag.
+
+    The warehouse upsert pattern without a table format: matched rows
+    take the update's columns, unmatched-source rows insert, unmatched-
+    target rows pass through. One shuffle on the merge key; at 100 TB
+    the real deployment pairs this exact plan with a transactional
+    table format (Iceberg/Delta MERGE compiles to the same shape) or
+    pre-buckets both sides on the key to kill the shuffle. CDC batches
+    are usually small — AQE broadcasts the update side automatically.
+
+    Reference parity: none (engine-supplied surface, SURVEY §2.2).
+    """
+    configure(spark)
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    u = upd.unionAll(ins)
+    b, uu = o.alias("b"), u.alias("u")
+    return b.join(uu, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce("u.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_custkey", "b.o_custkey").alias("o_custkey"),
+        F.coalesce("u.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        F.coalesce("u.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.when(
+            F.col("u.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull(),
+            "update",
+        )
+        .when(F.col("b.o_orderkey").isNull(), "insert")
+        .otherwise("keep")
+        .alias("action"),
+    )

@@ -422,3 +422,93 @@ def q_embed_stats(spark, sf):
             ).alias("avg_norm"),
         )
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, label, x,
+             list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+      FROM b
+    ),
+    qq AS (
+      SELECT vec_id, label, x, scale,
+             list_transform(x, v -> CAST(greatest(-127.0,
+               least(127.0, round(v / scale, 0))) AS BIGINT)) AS q
+      FROM m
+    )
+    SELECT vec_id, label,
+           round(scale, 9) AS scale_r,
+           len(list_filter(q, v -> abs(v) = 127)) AS n_clipped,
+           CAST(list_sum(q) AS BIGINT) AS q_checksum,
+           CAST(list_sum(list_transform(range(1, len(x) + 1),
+             i -> CAST(round((x[i] - q[i] * scale) * (x[i] - q[i] * scale)
+                             * 1e12, 0) AS BIGINT))) AS BIGINT) AS sse_picounits
+    FROM qq
+    """,
+)
+def q_embed_quantize(spark, sf):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    max-abs scale, q_i = clip(round(x_i/scale), ±127), plus the
+    reconstruction stats a compression pass reports (clip count,
+    checksum, squared error).
+
+    THE storage op for ANN at scale — int8 cuts a 100 TB float32
+    vector store to 25 TB and quadruples cache hit rates; rerank reads
+    the float originals for candidates only. Pure per-row projection:
+    no shuffle, scales embarrassingly. HOFs are kept single-level and
+    staged as named columns (the measured interpreted-HOF trap);
+    squared error sums as exact picounit longs so the driver hash is
+    accumulation-order independent, and d*d is a single multiply (no
+    libm pow) so both engines produce identical doubles.
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 similarity family).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    base = base.withColumn(
+        "scale",
+        F.array_max(F.transform("x", lambda v: F.abs(v))) / 127.0,
+    )
+    base = base.withColumn(
+        "q",
+        F.transform(
+            "x",
+            lambda v: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.round(v / F.col("scale"), 0)),
+            ).cast("long"),
+        ),
+    )
+    err_units = F.zip_with(
+        "x",
+        "q",
+        lambda xv, qv: F.round(
+            (xv - qv * F.col("scale")) * (xv - qv * F.col("scale")) * 1e12, 0
+        ).cast("long"),
+    )
+    base = base.withColumn("err_units", err_units)
+    return base.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("scale_r"),
+        F.size(F.filter("q", lambda v: F.abs(v) == 127)).alias("n_clipped"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "q_checksum"
+        ),
+        F.aggregate(
+            "err_units", F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("sse_picounits"),
+    )
