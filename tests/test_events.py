@@ -1,0 +1,139 @@
+"""Semantics pins for the round-4 event-analytics operators.
+
+Fixtures are written with pyarrow as TIMESTAMP(NANOS) parquet — the
+same physical type the driver's events.parquet uses — so `tables.load`'s
+ns→µs truncation path is exercised, not bypassed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pandas_reporter_spark.registry import QUERIES, load_all
+
+load_all()
+
+_T0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z in ns
+
+
+def _write_events(path: str, rows):
+    """rows: (event_id, ns_ts, user_id, event_type, value, props)."""
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("ns")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(t, path)
+
+
+@pytest.fixture(scope="module")
+def funnel_sf(tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("funnel"))
+    sec = 1_000_000_000
+    rows = [
+        # u1: view then click 5s later -> converts, latency 5_000_000 us
+        (0, _T0, 1, "view", 1.0, "{}"),
+        (1, _T0 + 5 * sec, 1, "click", 1.0, "{}"),
+        # u2: click BEFORE its first view, none after -> no conversion
+        (2, _T0, 2, "click", 1.0, "{}"),
+        (3, _T0 + 10 * sec, 2, "view", 1.0, "{}"),
+        # u3: views only -> no conversion
+        (4, _T0, 3, "view", 1.0, "{}"),
+        (5, _T0 + 60 * sec, 3, "view", 1.0, "{}"),
+        # u4: click at EXACTLY first_view ts -> strict 'after' excludes it
+        (6, _T0, 4, "view", 1.0, "{}"),
+        (7, _T0, 4, "click", 1.0, "{}"),
+        # u5: clicks only -> not in the funnel at all (no view step)
+        (8, _T0, 5, "click", 1.0, "{}"),
+    ]
+    _write_events(os.path.join(sf, "events.parquet"), rows)
+    return sf
+
+
+def test_funnel_conversion_semantics(spark, funnel_sf):
+    out = {r.user_id: r for r in QUERIES["q_events_funnel"](spark, funnel_sf).collect()}
+    assert set(out) == {1, 2, 3, 4}  # view-step users only
+    assert out[1].converted == 1 and out[1].latency_us == 5_000_000
+    assert out[2].converted == 0 and out[2].first_click_us is None
+    assert out[3].converted == 0
+    # equal timestamps: the click is not strictly after the view
+    assert out[4].converted == 0
+    assert out[1].first_view_us == _T0 // 1000
+
+
+def test_retention_triangle(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("retention"))
+    day = 86_400 * 1_000_000_000
+    rows = [
+        # u1: first active week 0, returns week 1 and week 2
+        (0, _T0, 1, "view", 1.0, "{}"),
+        (1, _T0 + 8 * day, 1, "view", 1.0, "{}"),
+        (2, _T0 + 15 * day, 1, "view", 1.0, "{}"),
+        # u2: first active week 0 only
+        (3, _T0 + 2 * day, 2, "view", 1.0, "{}"),
+        # u3: first active week 1, returns week 2
+        (4, _T0 + 7 * day, 3, "view", 1.0, "{}"),
+        (5, _T0 + 14 * day, 3, "view", 1.0, "{}"),
+    ]
+    _write_events(os.path.join(sf, "events.parquet"), rows)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in QUERIES["q_events_retention"](spark, sf).collect()
+    }
+    assert got == {
+        (0, 0): 2,
+        (0, 1): 1,
+        (0, 2): 1,
+        (1, 0): 1,
+        (1, 1): 1,
+    }
+
+
+def test_quantize_reconstruction_bound(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("quant"))
+    vecs = [
+        (0, [1.0, -0.5, 0.25, 0.0], 0),
+        (1, [0.002, -0.001, 0.0005, 0.00025], 1),  # tiny norms still quantize
+        (2, [-2.0, 2.0, 1.0, -1.0], 0),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    out = {r.vec_id: r for r in QUERIES["q_embed_quantize"](spark, sf).collect()}
+    # scale = maxabs/127; the max-magnitude element maps to exactly +/-127
+    assert out[0].scale_r == pytest.approx(1.0 / 127, abs=1e-9)
+    assert out[0].n_clipped == 1
+    assert out[2].n_clipped == 2  # -2.0 and 2.0 both hit the clip rail
+    # checksum is the plain sum of the quantized ints: symmetric vec -> 0
+    assert out[2].q_checksum == 0
+    # reconstruction error bound: |x - q*scale| <= scale/2 per element
+    # -> SSE <= dims * (scale/2)^2, in picounits
+    for r in out.values():
+        scale = r.scale_r
+        assert r.sse_picounits <= 4 * (scale / 2) ** 2 * 1e12 + 4
+
+
+def test_anomaly_flags_only_outliers(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("anomaly"))
+    sec = 1_000_000_000
+    # 20 calm points at 10.00 +/- 0.02 and one 50.00 spike
+    rows = [
+        (i, _T0 + i * sec, 1, "metric", 10.0 + (0.02 if i % 2 else -0.02), "{}")
+        for i in range(20)
+    ] + [(20, _T0 + 21 * sec, 1, "metric", 50.0, "{}")]
+    _write_events(os.path.join(sf, "events.parquet"), rows)
+    out = QUERIES["q_events_anomaly"](spark, sf).collect()
+    assert [r.event_id for r in out] == [20]
+    assert out[0].zscore > 3
