@@ -182,3 +182,53 @@ def q_partition_pruned_scan(spark, sf):
     return back.groupBy("lang", "source").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
     )
+
+
+@query(
+    "q_layout_sorted_scan",
+    oracle="""
+    SELECT source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE n_chars BETWEEN 250 AND 350
+    GROUP BY source
+    """,
+)
+def q_layout_sorted_scan(spark, sf):
+    """Sort-clustered layout + min/max data skipping — the third
+    access path next to partition pruning (q_partition_pruned_scan)
+    and bucketing (q_join_bucketed).
+
+    documents are rewritten `repartitionByRange(n_chars)` +
+    `sortWithinPartitions(n_chars)`, so every parquet file/row-group
+    covers a narrow disjoint n_chars range and its footer min/max
+    stats answer range predicates BEFORE decoding pages. The filtered
+    read pushes the BETWEEN down (PushedFilters, pinned in
+    tests/test_scale.py) and touches only the files whose stats
+    overlap — on a 100 TB corpus a selective range predicate on the
+    cluster key skips all but a few input splits, which is exactly
+    the Z-order/cluster-by discipline table formats formalize (a
+    single sort key needs no Z-curve; multi-key clustering would
+    interleave bits the same way). The oracle pins that the layout
+    rewrite changes NOTHING semantically.
+    """
+    configure(spark)
+    key = ("sorted_docs", sf)
+    if key in _BUILT and not os.path.isdir(_BUILT[key]):
+        del _BUILT[key]
+    if key not in _BUILT:
+        out = os.path.join(tempfile.gettempdir(), f"prs_sorted_docs_{_tag(sf)}")
+        d = load(spark, sf, "documents")
+        (
+            d.repartitionByRange(8, "n_chars")
+            .sortWithinPartitions("n_chars")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _BUILT[key] = out
+    back = spark.read.parquet(_BUILT[key]).filter(
+        F.col("n_chars").between(250, 350)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

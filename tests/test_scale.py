@@ -107,3 +107,16 @@ def test_quantized_sum_headroom(spark):
             f"SELECT SUM(CAST(abs({col}) AS HUGEINT)) * {scale} FROM t"
         ).fetchone()[0]
         assert total * 1000 < budget, (table, col, total)
+
+
+def test_sorted_layout_pushes_range_predicate(spark):
+    """The range predicate must reach the parquet reader of the
+    sort-clustered copy (PushedFilters GTE/LTE on n_chars), which is
+    what lets footer min/max stats skip non-overlapping files."""
+    from pandas_reporter_spark.operators.scale import q_layout_sorted_scan
+
+    df = q_layout_sorted_scan(spark, SF)
+    p = plan_of(df)
+    scan = p.split(") Scan parquet")[1]
+    assert "GreaterThanOrEqual(n_chars,250)" in scan
+    assert "LessThanOrEqual(n_chars,350)" in scan
