@@ -49,3 +49,32 @@ def q_sketch_hll(spark, sf):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__all__").alias("event_type"), "approx_users")
     return per_type.unionAll(merged)
+
+
+@query("q_sketch_quantile")  # rows-only: estimates are sketch-defined
+def q_sketch_quantile(spark, sf):
+    """Approximate quantiles of l_extendedprice per l_returnflag via
+    Spark's one-pass quantile summary (approx_percentile, the
+    Greenwald-Khanna-style mergeable summary), with accuracy dialed by
+    the third argument (10000 -> max rank error 1/10000).
+
+    The quantile half of the sketch family (q_sketch_hll is the
+    cardinality half): exact percentiles (q_agg_percentile) sort
+    within groups — at 100 TB an approx summary partial-aggregates
+    map-side and merges associatively, one scan, bounded state, no
+    within-group sort. tests/test_sketch.py pins estimate-vs-exact
+    rank error.
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.lit(10000),
+        ).alias("approx_pcts")
+    ).select(
+        "l_returnflag",
+        F.col("approx_pcts")[0].alias("p50"),
+        F.col("approx_pcts")[1].alias("p90"),
+        F.col("approx_pcts")[2].alias("p99"),
+    )

@@ -907,3 +907,75 @@ def q_text_repetition(spark, sf):
             "dup_trigram_frac"
         ),
     )
+
+
+@query(
+    "q_text_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok2 GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+    lp AS (
+      SELECT token,
+             CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000.0, 0) AS BIGINT)
+               AS lp_micro
+      FROM cnt, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS mean_logprob
+    FROM tok2 JOIN lp USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_text_logprob(spark, sf):
+    """Model-based quality score without a model: mean per-token log
+    probability under the corpus's own unigram LM (the cheap stand-in
+    for perplexity filtering — docs far below the corpus-typical
+    logprob are rare-token noise; far above are boilerplate).
+
+    Two passes over the token stream, both scale-right: (1) the
+    unigram dictionary — groupBy(token) with map-side combine, shuffle
+    carries the VOCABULARY, not the corpus; total-token count rides
+    along in-plan (crossJoin of a broadcast 1-row aggregate, the
+    q_text_tfidf pattern). (2) scoring — exploded tokens broadcast-
+    join the dictionary and reduce per doc_id. Per-token logprobs are
+    quantized to micro-unit longs before summing, so the per-doc mean
+    is accumulation-order independent; ln() at 6dp matches DuckDB
+    (same discipline as the green TF-IDF/math-pack queries).
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(F.log(F.col("c").cast("double") / F.col("t")) * 1000000.0, 0)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("lp_micro").cast("double") / 1000000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )

@@ -26,3 +26,27 @@ def test_hll_estimates_within_tolerance(spark):
     for k, e in exact.items():
         # lgK=12 standard error ~1.6%; 2% bound with driver-data margin
         assert abs(est[k] - e) <= max(2, 0.02 * e), (k, est[k], e)
+
+
+def test_quantile_sketch_close_to_exact(spark):
+    from pandas_reporter_spark.operators.sketch import q_sketch_quantile
+    from pyspark.sql import functions as F
+
+    got = {r.l_returnflag: r for r in q_sketch_quantile(spark, SF).collect()}
+    li = load(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    for flag, g in got.items():
+        e = exact[flag]
+        for p in ("p50", "p90", "p99"):
+            # rank error 1e-4 at sf0.01 (~20k rows/group) is ~2 ranks:
+            # allow a 1% relative value slack for interpolation diffs
+            assert abs(getattr(g, p) - getattr(e, p)) <= 0.02 * abs(getattr(e, p))
