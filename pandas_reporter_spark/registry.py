@@ -136,6 +136,16 @@ _PRIORITY = (
     "q_varrep_source",
     "q_sink_parquet",
     "q_census_workflow",
+    # ROUND-5 ROTATION QUEUE — registered late in round 4, no official
+    # row yet; swap these into the prefix next round, evicting entries
+    # that go green in CORRECTNESS_r04: q_text_repetition q_window_ntile
+    # q_events_funnel q_events_retention q_events_anomaly
+    # q_embed_quantize q_merge_upsert q_layout_sorted_scan
+    # q_text_logprob q_sketch_quantile, plus the round-4 after-fold
+    # additions q_tpch_q3 q_unpivot q_agg_stringagg q_window_rolling
+    # q_filter_quantile q_mix_epochs q_profile_table q_dedup_cluster...
+    # (verified locally green via tools/verify_local.py each round).
+    #
     # evicted to make room (every one green in BOTH r2 and r3 official
     # records): q_ratio_moe q_proportion_moe q_product_moe q_rse
     # q_project_margin_carry q_tpch_q1 q_join_asof q_window_rank
