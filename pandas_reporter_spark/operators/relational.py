@@ -1617,3 +1617,72 @@ def q_merge_upsert(spark, sf):
         .otherwise("keep")
         .alias("action"),
     )
+
+
+@query(
+    "q_join_band",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.event_type,
+           abs(CAST(round(a.value * 100) AS BIGINT)
+               - CAST(round(b.value * 100) AS BIGINT)) AS dcents
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND abs(CAST(round(a.value * 100) AS BIGINT)
+             - CAST(round(b.value * 100) AS BIGINT)) <= 1
+    """,
+)
+def q_join_band(spark, sf):
+    """Band join: pairs within a value tolerance, WITHOUT the
+    nested-loop plan an inequality predicate naturally compiles to.
+
+    |a.value - b.value| <= 0.01 is converted to an EQUI-join by
+    bucketing on exact integer cents and exploding each probe row
+    into its 3 candidate buckets (c-1, c, c+1); the residual |Δ| <= 1
+    filter then runs on the equi-matched candidates only. A naive
+    theta-join is BroadcastNestedLoopJoin — O(n²) per type and the
+    classic 100 TB killer; the banded form shuffles on
+    (event_type, bucket) — linear, with a constant 3× replication of
+    the probe side, and every true pair is found exactly once (the
+    probe direction that matches the build row's own bucket). Values
+    sit on a cent grid, so the integer-cent band is EXACT — no float
+    boundary ambiguity between engines.
+
+    Reference parity: none (engine-supplied surface, SURVEY §2.2;
+    interval/tolerance joins are the genomics/time-series workhorse).
+    """
+    configure(spark)
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = load(spark, sf, "events").select(
+        F.col("event_id"), F.col("event_type"), cents.alias("cents")
+    )
+    probe = e.select(
+        F.col("event_id").alias("id_a"),
+        "event_type",
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.array(F.col("cents") - 1, F.col("cents"), F.col("cents") + 1)
+        ).alias("bucket"),
+    )
+    build = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    return (
+        probe.join(
+            build,
+            (probe.event_type == build.type_b)
+            & (probe.bucket == build.cents_b),
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("cents_a") - F.col("cents_b")) <= 1)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "event_type",
+            F.abs(F.col("cents_a") - F.col("cents_b")).alias("dcents"),
+        )
+    )

@@ -186,3 +186,57 @@ def q_census_workflow(spark, sf):
     grouped = with_total.group_sum("geoid")
     return grouped.df
 
+
+
+@query(
+    "q_source_schema_merge",
+    oracle="""
+    -- batch 1 (even doc_ids) predates the quality column; batch 2
+    -- (odd) carries quality = n_chars/1000. The merged read must see
+    -- batch-1 quality as NULL — exactly what this UNION models.
+    WITH merged AS (
+      SELECT doc_id, source, CAST(NULL AS DOUBLE) AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, source, round(n_chars / 1000.0, 3) AS quality
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT source, COUNT(*) AS n,
+           CAST(COUNT(quality) AS BIGINT) AS n_scored,
+           round(CAST(SUM(CAST(floor(quality * 1000.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1000.0, 3) AS sum_quality
+    FROM merged GROUP BY source
+    """,
+)
+def q_source_schema_merge(spark, sf):
+    """Schema evolution on a parquet lake: an old batch written WITHOUT
+    the `quality` column and a new batch WITH it, read as one table
+    via mergeSchema — old rows surface NULL for the added column.
+
+    The 100 TB reality: columns get added mid-corpus and you cannot
+    rewrite history. Parquet + `mergeSchema=true` reconciles footer
+    schemas at planning time (on a lake, the table format pins the
+    merged schema in metadata instead, making the read free); readers
+    see one evolved schema and NULL-fill the old files. The oracle
+    models exactly that contract with a UNION, so the hash check pins
+    the NULL-fill semantics, not just row counts.
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="prs_schema_merge_")
+    d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source"
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch1"))
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "source",
+        F.round(F.col("n_chars") / 1000.0, 3).alias("quality"),
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch1"), os.path.join(root, "batch2")
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("quality").alias("n_scored"),
+        F.round(dsum("quality", scale=3), 3).alias("sum_quality"),
+    )
