@@ -1686,3 +1686,102 @@ def q_join_band(spark, sf):
             F.abs(F.col("cents_a") - F.col("cents_b")).alias("dcents"),
         )
     )
+
+
+@query(
+    "q_window_firstlast",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_firstlast(spark, sf):
+    """Positional window pack: first_value / last_value / nth_value
+    over each customer's order history — completing the window family
+    (rank pack, distribution pack, lag/lead, running and rolling
+    frames elsewhere).
+
+    The frame is pinned to the FULL partition (unbounded/unbounded) in
+    both engines: last_value under the default frame is the
+    current-row trap (running last, not partition last) and the
+    explicit frame removes that divergence. Deterministic because the
+    ORDER BY ends in the unique o_orderkey. One shuffle on o_custkey;
+    all three functions evaluate in a single Window node pass.
+
+    Reference parity: none (engine-supplied builtin, SURVEY §2.2).
+    """
+    configure(spark)
+    o = load(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT lang, token, COUNT(*) AS n FROM (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      ) WHERE token <> '' GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token) AS rk
+      FROM c
+    )
+    SELECT lang, token AS mode_token, n AS n_occurrences
+    FROM r WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark, sf):
+    """Deterministic per-group mode: the most frequent token per
+    language, ties broken by smallest token.
+
+    Spark's built-in `mode()` is tie-nondeterministic (hash-order),
+    which can never hash-match another engine — so the mode is
+    computed as count + row_number(count DESC, value), the portable
+    deterministic form. Two map-side-combined aggregations: the
+    shuffle carries the (lang, token) dictionary, and the window runs
+    on per-lang token counts (vocabulary-sized), never the corpus.
+
+    Reference parity: none (engine-supplied surface, SURVEY §2.2).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    c = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "lang",
+            F.col("token").alias("mode_token"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
