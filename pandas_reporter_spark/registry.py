@@ -141,7 +141,9 @@ _PRIORITY = (
     # that go green in CORRECTNESS_r04: q_text_repetition q_window_ntile
     # q_events_funnel q_events_retention q_events_anomaly
     # q_embed_quantize q_merge_upsert q_layout_sorted_scan
-    # q_text_logprob q_sketch_quantile, plus the round-4 after-fold
+    # q_text_logprob q_sketch_quantile q_join_band q_dedup_fuzzy
+    # q_source_schema_merge q_window_firstlast q_agg_mode
+    # q_text_repetition, plus the round-4 after-fold
     # additions q_tpch_q3 q_unpivot q_agg_stringagg q_window_rolling
     # q_filter_quantile q_mix_epochs q_profile_table q_dedup_cluster...
     # (verified locally green via tools/verify_local.py each round).
