@@ -979,3 +979,87 @@ def q_text_logprob(spark, sf):
             ).alias("mean_logprob"),
         )
     )
+
+
+@query(
+    "q_text_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT source, token FROM tok WHERE token <> ''),
+    st AS (SELECT source, token, COUNT(*) AS c_st FROM tok2 GROUP BY 1, 2),
+    s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+    g AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+    terms AS (
+      SELECT st.source, s.n_s,
+             CAST(round(CAST(c_st AS DOUBLE)
+                        * ln((CAST(c_st AS DOUBLE) * n)
+                             / (CAST(n_s AS DOUBLE) * c_t))
+                        * 1000000.0, 0) AS BIGINT) AS term_micro
+      FROM st JOIN s USING (source) JOIN g USING (token) CROSS JOIN tot
+    )
+    SELECT source, n_s AS n_tokens,
+           round(CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 / n_s, 6)
+             AS kl_nats
+    FROM terms GROUP BY source, n_s
+    """,
+)
+def q_text_kl_divergence(spark, sf):
+    """Corpus drift diagnostic: KL(source ‖ corpus) over token
+    distributions — the mixture-weighting signal (a source whose
+    token distribution diverges from the corpus is over/under-mixed,
+    or contaminated).
+
+    KL(p_s‖p) = (1/n_s)·Σ_t c_st·ln((c_st·n)/(n_s·c_t)), computed
+    entirely on exact integer counts with ONE double ln per
+    (source, token) cell. Three dictionary-sized aggregations (the
+    shuffles carry (source, token), source, and token counts — never
+    the corpus); the grand total rides in-plan as a broadcast 1-row
+    aggregate. Per-cell terms quantize to micro-unit longs before the
+    sum, so the per-source KL is accumulation-order independent and
+    hash-exact cross-engine (ln at 6dp — the q_text_logprob
+    discipline).
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3 text family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    g = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    tot = st.agg(F.sum("c_st").alias("n"))
+    ratio = (F.col("c_st").cast("double") * F.col("n")) / (
+        F.col("n_s").cast("double") * F.col("c_t")
+    )
+    terms = (
+        st.join(F.broadcast(s), "source")
+        .join(F.broadcast(g), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.round(
+                F.col("c_st").cast("double") * F.log(ratio) * 1000000.0, 0
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return terms.groupBy("source", "n_s").agg(
+        F.round(
+            F.sum("term_micro").cast("double") / 1000000.0 / F.col("n_s"), 6
+        ).alias("kl_nats")
+    ).select(
+        "source", F.col("n_s").alias("n_tokens"), "kl_nats"
+    )
