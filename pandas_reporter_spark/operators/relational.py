@@ -1785,3 +1785,48 @@ def q_agg_mode(spark, sf):
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+             * CAST(50000.0 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark, sf):
+    """Equi-width histogram of order totals (bin width 50k): the
+    distribution-profiling primitive behind every dashboard
+    histogram and data-quality drift check.
+
+    Binning is pure integer floor arithmetic in the scan stage —
+    identical in both engines, no width_bucket dialect dependence —
+    followed by one map-side-combined groupBy whose key space is the
+    BIN COUNT (bounded, tiny), not the row count. At 100 TB this is
+    the canonical scan+combine shape: constant state per bin,
+    no skew (bins are value-ranged), result size independent of data
+    size.
+
+    Reference parity: none (engine-supplied surface, SURVEY §2.2).
+    """
+    configure(spark)
+    o = load(spark, sf, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        o.select(
+            bin_.alias("bin"),
+            (bin_ * 50000.0).alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
