@@ -60,6 +60,16 @@ BENCH_QUERIES = [
     "q_join_bucketed",
     "q_join_salted",
     "q_partition_pruned_scan",
+    # round-4 late additions: repetition signals, unigram-LM scoring,
+    # KL drift, SymSpell fuzzy ER, banded tolerance join, funnel,
+    # histogram — real compute, representative of the widened surface
+    "q_text_repetition",
+    "q_text_logprob",
+    "q_text_kl_divergence",
+    "q_dedup_fuzzy",
+    "q_join_band",
+    "q_events_funnel",
+    "q_agg_histogram",
 ]
 
 
