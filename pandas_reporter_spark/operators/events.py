@@ -613,3 +613,66 @@ def q_events_anomaly(spark, sf):
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@query(
+    "q_events_resample",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(gs.g AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                CAST(hi AS TIMESTAMP),
+                                                INTERVAL 1 DAY)) AS g
+                  FROM span) gs
+    )
+    SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN c
+      ON g.event_type = c.event_type AND g.day = c.day
+    """,
+)
+def q_events_resample(spark, sf):
+    """Resample an irregular event stream onto a regular daily grid,
+    zero-filling silent days — the gap-filling step every time-series
+    chart/model needs (a day with no 'error' events must report 0,
+    not vanish).
+
+    The grid is GENERATED in-plan — distinct types × explode(
+    sequence(min_day, max_day)) from a broadcast 1-row span aggregate
+    — so no calendar table is maintained, and the left join back onto
+    the daily counts is dimension-sized (types × days), never
+    corpus-sized. At 100 TB the only full scan is the daily-count
+    aggregation (map-side combined, key space = types × days); the
+    gap-fill itself costs nothing that scales with event volume.
+
+    Reference parity: none (driver-mandated events surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    c = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = span.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    return grid.join(c, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
