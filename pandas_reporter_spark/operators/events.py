@@ -676,3 +676,118 @@ def q_events_resample(spark, sf):
     return grid.join(c, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_events_transitions(spark, sf):
+    """First-order transition counts over each user's event sequence
+    (the Markov matrix behind 'what do users do after X' and
+    next-event prediction features).
+
+    lead() over (user, time) pairs each event with its successor in
+    ONE window pass — the shuffle is on user_id and the per-user sort
+    is the only ordering work; the transition aggregation then
+    reduces to a (types × types) key space, constant-sized output
+    regardless of volume. Ordering ties broken by the unique
+    event_id, so the sequence — and the counts — are deterministic in
+    both engines. At 100 TB: one shuffle, bounded state, no
+    self-join on the stream (the naive formulation joins the stream
+    to itself on adjacency).
+
+    Reference parity: none (driver-mandated events surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_fillna_group",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END
+               AS value_gapped
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(value_gapped * 100.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 / COUNT(value_gapped) AS user_mean
+      FROM base GROUP BY user_id
+    )
+    SELECT b.event_id, b.user_id, b.event_type,
+           round(COALESCE(b.value_gapped, m.user_mean), 4) AS value_imputed,
+           (b.value_gapped IS NULL) AS was_imputed
+    FROM base b JOIN m ON b.user_id = m.user_id
+    """,
+)
+def q_fillna_group(spark, sf):
+    """Group-mean imputation: NULL metric values (here: gapped on the
+    'error' type to model sensor dropout) filled with the OWNER's
+    per-user mean — the standard ML-prep step one level above the
+    scalar fillna (q_fillna).
+
+    The per-user means are a map-side-combined aggregation over
+    integer cents (order-independent, engine-exact) joined back on
+    user_id; SUM/COUNT skip NULLs identically in both engines, so the
+    mean is over observed values only. At 100 TB both the agg and the
+    join shuffle on user_id once — or zero times if the table is
+    already bucketed by user (q_join_bucketed's discipline); the
+    imputation itself is a codegen'd coalesce in the scan stage.
+
+    Reference parity: fillna exercised in reference
+    test_basic.py (scalar form); the grouped form is the
+    driver-mandated ML-prep extension (SURVEY §2.3).
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value_gapped"),
+    )
+    cents = F.floor(F.col("value_gapped") * 100.0 + 0.5).cast("long")
+    m = base.groupBy("user_id").agg(
+        (
+            F.sum(cents).cast("double") / 100.0 / F.count("value_gapped")
+        ).alias("user_mean")
+    )
+    return base.join(m, "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.coalesce("value_gapped", "user_mean"), 4).alias(
+            "value_imputed"
+        ),
+        F.col("value_gapped").isNull().alias("was_imputed"),
+    )
