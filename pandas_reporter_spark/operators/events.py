@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
-from pandas_reporter_spark.tables import dsum, load
+from pandas_reporter_spark.tables import dsum, load, oracle_dsum
 
 
 @query(
@@ -446,6 +446,46 @@ def q_stream_file_sink(spark, sf):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_stream_enrich",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS win_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           {oracle_dsum("e.value")} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark, sf):
+    """Stream-static enrichment: the standard ingestion topology where
+    each arriving event is joined against a slowly-changing dimension
+    BEFORE aggregation (clickstream x customer-profile, log x service
+    catalog). The static side is broadcast, so the stream-side join
+    adds no shuffle and no state — every micro-batch hash-probes the
+    dim locally; only the windowed agg keeps state. At 100 TB/day the
+    dim refresh is a re-broadcast, never a repartition of the stream.
+    The enriched agg (count + integer-cent value sum per window x
+    segment) matches the plain batch join+GROUP BY oracle through the
+    genuine micro-batch state-store path."""
+    configure(spark)
+    s = _read_events_stream(spark, sf)
+    dim = F.broadcast(
+        load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = (
+        s.withWatermark("ts", "10 minutes")
+        .join(dim, s["user_id"] == dim["c_custkey"])
+        .select("ts", F.col("c_mktsegment").alias("segment"), "value")
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "10 minutes").alias("w"), "segment")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "segment", "n", "sum_value")
+    )
+    return _run_stream(spark, agg, "complete")
 
 
 @query(

@@ -255,6 +255,60 @@ def q_tpch_q3(spark, sf):
 
 
 @query(
+    "q_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {oracle_dsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {oracle_dsum("l_quantity")} > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN big ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark, sf):
+    """TPC-H-Q18-style large-volume customers: aggregate-as-join-input
+    (the HAVING-subquery shape). The canonical plan at 100 TB: the
+    per-order quantity sum is a map-side-combined groupBy on the
+    lineitem scan — the fact table collapses to one row per order
+    BEFORE any join moves data, and the `> 200` filter then drops
+    ~94% of those rows, so the surviving "big orders" side is small
+    enough for AQE to broadcast into the orders join; customer joins
+    last on the already-tiny result. Order-key partial aggregation +
+    early selectivity is exactly how a warehouse avoids joining the
+    raw 100 TB fact twice (adapted from the public TPC-H spec, Q18).
+    The top-100 compiles to TakeOrderedAndProject with a unique
+    (o_totalprice, o_orderdate, o_orderkey) tiebreak so LIMIT is
+    deterministic across engines."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
     "q_agg_global",
     oracle=f"""
     SELECT {oracle_dsum('l_quantity')} AS sum_qty,

@@ -137,3 +137,32 @@ def test_anomaly_flags_only_outliers(spark, tmp_path_factory):
     out = QUERIES["q_events_anomaly"](spark, sf).collect()
     assert [r.event_id for r in out] == [20]
     assert out[0].zscore > 3
+
+
+def test_stream_enrich_joins_dim_before_agg(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("enrich"))
+    minute = 60 * 1_000_000_000
+    # users 1,2 -> AUTO; user 3 -> RAIL; two 10-min windows
+    rows = [
+        (0, _T0 + 1 * minute, 1, "view", 1.25, "{}"),
+        (1, _T0 + 2 * minute, 2, "view", 2.25, "{}"),
+        (2, _T0 + 3 * minute, 3, "view", 4.00, "{}"),
+        (3, _T0 + 11 * minute, 1, "click", 8.50, "{}"),
+    ]
+    _write_events(os.path.join(sf, "events.parquet"), rows)
+    dim = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_mktsegment": pa.array(["AUTO", "AUTO", "RAIL"], pa.string()),
+        }
+    )
+    pq.write_table(dim, os.path.join(sf, "customer.parquet"))
+    out = {
+        (r.win_start.minute, r.segment): r
+        for r in QUERIES["q_stream_enrich"](spark, sf).collect()
+    }
+    assert set(out) == {(0, "AUTO"), (0, "RAIL"), (10, "AUTO")}
+    w0 = out[(0, "AUTO")]
+    assert w0.n == 2 and w0.sum_value == 3.5
+    assert out[(0, "RAIL")].n == 1 and out[(0, "RAIL")].sum_value == 4.0
+    assert out[(10, "AUTO")].n == 1 and out[(10, "AUTO")].sum_value == 8.5
