@@ -309,6 +309,64 @@ def q_tpch_q18(spark, sf):
 
 
 @query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf):
+    """TPC-H-Q5-style local-supplier volume: the 6-table snowflake join
+    (two fact-sized sides, four dims) with the cross-fact correlation
+    predicate c_nationkey = s_nationkey. The 100 TB plan shape:
+    region→nation is dim-on-dim (broadcast, prunes nations to one
+    region before anything large moves), supplier⨝nation broadcasts
+    down to a filtered supplier dim, the date filter pushes to the
+    orders scan, and the only real shuffles are the two fact joins
+    (orders⨝customer on custkey, lineitem⨝orders on orderkey); the
+    final 5-row nation rollup is map-side combined. Catalyst's join
+    reordering + AQE pick broadcast for every dim side — the classic
+    star-schema execution a warehouse lives on (adapted from the
+    public TPC-H spec, Q5)."""
+    configure(spark)
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+    )
+
+
+@query(
     "q_agg_global",
     oracle=f"""
     SELECT {oracle_dsum('l_quantity')} AS sum_qty,
