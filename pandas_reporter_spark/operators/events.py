@@ -489,6 +489,76 @@ def q_stream_enrich(spark, sf):
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS latency_us
+    FROM events v JOIN events c ON v.user_id = c.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+def q_stream_stream_join(spark, sf):
+    """Stream-stream inner join: views x clicks per user within a
+    30-minute event-time window — attribution, the join Structured
+    Streaming exists for. Both sides carry a watermark AND the join
+    condition bounds click.ts to [view.ts, view.ts + 30min], which is
+    what lets the engine EVICT state: a buffered view can be dropped
+    once the click-side watermark passes view.ts + 30min, so state is
+    bounded by the time window x arrival skew, not by history — the
+    property that makes this run forever on a 100 TB/day stream. Each
+    side pre-filters its event type at the scan (pushed predicate), so
+    only the two relevant slices are ever buffered; the join itself
+    hash-partitions both streams on user_id once. Over this finite
+    single-batch input nothing is evicted early, so the result equals
+    the batch interval self-join the oracle runs."""
+    configure(spark)
+    # same state-partition bound as the other streaming queries: one
+    # state store per shuffle partition per side; 8 is plenty for the
+    # test scale while a deployment sizes this to state-bytes/executor
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(prev_parts))))
+    views = (
+        _read_events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    clicks = (
+        _read_events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
+        ).alias("latency_us"),
+    )
+    try:
+        return _run_stream(spark, joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@query(
     "q_events_funnel",
     oracle="""
     WITH v AS (

@@ -166,3 +166,20 @@ def test_stream_enrich_joins_dim_before_agg(spark, tmp_path_factory):
     assert w0.n == 2 and w0.sum_value == 3.5
     assert out[(0, "RAIL")].n == 1 and out[(0, "RAIL")].sum_value == 4.0
     assert out[(10, "AUTO")].n == 1 and out[(10, "AUTO")].sum_value == 8.5
+
+
+def test_stream_stream_join_window_bounds(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("ssjoin"))
+    minute = 60 * 1_000_000_000
+    rows = [
+        (0, _T0, 1, "view", 0.0, "{}"),
+        (1, _T0 + 30 * minute, 1, "click", 0.0, "{}"),  # at bound: included
+        (2, _T0 + 31 * minute, 1, "click", 0.0, "{}"),  # past bound: excluded
+        (3, _T0 + 5 * minute, 2, "click", 0.0, "{}"),   # other user: excluded
+        (4, _T0 - 1 * minute, 1, "click", 0.0, "{}"),   # before view: excluded
+    ]
+    _write_events(os.path.join(sf, "events.parquet"), rows)
+    out = QUERIES["q_stream_stream_join"](spark, sf).collect()
+    assert [(r.user_id, r.view_id, r.click_id, r.latency_us) for r in out] == [
+        (1, 0, 1, 30 * 60 * 1_000_000)
+    ]
