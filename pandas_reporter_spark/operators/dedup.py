@@ -637,3 +637,94 @@ def q_dedup_fuzzy(spark, sf):
             F.levenshtein("name_a", "name_b").alias("dist"),
         )
     )
+
+
+@query(
+    "q_dedup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(gs.i AS BIGINT) AS chunk_idx,
+             array_to_string(
+               t[CAST(gs.i*16+1 AS BIGINT):CAST(gs.i*16+16 AS BIGINT)], ' '
+             ) AS chunk
+      FROM toks, LATERAL (
+        SELECT UNNEST(range(0, CAST(ceil(len(t)/16.0) AS BIGINT))) AS i
+      ) gs
+    ),
+    firsts AS (
+      SELECT chunk, MIN(doc_id*100000 + chunk_idx) AS first_key
+      FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN c.doc_id*100000 + c.chunk_idx = f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(
+             CASE WHEN c.doc_id*100000 + c.chunk_idx = f.first_key
+                  THEN c.chunk END, ' ' ORDER BY c.chunk_idx)) AS kept_md5
+    FROM chunks c JOIN firsts f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def q_dedup_spans(spark, sf):
+    """Span-level exact dedup (the C4/RefinedWeb curation op): drop
+    every occurrence of a repeated 16-token span except the globally
+    first one (ordered by doc_id, position), then report per document
+    how much survived plus an md5 fingerprint of the deduplicated
+    text. Unlike document-level dedup this removes boilerplate that
+    is EMBEDDED in otherwise-unique pages — headers, navigation,
+    license blurbs — the dominant duplication mode in web corpora.
+
+    Scale shape: chunking happens in the scan stage (split + sequence
+    + slice — zero shuffle, docs never leave their partition intact);
+    the global first-occurrence is a groupBy(chunk).min(key) — map-
+    side combined, so a boilerplate span appearing a billion times
+    combines to ONE row per input partition before the shuffle, which
+    is why this beats the window form (PARTITION BY chunk must move
+    every occurrence of the hot span to one reducer — guaranteed skew
+    at 100 TB); the keeper flag comes back via an equi-join on the
+    chunk (both sides already hash-partitioned on it), and the per-doc
+    rebuild is a second map-side-combinable groupBy. State per
+    distinct span is one long."""
+    configure(spark)
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(16.0)).cast("long")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i * 16 + 1, 16)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("_key", F.col("doc_id") * 100000 + F.col("chunk_idx"))
+    firsts = chunks.groupBy("chunk").agg(F.min("_key").alias("first_key"))
+    joined = chunks.join(firsts, "chunk")
+    is_first = F.col("_key") == F.col("first_key")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(is_first, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(is_first, F.struct("chunk_idx", "chunk"))
+            )
+        ).alias("_kept"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform("_kept", lambda s: s["chunk"])
+                )
+            ),
+        ).alias("kept_md5"),
+    )

@@ -73,3 +73,29 @@ def test_connected_components_transitive_chain(spark):
         for r in connected_components(nodes, pairs, "doc_a", "doc_b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_span_dedup_drops_repeated_boilerplate(spark, tmp_path_factory):
+    import os
+
+    sf = str(tmp_path_factory.mktemp("spans"))
+    boiler = " ".join(f"b{i}" for i in range(16))  # exactly one chunk
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"c{i}" for i in range(16))
+    rows = [
+        (0, boiler + " " + uniq_a, "en", "web", 0),
+        (1, boiler + " " + uniq_b, "en", "web", 0),  # boiler repeats: dropped
+        (2, boiler, "en", "web", 0),                 # all chunks dropped
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    from pandas_reporter_spark.registry import QUERIES
+
+    out = {r.doc_id: r for r in QUERIES["q_dedup_spans"](spark, sf).collect()}
+    assert out[0].n_chunks == 2 and out[0].n_kept == 2  # first occurrence kept
+    assert out[1].n_chunks == 2 and out[1].n_kept == 1
+    assert out[2].n_chunks == 1 and out[2].n_kept == 0
+    assert out[2].kept_md5 is None  # fully-deduplicated doc -> no text
