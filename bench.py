@@ -70,6 +70,14 @@ BENCH_QUERIES = [
     "q_join_band",
     "q_events_funnel",
     "q_agg_histogram",
+    # post-fold additions: deep TPC-H joins, stream-stream interval
+    # join, stream-static enrichment, span-level corpus dedup
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    "q_stream_stream_join",
+    "q_stream_enrich",
+    "q_dedup_spans",
 ]
 
 

@@ -144,7 +144,8 @@ _PRIORITY = (
     # q_text_logprob q_sketch_quantile q_join_band q_dedup_fuzzy
     # q_source_schema_merge q_window_firstlast q_agg_mode
     # q_text_repetition, plus the round-4 after-fold
-    # additions q_tpch_q3 q_tpch_q18 q_stream_enrich q_unpivot
+    # additions q_tpch_q3 q_tpch_q5 q_tpch_q18 q_stream_enrich
+    # q_stream_stream_join q_dedup_spans q_unpivot
     # q_agg_stringagg q_window_rolling
     # q_filter_quantile q_mix_epochs q_profile_table q_dedup_cluster...
     # (verified locally green via tools/verify_local.py each round).

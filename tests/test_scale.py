@@ -120,3 +120,34 @@ def test_sorted_layout_pushes_range_predicate(spark):
     scan = p.split(") Scan parquet")[1]
     assert "GreaterThanOrEqual(n_chars,250)" in scan
     assert "LessThanOrEqual(n_chars,350)" in scan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """The 6-table snowflake: every dim side broadcasts; the only
+    Exchange below the plan is the final nation rollup; region/date
+    filters reach their scans as pushed predicates."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = plan_of(QUERIES["q_tpch_q5"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "EqualTo(r_name,ASIA)" in p  # pushed to the region scan
+    assert "GreaterThanOrEqual(o_orderdate" in p  # pushed to orders
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """Aggregate-as-join-input: the per-order quantity rollup must sit
+    BELOW the joins (partial aggregate on the lineitem scan), and the
+    top-100 compiles to TakeOrderedAndProject, not a global sort."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = plan_of(QUERIES["q_tpch_q18"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    # map-side combine on the lineitem scan: a partial_sum of the
+    # quantity units must exist (the fact collapses before joining)
+    assert "partial_sum" in p
+    # the >200 selectivity filter applies to the aggregated sum_qty,
+    # not to raw lineitem rows
+    assert "sum_qty" in p and "200" in p
