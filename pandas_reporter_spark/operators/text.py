@@ -327,20 +327,38 @@ def q_text_langid(spark, sf):
     beyond its own distinct + groupBy(doc_id). On real multilingual
     data the profile would be char n-grams — same plan, different
     tokenizer expression.
+
+    Both branches (lang profiles, per-doc distinct tokens) derive from
+    ONE persisted (doc, lang, token, count) aggregate — same discipline
+    as the TF-IDF tf table: the corpus is tokenized and shuffled once,
+    and what's cached is the compact dictionary, never the exploded
+    corpus. Honest local measurement: at sf0.1 this is ~0.15s SLOWER
+    than re-tokenizing twice (cache materialization is an extra job,
+    and 120 MB re-tokenizes cheaply) — the form is chosen for the
+    cluster case, where the eliminated second pass is a full corpus
+    scan plus an exploded-token shuffle and the cached dictionary is
+    the far smaller artifact.
     """
     configure(spark)
+    from pyspark import StorageLevel
+
     d = load(spark, sf, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
-    lang_counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    cnt = (
+        tok.groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lang_counts = cnt.groupBy("lang", "token").agg(F.sum("c").alias("n"))
     w_top = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
     lang_top = (
         lang_counts.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 20)
         .select("lang", "token")
     )
-    doc_toks = tok.select("doc_id", "token").distinct()
+    doc_toks = cnt.select("doc_id", "token")  # one row per (doc, token)
     scores = (
         doc_toks.join(F.broadcast(lang_top), "token")
         .groupBy("doc_id", "lang")
@@ -841,63 +859,52 @@ def q_text_repetition(spark, sf):
     with a single dominant bigram or heavy trigram reuse are machine-
     generated/boilerplate candidates).
 
-    Plan: one scan builds the shingle arrays (slice + flat zip_with —
-    kept single-level per the measured interpreted-HOF trap), explode,
-    then groupBy(doc_id, gram) -> groupBy(doc_id). Both aggregations
-    are map-side combined and keyed by doc_id-prefixed keys, so at
-    100 TB this is one corpus-wide shuffle of (doc, gram, count)
-    dictionaries, never raw text; skew is bounded because grams are
-    counted WITHIN a document (partition count scales with the corpus,
-    state per key is one long).
+    Plan: ZERO shuffle. Gram counting is WITHIN a document, so the
+    whole computation is local to each row — an Arrow-batched
+    mapInPandas kernel emits the four per-doc counts (top bigram
+    count, bigram total, distinct/total trigrams) straight from the
+    scan stage; no explode, no corpus-wide gram shuffle, no join.
+    The previous exploded groupBy→groupBy→join form moved every gram
+    of the corpus through two shuffles to compute numbers each doc
+    already knew (3.5× slower measured at sf0.1, and strictly worse
+    at 100 TB where the gram shuffle is the whole cost). Counts stay
+    integers in the kernel; the frac division + rounding runs JVM-side
+    so cross-engine float behavior is unchanged.
 
     Reference parity: none (driver-mandated pipeline surface, SURVEY
     §2.3 text family).
     """
+    import pandas as pd  # noqa: F811 — worker-side import
+
     configure(spark)
-    d = load(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    base = (
-        d.select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            "t",
-            F.size("t").alias("n_tokens"),
-            # bigram[i] = t[i] + ' ' + t[i+1] — ONE flat zip_with (the
-            # measured interpreted-HOF trap forbids nesting lambdas).
-            F.zip_with(
-                F.expr("slice(t, 1, size(t) - 1)"),
-                F.expr("slice(t, 2, size(t) - 1)"),
-                lambda x, y: F.concat_ws(" ", x, y),
-            ).alias("bigrams"),
-        )
-        # trigram[i] = bigram[i] + ' ' + t[i+2]; the bigrams column is
-        # materialized above so this lambda stays single-level too.
-        .withColumn(
-            "trigrams",
-            F.zip_with(
-                F.expr("slice(bigrams, 1, size(bigrams) - 1)"),
-                F.expr("slice(t, 3, size(t) - 2)"),
-                lambda b, z: F.concat_ws(" ", b, z),
-            ),
-        )
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def gram_counts(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_tokens": [], "top_n": [],
+                   "n_bg": [], "nd": [], "nt": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.lower().split(" ")
+                n = len(toks)
+                if n < 3:
+                    continue
+                bc = Counter(zip(toks, toks[1:]))
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["top_n"].append(max(bc.values()))
+                out["n_bg"].append(n - 1)
+                out["nd"].append(len(set(zip(toks, toks[1:], toks[2:]))))
+                out["nt"].append(n - 2)
+            yield pd.DataFrame(out)
+
+    stats = d.mapInPandas(
+        gram_counts,
+        schema="doc_id long, n_tokens long, top_n long, n_bg long, "
+               "nd long, nt long",
     )
-    bstats = (
-        base.select("doc_id", "n_tokens", F.explode("bigrams").alias("bigram"))
-        .groupBy("doc_id", "n_tokens", "bigram")
-        .count()
-        .groupBy("doc_id", "n_tokens")
-        .agg(F.max("count").alias("top_n"), F.sum("count").alias("n_bg"))
-    )
-    tstats = (
-        base.select("doc_id", F.explode("trigrams").alias("trigram"))
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("trigram").alias("nd"),
-            F.count(F.lit(1)).alias("nt"),
-        )
-    )
-    return bstats.join(tstats, "doc_id").select(
+    return stats.select(
         "doc_id",
         "n_tokens",
         F.round(F.col("top_n").cast("double") / F.col("n_bg"), 6).alias(
