@@ -21,6 +21,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
 
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
@@ -186,9 +187,9 @@ def _read_events_stream(spark, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    return s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")).select(
-        *batch.columns
-    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        s = s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return s.select(*batch.columns)
 
 
 @query(

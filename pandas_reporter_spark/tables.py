@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -40,9 +41,11 @@ def sf_dir() -> str:
 def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     """Parquet scan of one driver table (vectorized reader, pushdown-able).
 
-    events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw long via the
-    legacy conf and truncate ns→µs (the data is µs-granular — probed zero
+    Some driver snapshots write events.parquet `ts` as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL); others
+    write plain TIMESTAMP(MICROS). Handle both: read with the legacy
+    nanosAsLong conf (a no-op for µs files) and, only when `ts` surfaces
+    as a raw long, truncate ns→µs (the data is µs-granular — probed zero
     sub-µs components — so this is lossless and matches DuckDB, which
     surfaces the same column as a plain µs TIMESTAMP).
     """
@@ -50,7 +53,9 @@ def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
