@@ -21,11 +21,10 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
-from pandas_reporter_spark.tables import dsum, load, oracle_dsum
+from pandas_reporter_spark.tables import dsum, load, normalize_ts, oracle_dsum
 
 
 @query(
@@ -177,7 +176,13 @@ def _run_stream(spark, stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 
 def _read_events_stream(spark, sf: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs fix applied."""
+    """readStream over the events parquet, ts normalized to TIMESTAMP.
+
+    Shares `tables.normalize_ts` with the batch loader so the two paths
+    can't drift: whatever physical ts type the driver snapshot writes
+    (ns-INT64, µs-NTZ, µs-LTZ), the stream surfaces event-time as LTZ —
+    `withWatermark` rejects anything else.
+    """
     batch = load(spark, sf, "events")  # sets nanosAsLong conf
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # the file stream source monitors a DIRECTORY; glob-filter to the
@@ -187,9 +192,7 @@ def _read_events_stream(spark, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        s = s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return s.select(*batch.columns)
+    return normalize_ts(s).select(*batch.columns)
 
 
 @query(

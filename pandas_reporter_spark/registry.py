@@ -66,98 +66,74 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # census semantics: q_sum_m represents the M1-M5/R1 algebra (all
-    # green in r2+r3); the grouped-RSS pair stays because the round-4
-    # micro-unit quantizer changed their numbers and needs a fresh row
-    "q_sum_m",
-    "q_groupby_rss",
-    "q_groupby_mean",
-    # scalar packs, never inside an official window before round 4
-    "q_math_funcs",
-    "q_case_when",
-    "q_null_funcs",
-    "q_json_extract",
-    "q_map_funcs",
-    "q_array_funcs",
-    "q_explode",
-    "q_sample",
-    "q_udf_pandas",
-    # dedup family (exact + keep_first evicted this round — green in the
-    # r3 official record, unchanged — for the NEW connected-components
-    # cluster query and the NEW chunking query below)
-    "q_dedup_cluster",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    # text analysis (token_stats + fingerprint evicted this round —
-    # both green in the r3 official record — for the two NEW round-4
-    # queries: the composed curation pipeline and the HLL sketch)
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_text_langid",
-    "q_text_decontaminate",
-    "q_pipeline_curate",
-    "q_sketch_hll",
-    "q_text_chunk",
-    "q_text_redact",
-    "q_text_pack",
-    "q_sample_stratified",
-    # similarity search
-    "q_similarity_topk",
-    "q_similarity_join",
-    "q_similarity_ann_lsh",
-    "q_similarity_ivf",
-    # NEW round-4 VariantType query takes q_embed_stats's slot
-    # (embed_stats green in r3, unchanged since)
-    "q_json_variant",
-    # event-time windows + streaming (sliding + tumbling evicted this
-    # round — green in r3 — for the NEW append-mode file-sink stream
-    # and the NEW redaction query above)
-    "q_events_session",
+    # ---- ROUND-5 ROTATION (planned in round 4, executed here). ----
+    # Slots 1-4: the r4-red streaming queries, kept in-window so the
+    # TIMESTAMP_NTZ fix (tables.normalize_ts) gets official green rows
+    # replacing the red ones.
     "q_stream_file_sink",
     "q_events_late",
     "q_events_stream_dedup",
-    "q_events_stateful",
     "q_events_stream_session",
-    # multimodal plumbing
-    "q_multimodal_pack",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_resize",
-    # 100 TB scale techniques
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_partition_pruned_scan",
-    # sources / sinks (cr_pivot recorded rows-only in r3; the NEW bulk
-    # ingest takes its slot this round)
-    "q_source_cr_bulk",
-    "q_source_csv_roundtrip",
-    "q_varrep_moe",
-    "q_varrep_source",
-    "q_sink_parquet",
-    "q_census_workflow",
-    # ROUND-5 ROTATION QUEUE — registered late in round 4, no official
-    # row yet; swap these into the prefix next round, evicting entries
-    # that go green in CORRECTNESS_r04: q_text_repetition q_window_ntile
-    # q_events_funnel q_events_retention q_events_anomaly
-    # q_embed_quantize q_merge_upsert q_layout_sorted_scan
-    # q_text_logprob q_sketch_quantile q_join_band q_dedup_fuzzy
-    # q_source_schema_merge q_window_firstlast q_agg_mode
-    # q_text_repetition, plus the round-4 after-fold
-    # additions q_tpch_q3 q_tpch_q5 q_tpch_q18 q_stream_enrich
-    # q_stream_stream_join q_dedup_spans q_unpivot
-    # q_agg_stringagg q_window_rolling
-    # q_filter_quantile q_mix_epochs q_profile_table q_dedup_cluster...
-    # (verified locally green via tools/verify_local.py each round).
-    #
-    # evicted to make room (every one green in BOTH r2 and r3 official
-    # records): q_ratio_moe q_proportion_moe q_product_moe q_rse
-    # q_project_margin_carry q_tpch_q1 q_join_asof q_window_rank
-    # q_agg_stats q_embed_stats q_dedup_exact q_dedup_keep_first
-    # q_dedup_ngram_jaccard q_events_sliding q_events_tumbling
-    # q_text_tokens q_text_token_stats q_text_fingerprint, plus
-    # r3-recorded rows-only q_source_cr_pivot — all re-register right
-    # after the fold
+    # Slots 5-36: every registered query that has NEVER had an official
+    # CORRECTNESS row (computed r1∪r2∪r3∪r4; all verified green locally
+    # via tools/verify_local.py). Three of these (funnel, enrich,
+    # stream-stream join) were also NTZ-broken and are now fixed.
+    "q_events_funnel",
+    "q_stream_enrich",
+    "q_stream_stream_join",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    "q_agg_stringagg",
+    "q_unpivot",
+    "q_profile_table",
+    "q_window_rolling",
+    "q_window_ntile",
+    "q_window_firstlast",
+    "q_merge_upsert",
+    "q_join_band",
+    "q_agg_mode",
+    "q_agg_histogram",
+    "q_embed_quantize",
+    "q_dedup_fuzzy",
+    "q_dedup_spans",
+    "q_filter_quantile",
+    "q_mix_epochs",
+    "q_text_repetition",
+    "q_text_logprob",
+    "q_text_kl_divergence",
+    "q_events_retention",
+    "q_events_anomaly",
+    "q_events_resample",
+    "q_events_transitions",
+    "q_fillna_group",
+    "q_layout_sorted_scan",
+    "q_sketch_quantile",
+    "q_source_schema_merge",
+    # Slots 37-50: queries whose physical plan changed this round —
+    # every batch events query now flows through normalize_ts, and the
+    # perf items under work (langid kernel, broadcast-join overhead) —
+    # plus the flagship and the longest-unrecorded r3 greens, so the
+    # official record re-confirms them post-change.
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_session",
+    "q_events_stateful",
+    "q_text_langid",
+    "q_join_broadcast",
+    "q_tpch_q1",
+    "q_dedup_exact",
+    "q_dedup_keep_first",
+    "q_dedup_ngram_jaccard",
+    "q_text_tokens",
+    "q_text_token_stats",
+    "q_text_fingerprint",
+    "q_source_cr_pivot",
+    # Evicted to make room: everything green in the r4 official record
+    # (q_sum_m q_groupby_rss q_groupby_mean the scalar packs the
+    # dedup/text/similarity/multimodal/scale/source families —
+    # 46 rows) — all unchanged since r4 and re-registered right after
+    # the fold; r2∪r3∪r4∪r5 then carries an official row for all 139.
 )
 
 

@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -38,25 +38,71 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType (LTZ), whatever the
+    driver snapshot wrote.
+
+    The testdata's `ts` physical type has changed once mid-project
+    already (ns-INT64 → µs TIMESTAMP_NTZ), so every read path — batch
+    and stream — funnels through this one helper:
+
+    - LongType (legacy nanosAsLong read of a TIMESTAMP(NANOS) file):
+      truncate ns→µs. The data is µs-granular (probed zero sub-µs
+      components) so this is lossless and matches DuckDB.
+    - TimestampNTZType (µs file with isAdjustedToUTC=false): cast to
+      TIMESTAMP. The session timezone is pinned to UTC (session.py), so
+      the cast is value-preserving — the wall-clock fields are
+      reinterpreted as UTC instants, exactly what DuckDB does with the
+      same file. `withWatermark`/`window`/`unix_micros` require LTZ.
+    - TimestampType: already right, no-op.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     """Parquet scan of one driver table (vectorized reader, pushdown-able).
 
     Some driver snapshots write events.parquet `ts` as TIMESTAMP(NANOS),
     which Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL); others
-    write plain TIMESTAMP(MICROS). Handle both: read with the legacy
-    nanosAsLong conf (a no-op for µs files) and, only when `ts` surfaces
-    as a raw long, truncate ns→µs (the data is µs-granular — probed zero
-    sub-µs components — so this is lossless and matches DuckDB, which
-    surfaces the same column as a plain µs TIMESTAMP).
+    write plain TIMESTAMP(MICROS) with or without isAdjustedToUTC.
+    Handle all three: read with the legacy nanosAsLong conf (a no-op for
+    µs files) and normalize whatever `ts` type surfaces via
+    `normalize_ts`.
+
+    The nanosAsLong conf is deliberately left set session-wide: Spark
+    consults it again at execution time (the scan's per-file schema
+    converter), so a save/restore scoped to DataFrame creation would
+    make a later ACTION on an ns-file frame fail. No driver table other
+    than events carries a nanos column, and an unrelated nanos read
+    surfacing as long is a visible type, not silent corruption.
     """
+    key = (id(spark), sf, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = normalize_ts(spark.read.parquet(path))
+    else:
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return df
-    return spark.read.parquet(path)
+    _LOAD_CACHE[key] = df
+    return df
+
+
+#: Memoized unresolved-scan DataFrames. `spark.read.parquet` performs a
+#: driver-side file listing + footer schema inference EVERY call —
+#: ~100-200ms of fixed cost per query at bench scale, pure waste since
+#: the driver tables are immutable for a session's lifetime. The cached
+#: object is just the analyzed logical plan (no data is pinned); actions
+#: on it re-scan files normally. Keyed by session identity so a fresh
+#: driver session never sees another session's plans.
+_LOAD_CACHE: dict = {}
 
 
 def dsum(col, scale: int = 2) -> Column:

@@ -183,3 +183,68 @@ def test_stream_stream_join_window_bounds(spark, tmp_path_factory):
     assert [(r.user_id, r.view_id, r.click_id, r.latency_us) for r in out] == [
         (1, 0, 1, 30 * 60 * 1_000_000)
     ]
+
+
+# ---------------------------------------------------------------------------
+# ts-dtype robustness: the driver's events.parquet physical type has
+# changed once mid-project (ns-INT64 -> µs TIMESTAMP_NTZ, round 4), and
+# each flavor breaks a different path (ns: PARQUET_TYPE_ILLEGAL without
+# nanosAsLong; NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE at watermark
+# plan time). Pin that every flavor surfaces as TimestampType with
+# identical UTC instants, batch and stream.
+
+_TS_FLAVORS = {
+    "ns": pa.timestamp("ns"),
+    "us_ntz": pa.timestamp("us"),
+    "us_ltz": pa.timestamp("us", tz="UTC"),
+}
+
+
+@pytest.mark.parametrize("flavor", sorted(_TS_FLAVORS))
+def test_events_ts_normalized_per_flavor(spark, tmp_path_factory, flavor):
+    from pyspark.sql.types import TimestampType
+
+    from pandas_reporter_spark.tables import load
+
+    sf = str(tmp_path_factory.mktemp(f"tsdtype_{flavor}"))
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([_T0, _T0 + 90 * 1_000_000_000], pa.timestamp("ns")).cast(
+                _TS_FLAVORS[flavor]
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["view", "click"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(sf, "events.parquet"))
+
+    df = load(spark, sf, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType), flavor
+    got = [r.ts.isoformat() for r in df.orderBy("event_id").select("ts").collect()]
+    assert got == ["2024-01-01T00:00:00", "2024-01-01T00:01:30"], flavor
+
+    # structural watermark pin: the streaming read must accept an
+    # event-time watermark at PLAN time (this is exactly where the NTZ
+    # regression exploded) and carry it in the analyzed plan
+    from pandas_reporter_spark.operators.events import _read_events_stream
+
+    s = _read_events_stream(spark, sf).withWatermark("ts", "10 minutes")
+    assert isinstance(s.schema["ts"].dataType, TimestampType), flavor
+    plan = s._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan, flavor
+
+
+def test_events_ts_is_timestamp_across_sf_dirs(spark):
+    from pyspark.sql.types import TimestampType
+
+    from pandas_reporter_spark.tables import load
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        dt = load(spark, d, "events").schema["ts"].dataType
+        assert isinstance(dt, TimestampType), (sf, dt)
