@@ -19,6 +19,7 @@ partition-count independent.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -154,24 +155,64 @@ def q_events_session(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+@_contextmanager
+def _bounded_state_parts(spark, n: int = 8):
+    """Cap the STATE partition count for a streaming run (fixed at
+    stream start from spark.sql.shuffle.partitions).
+
+    Each state partition costs a state-store instance + (on Python
+    paths) a state-channel worker, so running 32 of them for a few
+    thousand keys oversubscribes the box — measured 2-5× wall-clock
+    noise under concurrent JVM load. 8 partitions still spread the
+    driver data's keys evenly; a real deployment sizes this to
+    keys×state-bytes / executor, not core count. Batch shuffles keep
+    the session's own setting (restored on exit; the conf is only read
+    at stream start, so the restore cannot affect the running query).
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(n, int(prev))))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run_stream(spark, stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion on available data.
 
     availableNow + memory sink: the streaming engine runs its genuine
     micro-batch path (state store, watermark tracking) over the finite
     input, then we hand the sink's contents back as a batch frame. On a
-    cluster this same writeStream targets kafka/delta with a checkpoint
-    dir instead.
+    cluster this same writeStream targets kafka/delta with a DURABLE
+    checkpoint dir instead.
+
+    The checkpoint for these finite memory-sink runs is throwaway (the
+    sink itself is in-memory; nothing resumes from it), so it goes to
+    tmpfs when available — the offset/commit WAL fsyncs are ~0.4s of
+    the ~2s streaming-query startup floor on disk-backed /tmp
+    (measured sf0.1, min-of-3). A real deployment passes a durable
+    checkpointLocation and keeps it.
     """
+    import os
+    import shutil
+
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
+    w = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    ckpt = None
+    if os.path.isdir("/dev/shm"):
+        ckpt = f"/dev/shm/prs_ckpt_{name}"
+        w = w.option("checkpointLocation", ckpt)
+    try:
+        q = w.start()
+        q.awaitTermination()
+    finally:
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -222,7 +263,8 @@ def q_events_late(spark, sf):
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("win_start"), "n")
     )
-    return _run_stream(spark, agg, "complete")
+    with _bounded_state_parts(spark):
+        return _run_stream(spark, agg, "complete")
 
 
 @query(
@@ -248,7 +290,8 @@ def q_events_stream_dedup(spark, sf):
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
-    return _run_stream(spark, agg, "complete")
+    with _bounded_state_parts(spark):
+        return _run_stream(spark, agg, "complete")
 
 
 @query(
@@ -270,38 +313,58 @@ def q_events_stateful(spark, sf):
     grouping key, so it scales horizontally; the Arrow-batched pandas
     path keeps the Python cost amortized. Sum accumulates in integer
     cents to stay order-independent (float sums depend on batch order).
+
+    A stateless mapInPandas COMBINER pre-aggregates each Arrow batch to
+    per-key partials (vectorized pandas groupby) before the per-key
+    state loop — the classic map-side combine: the keyed shuffle and
+    the Python state channel then carry #batches×#keys partial rows
+    instead of every event, which is what keeps this viable when a key
+    has millions of events. The state merge is associative (count/sum
+    of exact integer cents), so partial order never changes the answer.
+
+    Measured floor (sf0.1, local[32], min-of-3): ~2s of the wall time
+    is streaming-query startup (state stores + offset/commit WAL +
+    Python state workers), not data — see SCALING.md. Spark 4.1's
+    transformWithStateInPandas was tried as a replacement and its
+    driver worker crashes in this deployment (STREAM_FAILED
+    "TransformWithStateInPySpark driver worker exited unexpectedly"),
+    so the GroupState API stays.
     """
     import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     configure(spark)
-    # Bound the STATE partition count (fixed at stream start from
-    # spark.sql.shuffle.partitions): each state partition costs a state
-    # store + a Python state worker (pandas import, Arrow channel), so
-    # running 32 of them for per-key counters oversubscribes the box —
-    # measured 2-5× wall-clock noise under concurrent JVM load. 8 state
-    # partitions still spread 1.5k keys evenly; a real deployment sizes
-    # this to keys×state-bytes / executor, not to core count. Batch
-    # shuffles keep the session's own setting (restored below).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_arrow = spark.conf.get(
         "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
-    )
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(8, int(prev_parts)))
     )
     # fewer, larger Arrow batches through the Python state channel
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     s = _read_events_stream(spark, sf)
 
+    def partial(batches):
+        # map-side combine, one vectorized groupby per Arrow batch.
+        # per-ROW floor(x*100 + 0.5) to cents (matches the oracle's
+        # quantizer exactly), THEN the exact int sum.
+        for pdf in batches:
+            cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+            yield (
+                pd.DataFrame(
+                    {"user_id": pdf["user_id"], "n": 1, "cents": cents}
+                )
+                .groupby("user_id", as_index=False)
+                .sum()
+            )
+
+    s = s.select("user_id", "value").mapInPandas(
+        partial, "user_id long, n long, cents long"
+    )
+
     def upd(key, pdfs, state):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
-            # per-ROW floor(x*100 + 0.5) to cents (matches the oracle's
-            # quantizer exactly), THEN the exact int sum
-            cents += int(np.floor(pdf["value"].mul(100).add(0.5)).sum())
+            n += int(pdf["n"].sum())
+            cents += int(pdf["cents"].sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {
@@ -319,9 +382,9 @@ def q_events_stateful(spark, sf):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     try:
-        res = _run_stream(spark, out, "update")
+        with _bounded_state_parts(spark):
+            res = _run_stream(spark, out, "update")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
         )
@@ -376,7 +439,8 @@ def q_events_stream_session(spark, sf):
             "user_id", F.col("w.start").alias("session_start"), "n"
         )
     )
-    return _run_stream(spark, agg, "complete")
+    with _bounded_state_parts(spark):
+        return _run_stream(spark, agg, "complete")
 
 
 
@@ -413,16 +477,6 @@ def q_stream_file_sink(spark, sf):
     import tempfile
 
     configure(spark)
-    # Same state-partition bound as q_events_stateful: the windowed agg
-    # runs a state store per shuffle partition PER MICRO-BATCH (this
-    # query runs two: data, then the watermark-finalize batch), and the
-    # foreachBatch parquet write inherits the same partitioning — 8
-    # bounded partitions cut stream wall-clock ~2× at bench scale while
-    # a real deployment sizes this to state-bytes/executor.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(8, int(prev_parts)))
-    )
     s = _read_events_stream(spark, sf)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -438,7 +492,12 @@ def q_stream_file_sink(spark, sf):
         # a real deployment makes this a MERGE/upsert keyed on batch_id
         bdf.write.mode("append").parquet(out_dir)
 
-    try:
+    # The windowed agg runs a state store per shuffle partition PER
+    # MICRO-BATCH (this query runs two: data, then the
+    # watermark-finalize batch), and the foreachBatch parquet write
+    # inherits the same partitioning — the bound cuts stream wall-clock
+    # ~2× at bench scale.
+    with _bounded_state_parts(spark):
         q = (
             agg.writeStream.foreachBatch(write_batch)
             .outputMode("append")
@@ -447,8 +506,6 @@ def q_stream_file_sink(spark, sf):
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
 
 
@@ -489,7 +546,8 @@ def q_stream_enrich(spark, sf):
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "segment", "n", "sum_value")
     )
-    return _run_stream(spark, agg, "complete")
+    with _bounded_state_parts(spark):
+        return _run_stream(spark, agg, "complete")
 
 
 @query(
@@ -518,11 +576,6 @@ def q_stream_stream_join(spark, sf):
     single-batch input nothing is evicted early, so the result equals
     the batch interval self-join the oracle runs."""
     configure(spark)
-    # same state-partition bound as the other streaming queries: one
-    # state store per shuffle partition per side; 8 is plenty for the
-    # test scale while a deployment sizes this to state-bytes/executor
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(prev_parts))))
     views = (
         _read_events_stream(spark, sf)
         .filter(F.col("event_type") == "view")
@@ -556,10 +609,10 @@ def q_stream_stream_join(spark, sf):
             F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
         ).alias("latency_us"),
     )
-    try:
+    # one state store per shuffle partition PER SIDE on a
+    # stream-stream join, so the bound matters double here
+    with _bounded_state_parts(spark):
         return _run_stream(spark, joined, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query(

@@ -329,28 +329,24 @@ def q_text_langid(spark, sf):
     tokenizer expression.
 
     Both branches (lang profiles, per-doc distinct tokens) derive from
-    ONE persisted (doc, lang, token, count) aggregate — same discipline
-    as the TF-IDF tf table: the corpus is tokenized and shuffled once,
-    and what's cached is the compact dictionary, never the exploded
-    corpus. Honest local measurement: at sf0.1 this is ~0.15s SLOWER
-    than re-tokenizing twice (cache materialization is an extra job,
-    and 120 MB re-tokenizes cheaply) — the form is chosen for the
-    cluster case, where the eliminated second pass is a full corpus
-    scan plus an exploded-token shuffle and the cached dictionary is
-    the far smaller artifact.
+    ONE (doc, lang, token, count) aggregate expression. Round 4
+    persisted that aggregate to tokenize the corpus once; measured at
+    sf0.1 the cache materialization job costs MORE than the second
+    tokenize pass it saves (1.59s persisted vs 1.14s recomputed,
+    min-of-5 — the corpus here is small and explode+split is
+    codegen-cheap), and the official r4 bench regressed 1.15→1.80s.
+    Reverted to recompute-both-branches; at true 100 TB scale the
+    tradeoff flips and the persist/checkpoint of the compact dictionary
+    is the right call — documented in SCALING.md rather than paid
+    locally.
     """
     configure(spark)
-    from pyspark import StorageLevel
 
     d = load(spark, sf, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
-    cnt = (
-        tok.groupBy("doc_id", "lang", "token")
-        .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cnt = tok.groupBy("doc_id", "lang", "token").agg(F.count("*").alias("c"))
     lang_counts = cnt.groupBy("lang", "token").agg(F.sum("c").alias("n"))
     w_top = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
     lang_top = (
