@@ -232,3 +232,69 @@ def q_layout_sorted_scan(spark, sf):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@query(
+    "q_join_bloom_pruned",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_pruned(spark, sf):
+    """Runtime bloom-filter semi-join reduction — the 100 TB shuffle
+    join where NEITHER side broadcasts.
+
+    At warehouse scale a selective dim filter can't become a broadcast
+    join (the filtered side is still GBs), so the shuffle moves every
+    probe-side row — including the ~95% that will never match. Spark's
+    InjectRuntimeFilter fixes that: it builds a bloom filter over the
+    creation side's join keys and pushes `might_contain(l_orderkey)`
+    into the probe-side SCAN, so non-matching rows are dropped before
+    the exchange. Shuffle volume becomes O(matches), not O(table).
+
+    Locally the filtered orders side broadcasts (64 MB threshold), and
+    Spark (correctly) skips the bloom filter when it plans a broadcast
+    join — so to demonstrate the technique this query plans itself
+    under scoped confs that mirror the cluster reality (broadcast off,
+    bloom thresholds at local scale), FORCES physical planning while
+    they're active, then restores the session. The physical plan is
+    cached on this DataFrame, so the driver's later .collect() executes
+    the bloom-pruned plan; tests/test_scale.py pins
+    `might_contain` + the pre-exchange Filter position structurally.
+    Result values are oracle-identical either way — the filter is
+    purely a volume optimization.
+    """
+    configure(spark)
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        o = load(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf, "lineitem")
+        out = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        # materialize the physical plan NOW, while the scoped confs are
+        # active (Spark plans lazily at action time; the QueryExecution
+        # is cached on the DataFrame afterwards)
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

