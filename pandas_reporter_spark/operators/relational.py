@@ -367,6 +367,180 @@ def q_tpch_q5(spark, sf):
 
 
 @query(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT {oracle_dsum("l_extendedprice * l_discount", 4)} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf):
+    """TPC-H-Q6-style forecast-revenue: the pure scan-side query —
+    three pushed predicates, zero joins, a 1-row global agg. The 100 TB
+    value is entirely in the scan: every filter reaches PushedFilters
+    (min/max row-group pruning skips most of the table on a
+    shipdate-sorted layout), only 3 columns are read, and the agg
+    combines map-side to one row per task. The floor for 'how fast can
+    Spark touch this table' (adapted from the public TPC-H spec, Q6)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf):
+    """TPC-H-Q4-style order-priority check: the canonical EXISTS →
+    LEFT SEMI join. The semi join never materializes lineitem columns
+    (probe-side rows short-circuit on first match) and never
+    duplicates orders rows, so the shuffle carries the filtered orders
+    slice + lineitem's join key and correlated column only. Expressed
+    with the non-equi correlation l_shipdate > o_orderdate INSIDE the
+    semi-join condition — at 100 TB the equi key (orderkey) still
+    drives the hash partitioning; the date residual evaluates on
+    matches (adapted from the public TPC-H spec, Q4; the driver's
+    lineitem has no commit/receipt dates, so 'shipped after order
+    date' stands in for the late-commit predicate)."""
+    configure(spark)
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark, sf):
+    """TPC-H-Q12-style shipping-mode priority split: fact⨝fact equi
+    join with conditional aggregation (pivot-by-CASE). The plan to
+    want at 100 TB: lineitem's date range pushes to its scan, the join
+    shuffles both sides on orderkey once, and the two CASE sums fold
+    into ONE aggregate pass over the joined stream (no second shuffle,
+    no pivot materialization) — conditional aggregation is how a
+    columnar engine does small pivots (adapted from the public TPC-H
+    spec, Q12; the driver's lineitem has no l_shipmode, so
+    l_returnflag carries the group role)."""
+    configure(spark)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE) * (
+             {oracle_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+           ) / (
+             {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)}
+           ) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark, sf):
+    """TPC-H-Q14-style promotion effect: fact⨝dim join feeding a
+    ratio-of-conditional-sums. part is a dimension → broadcast, so the
+    month slice of lineitem (pushed scan range) never shuffles at all;
+    both sums compute in the SAME single aggregate pass (two
+    accumulators over one stream, not two queries). The division
+    happens once on the driver-side 1-row result. Both numerator and
+    denominator go through the exact integer-unit quantizer so the
+    ratio is bit-stable cross-engine (adapted from the public TPC-H
+    spec, Q14)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                        0.0
+                    ),
+                    4,
+                )
+                / dsum(rev, 4)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
     "q_agg_global",
     oracle=f"""
     SELECT {oracle_dsum('l_quantity')} AS sum_qty,
