@@ -155,6 +155,11 @@ def q_events_session(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+#: raw (pre-normalization) events schema per (session, sf) — see
+#: _read_events_stream
+_RAW_SCHEMA_CACHE: dict = {}
+
+
 @_contextmanager
 def _bounded_state_parts(spark, n: int = 8):
     """Cap the STATE partition count for a streaming run (fixed at
@@ -225,7 +230,14 @@ def _read_events_stream(spark, sf: str) -> DataFrame:
     `withWatermark` rejects anything else.
     """
     batch = load(spark, sf, "events")  # sets nanosAsLong conf
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    key = (id(spark), sf)
+    raw_schema = _RAW_SCHEMA_CACHE.get(key)
+    if raw_schema is None:
+        # footer-only read; memoized like tables._LOAD_CACHE (the file
+        # is immutable for a session, and every streaming query paid
+        # this listing+inference again)
+        raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        _RAW_SCHEMA_CACHE[key] = raw_schema
     # the file stream source monitors a DIRECTORY; glob-filter to the
     # events table (on a cluster this is the landing dir new files drop into)
     s = (
