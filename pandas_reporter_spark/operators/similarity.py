@@ -512,3 +512,81 @@ def q_embed_quantize(spark, sf):
             "err_units", F.lit(0).cast("long"), lambda a, v: a + v
         ).alias("sse_picounits"),
     )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label, u.pos AS pos,
+             CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+               AS units
+      FROM embeddings,
+           LATERAL (
+             SELECT UNNEST(embedding) AS val,
+                    generate_subscripts(embedding, 1) AS pos
+           ) u
+    ), agg AS (
+      SELECT label, pos,
+             (CAST(SUM(units) AS DOUBLE) / 1000000.0) / COUNT(*) AS c
+      FROM comp GROUP BY label, pos
+    )
+    SELECT label, list(c ORDER BY pos) AS centroid, n FROM agg
+    JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+      USING (label)
+    GROUP BY label, n
+    """,
+)
+def q_embed_centroids(spark, sf):
+    """Per-label centroid of the embedding vectors — the k-means E-step
+    / IVF coarse-quantizer training kernel (`q_similarity_ivf` consumes
+    exactly this artifact).
+
+    Vector aggregation done the way it survives 100 TB: posexplode the
+    components so the engine aggregates SCALARS per (label, position) —
+    a map-side-combinable, skew-free shuffle of #labels × dim cells —
+    then reassemble the centroid with a position-sorted collect. The
+    alternative (aggregate whole arrays in driver-side or UDAF loops)
+    neither combines map-side nor prunes columns. Component sums use
+    the exact integer-unit quantizer (tables.dsum discipline, 1e-6
+    units) so the float mean is bit-identical cross-engine and
+    partition-order independent.
+
+    Reference parity: none (driver-mandated similarity surface,
+    SURVEY §2.3 — the training half of IVF; the search half is
+    q_similarity_ivf).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based like the oracle
+        # explicit float->double BEFORE the multiply: DuckDB otherwise
+        # evaluates FLOAT * literal at float precision and the unit
+        # quantizer disagrees by one on values near the grid midpoint
+        F.floor(F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+    )
+    agg = comp.groupBy("label", "pos").agg(
+        (
+            (F.sum("units").cast("double") / F.lit(1e6)) / F.count("*")
+        ).alias("c")
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    return (
+        agg.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("pc")
+        )
+        .select(
+            "label",
+            F.transform("pc", lambda s: s["c"]).alias("centroid"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "centroid", "n")
+    )

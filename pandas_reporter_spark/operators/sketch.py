@@ -78,3 +78,79 @@ def q_sketch_quantile(spark, sf):
         F.col("approx_pcts")[1].alias("p90"),
         F.col("approx_pcts")[2].alias("p99"),
     )
+
+
+@query(
+    "q_sketch_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), t AS (
+      SELECT token FROM tok WHERE token <> ''
+    ), tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT token, COUNT(*) AS cnt
+    FROM t GROUP BY token
+    HAVING COUNT(*) > (SELECT n FROM tot) / 256.0
+    """,
+)
+def q_sketch_heavy_hitters(spark, sf):
+    """Exact heavy hitters (tokens with frequency > n/256) via the
+    candidate-generation + verification pattern — the heavy-hitter half
+    of the sketch family (HLL = cardinality, GK = quantiles, MG =
+    frequency).
+
+    Pass 1 runs a mergeable Misra-Gries summary PER PARTITION inside
+    mapInPandas (vectorized value_counts per Arrow batch, merged into a
+    capacity-1024 counter set with the standard subtract-the-
+    (cap+1)-th-largest prune). The pigeonhole guarantee: any token with
+    global frequency > n/256 exceeds n_p/256 in at least one partition,
+    and a capacity-1024 MG never evicts a token with partition
+    frequency > n_p/1025 — so the candidate set PROVABLY contains every
+    true heavy hitter (while being ≤ 1024 × #partitions rows, i.e.
+    KBs). Pass 2 exactly recounts ONLY the candidates (broadcast semi
+    join, map-side-combinable count) and applies the true threshold
+    from an in-plan 1-row total — so the result is EXACT and the
+    DuckDB oracle is the plain HAVING query. At 100 TB the full
+    groupBy(token) the oracle runs shuffles the whole token stream;
+    this shape shuffles bounded candidate counters + the count of a
+    broadcast-filtered slice.
+
+    Reference parity: none (driver-mandated sketch surface, SURVEY
+    §2.3).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    configure(spark)
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+    cap = 1024
+
+    def mg_partition(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > cap:
+                # prune: subtract the (cap+1)-th largest counter from
+                # all, drop non-positive — the mergeable-MG step whose
+                # total decrement is bounded by n_p/cap
+                dec = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters[counters > dec] - dec
+        yield pd.DataFrame({"token": counters.index.astype(str)})
+
+    candidates = (
+        tok.mapInPandas(mg_partition, "token string").distinct()
+    )
+    total = tok.agg(F.count("*").alias("n_total"))
+    return (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") / 256.0)
+        .select("token", "cnt")
+    )

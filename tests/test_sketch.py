@@ -50,3 +50,40 @@ def test_quantile_sketch_close_to_exact(spark):
             # rank error 1e-4 at sf0.01 (~20k rows/group) is ~2 ranks:
             # allow a 1% relative value slack for interpolation diffs
             assert abs(getattr(g, p) - getattr(e, p)) <= 0.02 * abs(getattr(e, p))
+
+
+def test_heavy_hitters_exact_on_skewed_partitions(spark, tmp_path_factory):
+    """A token heavy GLOBALLY but diluted per partition must survive
+    candidate generation (the pigeonhole bound), and the verified
+    result must equal the exact HAVING answer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = str(tmp_path_factory.mktemp("hh"))
+    # 2000 docs: token 'hot' appears once per doc (global freq 2000 of
+    # ~22000 tokens -> way over n/256); fillers are near-unique so the
+    # MG counters churn constantly
+    rows = []
+    for i in range(2000):
+        fillers = " ".join(f"w{i}_{j}" for j in range(10))
+        rows.append((i, f"hot {fillers}", "en", "s", 0))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(sf, "documents.parquet"))
+    got = {
+        r.token: r.cnt
+        for r in QUERIES["q_sketch_heavy_hitters"](spark, sf).collect()
+    }
+    assert got == {"hot": 2000}  # 2000/22000 > 1/256; every filler below
