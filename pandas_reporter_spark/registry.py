@@ -110,30 +110,33 @@ _PRIORITY = (
     "q_layout_sorted_scan",
     "q_sketch_quantile",
     "q_source_schema_merge",
-    # Slots 37-50: queries whose physical plan changed this round —
-    # every batch events query now flows through normalize_ts, and the
-    # perf items under work (langid kernel, broadcast-join overhead) —
-    # plus the flagship and the longest-unrecorded r3 greens, so the
-    # official record re-confirms them post-change.
+    # Slots 37-50: the seven queries ADDED this round (no official row
+    # can exist yet) + queries whose plan or implementation changed
+    # this round — the batch events queries flow through normalize_ts,
+    # langid/tfidf dropped their dictionary persist, stateful gained
+    # the combiner — so the official record covers the new surface and
+    # re-confirms the changed one.
+    "q_tpch_q6",
+    "q_tpch_q4",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_join_bloom_pruned",
+    "q_embed_centroids",
+    "q_sketch_heavy_hitters",
     "q_events_tumbling",
     "q_events_sliding",
     "q_events_session",
     "q_events_stateful",
     "q_text_langid",
+    "q_text_tfidf",
     "q_join_broadcast",
-    "q_tpch_q1",
-    "q_dedup_exact",
-    "q_dedup_keep_first",
-    "q_dedup_ngram_jaccard",
-    "q_text_tokens",
-    "q_text_token_stats",
-    "q_text_fingerprint",
-    "q_source_cr_pivot",
     # Evicted to make room: everything green in the r4 official record
     # (q_sum_m q_groupby_rss q_groupby_mean the scalar packs the
-    # dedup/text/similarity/multimodal/scale/source families —
-    # 46 rows) — all unchanged since r4 and re-registered right after
-    # the fold; r2∪r3∪r4∪r5 then carries an official row for all 139.
+    # dedup/text/similarity/multimodal/scale/source families) plus
+    # long-stable r2/r3 greens (q_tpch_q1, the exact-dedup/text
+    # packs) — all unchanged and re-registered right after the fold;
+    # r2∪r3∪r4∪r5 then carries an official row for 139 of 146 (the
+    # 7 round-5 additions get theirs this round).
 )
 
 
