@@ -78,6 +78,14 @@ BENCH_QUERIES = [
     "q_stream_stream_join",
     "q_stream_enrich",
     "q_dedup_spans",
+    # round-5 additions: scan-floor agg, EXISTS semi join, runtime
+    # bloom-pruned shuffle join, vector centroid aggregation,
+    # MG-candidate heavy hitters
+    "q_tpch_q6",
+    "q_tpch_q4",
+    "q_join_bloom_pruned",
+    "q_embed_centroids",
+    "q_sketch_heavy_hitters",
 ]
 
 

@@ -187,3 +187,31 @@ def test_bloom_pruned_join_filters_before_exchange(spark):
     )
     # session confs restored: broadcast threshold is back
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_tpch_q4_plans_left_semi(spark):
+    """EXISTS must compile to a LEFT SEMI hash join (no lineitem
+    column materialization, no row duplication) with the date filter
+    pushed to the orders scan."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = plan_of(QUERIES["q_tpch_q4"](spark, SF))
+    assert "LeftSemi" in p
+    assert "IsNotNull(o_orderdate)" in p or "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    """All three Q6 predicates must reach PushedFilters on the
+    lineitem scan, and the read schema must carry only the four
+    referenced columns."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = plan_of(QUERIES["q_tpch_q6"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    # column pruning: no returnflag/tax/orderkey in the scan schema
+    sched = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_returnflag" not in sched and "l_tax" not in sched
