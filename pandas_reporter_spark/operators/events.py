@@ -588,9 +588,12 @@ def q_stream_stream_join(spark, sf):
     single-batch input nothing is evicted early, so the result equals
     the batch interval self-join the oracle runs."""
     configure(spark)
+    # ONE stream source, branched twice (self-join): a single file
+    # source / offset log instead of two independent scans of the same
+    # landing dir; in production this is one Kafka topic consumed once
+    s = _read_events_stream(spark, sf)
     views = (
-        _read_events_stream(spark, sf)
-        .filter(F.col("event_type") == "view")
+        s.filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_user"),
             F.col("event_id").alias("view_id"),
@@ -599,8 +602,7 @@ def q_stream_stream_join(spark, sf):
         .withWatermark("v_ts", "30 minutes")
     )
     clicks = (
-        _read_events_stream(spark, sf)
-        .filter(F.col("event_type") == "click")
+        s.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
