@@ -1062,3 +1062,93 @@ def q_text_kl_divergence(spark, sf):
     ).select(
         "source", F.col("n_s").alias("n_tokens"), "kl_nats"
     )
+
+
+@query(
+    "q_split_train_val",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             ((doc_id % 100003) * 2654435761) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q_split_train_val(spark, sf):
+    """Deterministic train/val/test split (80/10/10) — the dataset-
+    assembly op every training pipeline runs last.
+
+    Assignment is a pure function of the stable document id
+    (multiplicative hash -> bucket 0-99), NOT `rand()`: re-running the
+    pipeline, adding data, or recomputing a lost partition must never
+    move a document across splits (leakage), and the same expression
+    evaluates identically in any engine — which is exactly what the
+    oracle checks. The modulus-first form keeps the product inside
+    int64 for engines that error on overflow rather than wrap. Zero
+    shuffles for the assignment itself (scan-stage projection); the
+    per-split×lang audit count is one map-combined aggregate. At
+    100 TB the same expression becomes the partitionBy/bucketBy column
+    of the output writer.
+
+    Reference parity: none (driver-mandated pipeline surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    bucket = (F.col("doc_id") % 100003) * F.lit(2654435761) % 100
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))
+             AS norm_text,
+           length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')))
+             AS norm_len
+    FROM documents
+    """,
+)
+def q_text_normalize(spark, sf):
+    """Corpus text normalization: lowercase, collapse runs of
+    whitespace (space/tab/CR/LF) to single spaces, trim — the
+    canonical pre-tokenization cleanup pass that makes exact dedup and
+    shingle fingerprints stable against formatting noise.
+
+    Pure scan-stage projection: zero shuffles, whole-stage codegen,
+    no UDF — string normalization at 100 TB must run at parquet-scan
+    speed or it dominates the pipeline. (Unicode NFC/NFKC is the one
+    step Spark lacks a built-in for; at the point it's needed it slots
+    in here as a vectorized Arrow UDF — same shape, documented slow
+    path.)
+
+    Reference parity: none (driver-mandated text surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[ \t\r\n]+", " ")
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+    )
