@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "q_join_bloom_pruned",
     "q_embed_centroids",
     "q_sketch_heavy_hitters",
+    "q_split_train_val",
+    "q_text_normalize",
 ]
 
 
