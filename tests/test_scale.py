@@ -215,3 +215,48 @@ def test_tpch_q6_pushes_all_predicates(spark):
     # column pruning: no returnflag/tax/orderkey in the scan schema
     sched = p[p.index("ReadSchema") :].splitlines()[0]
     assert "l_returnflag" not in sched and "l_tax" not in sched
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's skew posture (session.py turns AQE skew-join on)
+    must actually SPLIT a hot-key partition: a 100:1 skewed sort-merge
+    join, executed with test-scale thresholds, has to show
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead in the FINAL
+    adaptive plan. (The final plan only exists after execution — an
+    unexecuted explain() shows isFinalPlan=false and no skew markers.)"""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 500000).select(
+            (F.col("id") * 0).alias("k"), F.rand(1).alias("v")
+        ).union(
+            spark.range(0, 5000).select(
+                (F.col("id") % 50 + 1).alias("k"), F.rand(2).alias("v")
+            )
+        )
+        small = spark.range(0, 51).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = big.join(small, "k").select("k", "v", "tag")
+        assert len(j.collect()) == 505000  # every row joins exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
