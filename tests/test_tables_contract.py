@@ -1,0 +1,84 @@
+"""Driver-testdata contract pins.
+
+The testdata's physical details have already changed once mid-project
+(events.ts ns-INT64 -> µs-NTZ, round 4) and broke seven queries at
+plan time. These pins make the NEXT snapshot change a loud, localized
+test failure instead of a scattered plan-time regression: every driver
+table must load, and the columns the registered queries depend on must
+exist within a stable type family.
+
+Current reality (round 5): dim keys are 32-bit ints, fact keys bigint,
+o_orderdate / l_shipdate surface as timestamp_ntz (harmless for
+comparisons — every query using them is hash-verified), and events.ts
+is normalized to plain TIMESTAMP by tables.normalize_ts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pandas_reporter_spark.tables import TABLES, load
+
+_FAMILIES = {
+    "integral": {"tinyint", "smallint", "int", "bigint"},
+    "double": {"float", "double"},
+    "string": {"string"},
+    # any event-time-capable encoding; queries that need LTZ normalize
+    "timestamp": {"timestamp", "timestamp_ntz"},
+    # must be EXACTLY ltz (the normalize_ts guarantee: watermarks
+    # reject anything else)
+    "timestamp_ltz": {"timestamp"},
+    "float_array": {"array<float>", "array<double>"},
+}
+
+#: column -> type family from _FAMILIES
+_CORE_COLUMNS = {
+    "region": {"r_regionkey": "integral", "r_name": "string"},
+    "nation": {"n_nationkey": "integral", "n_name": "string",
+               "n_regionkey": "integral"},
+    "customer": {"c_custkey": "integral", "c_name": "string",
+                 "c_nationkey": "integral", "c_acctbal": "double",
+                 "c_mktsegment": "string"},
+    "supplier": {"s_suppkey": "integral", "s_nationkey": "integral"},
+    "part": {"p_partkey": "integral", "p_type": "string",
+             "p_retailprice": "double"},
+    "orders": {"o_orderkey": "integral", "o_custkey": "integral",
+               "o_orderdate": "timestamp", "o_orderpriority": "string",
+               "o_totalprice": "double"},
+    "lineitem": {"l_orderkey": "integral", "l_partkey": "integral",
+                 "l_suppkey": "integral", "l_quantity": "double",
+                 "l_extendedprice": "double", "l_discount": "double",
+                 "l_returnflag": "string", "l_linestatus": "string",
+                 "l_shipdate": "timestamp"},
+    "events": {"event_id": "integral", "ts": "timestamp_ltz",
+               "user_id": "integral", "event_type": "string",
+               "value": "double", "props": "string"},
+    "documents": {"doc_id": "integral", "text": "string",
+                  "lang": "string", "source": "string",
+                  "n_chars": "integral"},
+    "embeddings": {"vec_id": "integral", "embedding": "float_array",
+                   "label": "integral"},
+}
+
+_SF_DIRS = [
+    d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    if os.path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf", _SF_DIRS)
+@pytest.mark.parametrize("table", TABLES)
+def test_table_contract(spark, sf, table):
+    df = load(spark, sf, table)
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for col, family in _CORE_COLUMNS[table].items():
+        assert col in got, f"{table}.{col} missing at {sf}: {sorted(got)}"
+        assert got[col] in _FAMILIES[family], (
+            f"{table}.{col} at {sf}: expected {family} "
+            f"{sorted(_FAMILIES[family])}, got {got[col]} — a driver "
+            "snapshot changed the physical type; normalize in "
+            "tables.load like normalize_ts does for events.ts"
+        )
+    assert df.limit(1).count() >= 0  # scan actually executes
