@@ -367,6 +367,224 @@ def q_tpch_q5(spark, sf):
 
 
 @query(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf):
+    """TPC-H-Q10-style returned-item report: who cost us the most in
+    returns last quarter. Plan shape at 100 TB: the quarter filter
+    pushes to the orders scan and the returnflag filter to lineitem
+    (both scans pre-shrunk), nation broadcasts, the two fact joins
+    shuffle on custkey/orderkey, and the per-customer revenue agg
+    map-combines on the join's partitioning. Top-20 compiles to
+    TakeOrderedAndProject with a c_custkey tiebreak for cross-engine
+    LIMIT determinism (adapted from the public TPC-H spec, Q10;
+    c_acctbal/address/comment columns not in the driver tables)."""
+    configure(spark)
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark, sf):
+    """TPC-H-Q13-style customer order-count distribution: the
+    LEFT OUTER join whose ON clause carries a non-key residual (the
+    filter must NOT push below the outer join — customers with zero
+    qualifying orders still count with c_count = 0), a per-customer
+    COUNT of the nullable side, then a second tiny aggregation of the
+    distribution itself. The double-aggregate is the histogram-of-
+    aggregates shape; the first groupBy rides the join's custkey
+    partitioning (no extra exchange), the second shuffles a few dozen
+    distinct counts (adapted from the public TPC-H spec, Q13; the
+    'special requests' comment filter becomes an order-priority
+    predicate)."""
+    configure(spark)
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark, sf):
+    """TPC-H-Q19-style discounted-revenue: the disjunction-of-
+    conjunctions predicate spanning BOTH join sides. What the optimizer
+    must do (and Catalyst does): derive the single-side implications of
+    the OR — `p_brand IN (...) AND p_size BETWEEN 1 AND 35` pushes to
+    the part scan, `l_quantity BETWEEN 1 AND 30` to the lineitem scan —
+    so each side shrinks before the join, while the full cross-side OR
+    evaluates as the join residual. Part is a dim → broadcast; the
+    1-row agg map-combines (adapted from the public TPC-H spec, Q19;
+    brand/size values matched to the driver's part generator)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           round(CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 6) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark, sf):
+    """TPC-H-Q22-style global-sales-opportunity: above-average-balance
+    customers with NO urgent orders. Two canonical sub-shapes in one
+    query: the scalar subquery (global average) computes as a 1-row
+    aggregate broadcast into the filter IN-PLAN — never a driver-side
+    collect-then-literal round trip — and NOT EXISTS compiles to a
+    LEFT ANTI join, which at 100 TB shuffles only the pre-filtered
+    orders KEY column against the pre-filtered customer slice (no
+    payload, no row duplication, short-circuit on first match).
+    Account-balance totals go through the integer-cent quantizer for
+    cross-engine exactness (adapted from the public TPC-H spec, Q22;
+    the phone-country-code filter becomes the balance predicate,
+    segments stand in for country codes, and the no-orders test
+    becomes no-URGENT-orders — this generator gives every customer at
+    least one order, which would make the spec's literal anti-join
+    vacuously empty)."""
+    configure(spark)
+    c = load(spark, sf, "customer")
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .drop("a")
+    )
+    return (
+        rich.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100.0,
+                6,
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "q_tpch_q6",
     oracle=f"""
     SELECT {oracle_dsum("l_extendedprice * l_discount", 4)} AS revenue,
