@@ -367,6 +367,258 @@ def q_tpch_q5(spark, sf):
 
 
 @query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark, sf):
+    """TPC-H-Q7-style volume shipping between nation pairs by year.
+
+    The two-role dimension shape: nation joins TWICE under different
+    aliases (supplier's nation, customer's nation) — both broadcast —
+    and the symmetric pair predicate is an OR the optimizer keeps as a
+    join residual while each branch's nation-name filter still prunes
+    the broadcast build sides. The only real shuffles are the fact
+    joins (suppkey, orderkey, custkey); year(l_shipdate) is computed
+    in the agg key, grouping to pairs×years (adapted from the public
+    TPC-H spec, Q7; the driver's synthetic NATION_1/NATION_2 stand in
+    for the spec's FRANCE/GERMANY)."""
+    configure(spark)
+    s = load(spark, sf, "supplier")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                  AS BIGINT) AS vol_units,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type LIKE 'PROMO%'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_9'
+                               THEN vol_units ELSE 0 END) AS DOUBLE)
+                 / SUM(vol_units), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf):
+    """TPC-H-Q8-style national market share: the deepest driver-table
+    join (8 tables, nation twice) feeding a ratio of conditional sums
+    per year. Every dimension side broadcasts (region→nation prunes to
+    one region before customer moves; part's type filter pre-shrinks
+    its broadcast); the facts shuffle once each. The share divides two
+    integer-unit sums inside one aggregate pass — and because the
+    division is EXACT-int-over-EXACT-int done once per group in
+    double, the round(…, 6) is bit-stable cross-engine (adapted from
+    the public TPC-H spec, Q8; NATION_9/ASIA/PROMO% matched to the
+    driver's value domains (nations are synthetic NATION_0..24))."""
+    configure(spark)
+    p = load(spark, sf, "part").filter(F.col("p_type").like("PROMO%"))
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    s = load(spark, sf, "supplier")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        F.broadcast(p)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol_units.alias("vol_units"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_9", F.col("vol_units"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("vol_units"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark, sf):
+    """TPC-H-Q15-style top supplier: aggregate once, then filter the
+    SAME aggregate against its own MAX (the view-reuse shape). The
+    revenue rollup is one map-combined groupBy on the pre-filtered
+    quarter of lineitem; its 1-row MAX broadcasts back into the filter
+    IN-PLAN, so the aggregate is computed once and scanned twice —
+    never recomputed and never collected to the driver. Ties all
+    surface (= semantics, not top-1). The exact integer-unit revenue
+    makes the equality comparison safe cross-engine — with raw float
+    sums, `=` on an aggregate would be engine-order-dependent (adapted
+    from the public TPC-H spec, Q15)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle=f"""
+    WITH pavg AS (
+      SELECT l_partkey AS pk,
+             0.2 * ({oracle_davg("l_quantity")}) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(({oracle_dsum("l_extendedprice")}) / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit
+    """,
+)
+def q_tpch_q17(spark, sf):
+    """TPC-H-Q17-style small-quantity-order revenue: the correlated
+    per-group average (each lineitem compared against 0.2×avg quantity
+    OF ITS OWN PART) decorrelated into aggregate-then-self-join — the
+    rewrite every optimizer performs, made explicit. At 100 TB the
+    per-part average table is part-cardinality (AQE broadcasts it
+    after the brand filter shrinks the probe side); the fact joins
+    shuffle on partkey once. The quantity limit derives from the exact
+    integer-unit mean so the `<` comparison never straddles a ULP
+    across engines (adapted from the public TPC-H spec, Q17)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(dsum("l_extendedprice") / F.lit(7.0), 6).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
     "q_tpch_q10",
     oracle=f"""
     SELECT c_custkey, c_name,
