@@ -837,6 +837,96 @@ def q_tpch_q22(spark, sf):
 
 
 @query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    WHERE n_name = 'NATION_9'
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q_tpch_q21(spark, sf):
+    """TPC-H-Q21-style waiting-orders report: suppliers who were the
+    SOLE late shipper on a finished multi-supplier order — the one join
+    topology nothing else in the registry exercises: a fact self-joined
+    against itself twice, once as EXISTS (another supplier participated)
+    and once as NOT EXISTS (no OTHER supplier was also late).
+
+    Spark-first shape: build the late-lines slice ONCE (lineitem ⨝
+    status-F orders, shuffled on orderkey), then reuse it as both the
+    probe side and the NOT-EXISTS side — a LEFT SEMI against all lines
+    of the same order from a different supplier, then a LEFT ANTI
+    against the late slice itself. All three self-join legs hash on
+    l_orderkey, so at 100 TB they reuse one co-partitioning (no extra
+    exchange per leg under AQE); the semi/anti forms never duplicate
+    probe rows and carry key+suppkey only. The supplier/nation dims
+    broadcast. Late-line grain matches the spec: a supplier with two
+    late lines in one qualifying order counts twice (adapted from the
+    public TPC-H spec, Q21; the driver's lineitem has no
+    commit/receipt dates, so 'shipped >60 days after the order date'
+    stands in for l_receiptdate > l_commitdate, as in q4/q12)."""
+    configure(spark)
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_9")
+    return (
+        late.join(
+            others,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("ok3") == F.col("l_orderkey"))
+            & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@query(
     "q_tpch_q6",
     oracle=f"""
     SELECT {oracle_dsum("l_extendedprice * l_discount", 4)} AS revenue,
@@ -924,10 +1014,10 @@ def q_tpch_q4(spark, sf):
     "q_tpch_q12",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

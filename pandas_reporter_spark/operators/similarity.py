@@ -531,10 +531,10 @@ def q_embed_quantize(spark, sf):
              (CAST(SUM(units) AS DOUBLE) / 1000000.0) / COUNT(*) AS c
       FROM comp GROUP BY label, pos
     )
-    SELECT label, list(c ORDER BY pos) AS centroid, n FROM agg
+    SELECT label, pos, c, n FROM agg
     JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
       USING (label)
-    GROUP BY label, n
+    ORDER BY label, pos
     """,
 )
 def q_embed_centroids(spark, sf):
@@ -544,13 +544,17 @@ def q_embed_centroids(spark, sf):
 
     Vector aggregation done the way it survives 100 TB: posexplode the
     components so the engine aggregates SCALARS per (label, position) —
-    a map-side-combinable, skew-free shuffle of #labels × dim cells —
-    then reassemble the centroid with a position-sorted collect. The
-    alternative (aggregate whole arrays in driver-side or UDAF loops)
-    neither combines map-side nor prunes columns. Component sums use
-    the exact integer-unit quantizer (tables.dsum discipline, 1e-6
+    a map-side-combinable, skew-free shuffle of #labels × dim cells.
+    The alternative (aggregate whole arrays in driver-side or UDAF
+    loops) neither combines map-side nor prunes columns. Component sums
+    use the exact integer-unit quantizer (tables.dsum discipline, 1e-6
     units) so the float mean is bit-identical cross-engine and
-    partition-order independent.
+    partition-order independent. Output stays LONG-FORMAT scalar cells
+    (label, pos, c, n) rather than reassembled arrays: semantically the
+    same centroid, but hashable/sortable by any downstream comparator
+    (array columns come back from DuckDB as numpy.ndarray, which is
+    unhashable and broke the round-5 driver canonicalizer), and the
+    IVF consumer (q_similarity_ivf) pivots it back cheaply.
 
     Reference parity: none (driver-mandated similarity surface,
     SURVEY §2.3 — the training half of IVF; the search half is
@@ -577,16 +581,7 @@ def q_embed_centroids(spark, sf):
     )
     counts = e.groupBy("label").agg(F.count("*").alias("n"))
     return (
-        agg.groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "c"))
-            ).alias("pc")
-        )
-        .select(
-            "label",
-            F.transform("pc", lambda s: s["c"]).alias("centroid"),
-        )
-        .join(F.broadcast(counts), "label")
-        .select("label", "centroid", "n")
+        agg.join(F.broadcast(counts), "label")
+        .select("label", "pos", "c", "n")
+        .orderBy("label", "pos")
     )

@@ -51,20 +51,14 @@ def q_sketch_hll(spark, sf):
     return per_type.unionAll(merged)
 
 
-@query("q_sketch_quantile")  # rows-only: estimates are sketch-defined
-def q_sketch_quantile(spark, sf):
-    """Approximate quantiles of l_extendedprice per l_returnflag via
-    Spark's one-pass quantile summary (approx_percentile, the
-    Greenwald-Khanna-style mergeable summary), with accuracy dialed by
-    the third argument (10000 -> max rank error 1/10000).
-
-    The quantile half of the sketch family (q_sketch_hll is the
-    cardinality half): exact percentiles (q_agg_percentile) sort
-    within groups — at 100 TB an approx summary partial-aggregates
-    map-side and merges associatively, one scan, bounded state, no
-    within-group sort. tests/test_sketch.py pins estimate-vs-exact
-    rank error.
-    """
+def approx_quantiles(spark, sf):
+    """The raw sketch output: approximate p50/p90/p99 of
+    l_extendedprice per l_returnflag via Spark's one-pass mergeable
+    quantile summary (approx_percentile, Greenwald-Khanna-style),
+    accuracy dialed by the third argument (10000 -> max rank error
+    1/10000). Exact percentiles (q_agg_percentile) sort within groups;
+    at 100 TB this summary partial-aggregates map-side and merges
+    associatively — one scan, bounded state, no within-group sort."""
     configure(spark)
     li = load(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -78,6 +72,79 @@ def q_sketch_quantile(spark, sf):
         F.col("approx_pcts")[1].alias("p90"),
         F.col("approx_pcts")[2].alias("p99"),
     )
+
+
+@query(
+    "q_sketch_quantile",
+    oracle="""
+    SELECT l_returnflag, q_label, CAST(1 AS BIGINT) AS within_bound
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    CROSS JOIN (VALUES ('p50'), ('p90'), ('p99')) t(q_label)
+    ORDER BY l_returnflag, q_label
+    """,
+)
+def q_sketch_quantile(spark, sf):
+    """Greenwald-Khanna quantile sketch with its accuracy contract
+    VERIFIED IN-PLAN: for each (l_returnflag, quantile) the approx
+    value's exact rank window [#(x<v)+1, #(x<=v)] must intersect
+    [q·n − εn − 1, q·n + εn + 1] (ε = 1/accuracy = 1e-4; ±1 row covers
+    the summary's rank-rounding convention). Sketch estimates are
+    algorithm-and-merge-order defined, so their VALUES cannot be
+    value-matched by any SQL oracle; the deterministic object is the
+    GUARANTEE, so the query emits the per-cell verdict and the DuckDB
+    oracle pins the full verdict grid to 1 — any accuracy violation
+    hash-fails the row.
+
+    Plan shape: the sketch pass is one map-side-combined groupBy; the
+    verification joins the (n_groups × 3)-row approx result back
+    BROADCAST, so the recount is a second scan with no shuffle of
+    lineitem. At 100 TB you'd ship only the sketch pass (see
+    approx_quantiles above, the raw-output half of this operator);
+    the recount is the correctness harness.
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    labels = F.array(F.lit("p50"), F.lit("p90"), F.lit("p99"))
+    qfs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    apx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.lit(10000),
+            ).alias("pcts")
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.posexplode("pcts").alias("i", "v"),
+        )
+        .select(
+            "flag",
+            F.element_at(labels, F.col("i") + 1).alias("q_label"),
+            F.element_at(qfs, F.col("i") + 1).alias("qf"),
+            "v",
+        )
+    )
+    eps = 1.0 / 10000.0
+    ranks = (
+        li.join(F.broadcast(apx), F.col("l_returnflag") == F.col("flag"))
+        .groupBy("l_returnflag", "q_label")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("l_extendedprice") < F.col("v")).alias("lo"),
+            F.count_if(F.col("l_extendedprice") <= F.col("v")).alias("hi"),
+            F.max("qf").alias("qf"),
+        )
+    )
+    target = F.col("qf") * F.col("n")
+    slack = F.lit(eps) * F.col("n") + F.lit(1.0)
+    ok = (F.col("hi").cast("double") >= target - slack) & (
+        (F.col("lo").cast("double") + 1.0) <= target + slack
+    )
+    return ranks.select(
+        "l_returnflag", "q_label", ok.cast("long").alias("within_bound")
+    ).orderBy("l_returnflag", "q_label")
 
 
 @query(

@@ -66,77 +66,78 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-5 ROTATION (planned in round 4, executed here). ----
-    # Slots 1-4: the r4-red streaming queries, kept in-window so the
-    # TIMESTAMP_NTZ fix (tables.normalize_ts) gets official green rows
-    # replacing the red ones.
-    "q_stream_file_sink",
-    "q_events_late",
-    "q_events_stream_dedup",
-    "q_events_stream_session",
-    # Slots 5-36: every registered query that has NEVER had an official
-    # CORRECTNESS row (computed r1∪r2∪r3∪r4; all verified green locally
-    # via tools/verify_local.py). Three of these (funnel, enrich,
-    # stream-stream join) were also NTZ-broken and are now fixed.
-    "q_events_funnel",
-    "q_stream_enrich",
-    "q_stream_stream_join",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q18",
-    "q_agg_stringagg",
-    "q_unpivot",
-    "q_profile_table",
-    "q_window_rolling",
-    "q_window_ntile",
-    "q_window_firstlast",
-    "q_merge_upsert",
-    "q_join_band",
-    "q_agg_mode",
-    "q_agg_histogram",
-    "q_embed_quantize",
-    "q_dedup_fuzzy",
-    "q_dedup_spans",
-    "q_filter_quantile",
-    "q_mix_epochs",
-    "q_text_repetition",
-    "q_text_logprob",
-    "q_text_kl_divergence",
-    "q_events_retention",
-    "q_events_anomaly",
-    "q_events_resample",
-    "q_events_transitions",
-    "q_fillna_group",
-    "q_layout_sorted_scan",
-    "q_sketch_quantile",
-    "q_source_schema_merge",
-    # Slots 37-50: the seven queries ADDED this round (no official row
-    # can exist yet) + queries whose plan or implementation changed
-    # this round — the batch events queries flow through normalize_ts,
-    # langid/tfidf dropped their dictionary persist, stateful gained
-    # the combiner — so the official record covers the new surface and
-    # re-confirms the changed one.
-    "q_tpch_q6",
-    "q_tpch_q4",
+    # ---- ROUND-6 ROTATION. ----
+    # Slots 1-11: every query that has NEVER had an official row —
+    # the 10 round-5 additions that landed past the r5 prefix fold
+    # (all verified green locally, tools/verify_local.py) plus
+    # q_tpch_q21, new this round.
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_split_train_val",
+    "q_text_normalize",
+    "q_tpch_q21",
+    # Slots 12-14: the two red r5 rows, fixed this round (q12's oracle
+    # no longer emits HUGEINT→float64; centroids output long-format
+    # scalar cells the driver can hash), and q_sketch_quantile,
+    # promoted from rows-only to an oracled verdict-grid check.
     "q_tpch_q12",
-    "q_tpch_q14",
-    "q_join_bloom_pruned",
     "q_embed_centroids",
-    "q_sketch_heavy_hitters",
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_events_session",
-    "q_events_stateful",
+    "q_sketch_quantile",
+    # Slots 15-20: the round-6 perf-work targets (implementations may
+    # change; their green rows must be re-confirmed on the new plans).
     "q_text_langid",
     "q_text_tfidf",
-    "q_join_broadcast",
-    # Evicted to make room: everything green in the r4 official record
-    # (q_sum_m q_groupby_rss q_groupby_mean the scalar packs the
-    # dedup/text/similarity/multimodal/scale/source families) plus
-    # long-stable r2/r3 greens (q_tpch_q1, the exact-dedup/text
-    # packs) — all unchanged and re-registered right after the fold;
-    # r2∪r3∪r4∪r5 then carries an official row for 139 of 146 (the
-    # 7 round-5 additions get theirs this round).
+    "q_text_logprob",
+    "q_text_decontaminate",
+    "q_text_kl_divergence",
+    "q_tpch_q5",
+    # Slots 21-50: refresh the STALEST official rows — 30 of the 37
+    # queries whose last row is round 2 (the relational long tail).
+    # The 7 left out (q_scan_parquet, q_project, q_filter, q_limit,
+    # q_agg_global, q_str_substr, q_topk) are the most trivial
+    # near-duplicates of kept slots and re-register after the fold.
+    "q_project_arith",
+    "q_filter_compound",
+    "q_fillna",
+    "q_agg_group_sum",
+    "q_agg_multi",
+    "q_agg_distinct",
+    "q_agg_approx_countd",
+    "q_having",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_pivot",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_full",
+    "q_join_right",
+    "q_agg_percentile",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_cross",
+    "q_window_lag_lead",
+    "q_window_running_sum",
+    "q_topk_per_group",
+    "q_sort",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_str_funcs",
+    "q_date_funcs",
+    # Evicted to make room: the entire r5 official record (all 50
+    # green after this round's q12/centroids fixes), the r3/r4
+    # greens (census MOE algebra, dedup/text/similarity/multimodal/
+    # scale/source families) — unchanged, re-registered after the
+    # fold. After r6 records, every one of the 157 registered
+    # queries has an official row, none older than round 3.
 )
 
 

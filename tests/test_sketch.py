@@ -28,11 +28,22 @@ def test_hll_estimates_within_tolerance(spark):
         assert abs(est[k] - e) <= max(2, 0.02 * e), (k, est[k], e)
 
 
-def test_quantile_sketch_close_to_exact(spark):
+def test_quantile_verdict_grid_all_within_bound(spark):
+    """The registered query emits the GK guarantee verdict per
+    (flag, quantile) cell — every cell must pass, over the full grid."""
     from pandas_reporter_spark.operators.sketch import q_sketch_quantile
+
+    rows = q_sketch_quantile(spark, SF).collect()
+    flags = {r.l_returnflag for r in rows}
+    assert len(rows) == 3 * len(flags) and len(flags) >= 2
+    assert all(r.within_bound == 1 for r in rows), rows
+
+
+def test_quantile_sketch_close_to_exact(spark):
+    from pandas_reporter_spark.operators.sketch import approx_quantiles
     from pyspark.sql import functions as F
 
-    got = {r.l_returnflag: r for r in q_sketch_quantile(spark, SF).collect()}
+    got = {r.l_returnflag: r for r in approx_quantiles(spark, SF).collect()}
     li = load(spark, SF, "lineitem")
     exact = {
         r.l_returnflag: r
