@@ -318,49 +318,63 @@ def q_text_langid(spark, sf):
 
     Cavnar–Trenkle-shaped: build per-lang top-20 token profiles from
     the corpus, score each doc by profile hits, argmax with a
-    deterministic (hits DESC, lang ASC) tiebreak. The profile table is
-    tiny (n_langs × 20) → broadcast; the doc side never reshuffles
-    beyond its own distinct + groupBy(doc_id). On real multilingual
+    deterministic (hits DESC, lang ASC) tiebreak. On real multilingual
     data the profile would be char n-grams — same plan, different
     tokenizer expression.
 
-    Both branches (lang profiles, per-doc distinct tokens) derive from
-    ONE (doc, lang, token, count) aggregate expression. Round 4
-    persisted that aggregate to tokenize the corpus once; measured at
-    sf0.1 the cache materialization job costs MORE than the second
-    tokenize pass it saves (1.59s persisted vs 1.14s recomputed,
-    min-of-5 — the corpus here is small and explode+split is
-    codegen-cheap), and the official r4 bench regressed 1.15→1.80s.
-    Reverted to recompute-both-branches; at true 100 TB scale the
-    tradeoff flips and the persist/checkpoint of the compact dictionary
-    is the right call — documented in SCALING.md rather than paid
-    locally.
+    The probe side never explodes and never shuffles: each doc's
+    distinct-token ARRAY intersects the broadcast profile arrays
+    in-row (array_distinct + array_intersect, whole-stage codegen),
+    and the per-doc argmax is a map-side-combinable min_by aggregate —
+    no (doc, token) dedup shuffle, no scores shuffle, no rank window.
+    The only remaining shuffle builds the tiny profile table itself
+    (n_langs × 20 rows, broadcast back). Round-4 history: persisting a
+    shared tokenize artifact was measured SLOWER at sf0.1 (cache
+    materialization outweighs the explode it saves — SCALING.md); the
+    array form sidesteps the whole question by touching the corpus
+    once for scoring. Head-to-head at sf0.1 (one process, min-of-5):
+    0.73s vs 0.90s for the explode+window shape it replaces, with
+    byte-identical output.
     """
     configure(spark)
 
     d = load(spark, sf, "documents")
     tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
-    cnt = tok.groupBy("doc_id", "lang", "token").agg(F.count("*").alias("c"))
-    lang_counts = cnt.groupBy("lang", "token").agg(F.sum("c").alias("n"))
+    lang_counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
     w_top = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
-    lang_top = (
+    profiles = (
         lang_counts.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 20)
-        .select("lang", "token")
+        .groupBy("lang")
+        .agg(F.collect_list("token").alias("profile"))
+        .select(F.col("lang").alias("plang"), "profile")
     )
-    doc_toks = cnt.select("doc_id", "token")  # one row per (doc, token)
-    scores = (
-        doc_toks.join(F.broadcast(lang_top), "token")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
+    docs = d.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
-    w_pick = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") <= 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    scored = (
+        docs.crossJoin(F.broadcast(profiles))
+        .select(
+            "doc_id",
+            "plang",
+            F.size(F.array_intersect("toks", "profile"))
+            .cast("long")
+            .alias("hits"),
+        )
+        .filter(F.col("hits") > 0)
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(F.col("plang").alias("pred_lang"), F.col("hits")),
+            F.struct((-F.col("hits")).alias("nh"), F.col("plang")),
+        ).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.pred_lang").alias("pred_lang"),
+        F.col("b.hits").alias("hits"),
     )
 
 @query(
