@@ -229,8 +229,10 @@ def _read_events_stream(spark, sf: str) -> DataFrame:
     (ns-INT64, µs-NTZ, µs-LTZ), the stream surfaces event-time as LTZ —
     `withWatermark` rejects anything else.
     """
+    from pandas_reporter_spark.tables import _session_key
+
     batch = load(spark, sf, "events")  # sets nanosAsLong conf
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     raw_schema = _RAW_SCHEMA_CACHE.get(key)
     if raw_schema is None:
         # footer-only read; memoized like tables._LOAD_CACHE (the file

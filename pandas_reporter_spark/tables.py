@@ -81,7 +81,7 @@ def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     than events carries a nanos column, and an unrelated nanos read
     surfacing as long is a visible type, not silent corruption.
     """
-    key = (id(spark), sf, name)
+    key = (_session_key(spark), sf, name)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
@@ -103,6 +103,18 @@ def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
 #: on it re-scan files normally. Keyed by session identity so a fresh
 #: driver session never sees another session's plans.
 _LOAD_CACHE: dict = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-session cache key. `id(spark)` is unsafe: CPython can
+    reuse the address for a NEW session after the old one is stopped,
+    silently serving DataFrames bound to a dead SparkContext. The
+    applicationId is unique per started context; fall back to id() only
+    if the context is already gone (entries then die unused)."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped context — key can't collide with a live one
+        return f"dead-{id(spark)}"
 
 
 def dsum(col, scale: int = 2) -> Column:

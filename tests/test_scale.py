@@ -165,10 +165,12 @@ def test_bloom_pruned_join_filters_before_exchange(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in p
     filter_pos = p.index("might_contain")
-    # the probe-side scan (lineitem) feeds an Exchange; the bloom
-    # filter line must appear after (= deeper than) that exchange in
-    # the tree printout, i.e. between scan and shuffle
-    assert "Exchange" in p
+    # the probe-side scan (lineitem) feeds an Exchange; the tree
+    # printout lists parents before children, so the bloom-filter line
+    # must appear AFTER (= deeper than) the exchange it feeds — i.e.
+    # the filter evaluates between scan and shuffle, dropping rows
+    # before they are ever written to shuffle files
+    assert "Exchange" in p and p.index("Exchange") < filter_pos
     # semantics: identical to the plain broadcast-join answer
     from pyspark.sql import functions as F
     from pandas_reporter_spark.tables import load as tload
