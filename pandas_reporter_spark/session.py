@@ -70,7 +70,14 @@ def get_session(app_name: str = "pandas_reporter_spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[N] is ONE JVM doing driver + all executor work: 32
+        # concurrent tasks' shuffle/broadcast/codegen state in a 16g
+        # heap caused measurable GC drag on a long query sequence
+        # (bench headline 45.9s at 16g -> 39.8s at 48g, with the heavy
+        # tail — fuzzy dedup, LSH joins — improving up to 2x). On a
+        # real cluster the equivalent knobs are executor memory and
+        # spark.memory.fraction, set per-deploy.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
