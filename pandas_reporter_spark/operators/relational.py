@@ -2319,21 +2319,57 @@ def q_explode(spark, sf):
 # sampling / UDF surface (rows-only checks)
 
 
-@query("q_sample")  # rows-only: sampling algorithms differ across engines
+@query(
+    "q_sample",
+    oracle="SELECT CAST(1 AS BIGINT) AS ok_frac",
+)
 def q_sample(spark, sf):
-    """Bernoulli sample, seeded: deterministic within Spark, but no
-    cross-engine oracle exists (different PRNG streams)."""
+    """Bernoulli sample, seeded, with its DISTRIBUTIONAL contract
+    verified in-plan: the sampled row count must land within 6σ of
+    the binomial mean (p=0.1 over N source rows). The sampled ROWS are
+    engine-PRNG-defined, so no cross-engine oracle can value-match
+    them; the deterministic object is the sampling guarantee, so the
+    query emits the verdict and the oracle pins it to 1 — a broken
+    sampler (wrong p, duplicated partitions, seed ignored across
+    retries) hash-fails the row. Both counts aggregate map-side; the
+    two 1-row legs broadcast-join."""
     configure(spark)
-    return load(spark, sf, "lineitem").sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    li = load(spark, sf, "lineitem")
+    n_src = li.agg(F.count("*").alias("n_src"))
+    n_smp = (
+        li.sample(fraction=0.1, seed=42)
+        .agg(F.count("*").alias("n_smp"))
+    )
+    bound = F.lit(6.0) * F.sqrt(
+        F.col("n_src").cast("double") * F.lit(0.1) * F.lit(0.9)
+    )
+    ok = (
+        F.abs(F.col("n_smp").cast("double") - F.lit(0.1) * F.col("n_src"))
+        <= bound
+    )
+    return (
+        n_smp.crossJoin(F.broadcast(n_src))
+        .select(ok.cast("long").alias("ok_frac"))
     )
 
 
-@query("q_udf_pandas")  # rows-only: demonstrates the vectorized Python path
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                      AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS vratio
+    FROM documents
+    """,
+)
 def q_udf_pandas(spark, sf):
     """Arrow-batched pandas UDF (the sanctioned slow path — row-at-a-time
     Python UDFs are banned engine-wide). Computes a toy text statistic
-    that built-ins could also express; exists to pin the UDF surface.
+    that built-ins could also express; exists to pin the UDF surface —
+    and BECAUSE the statistic is deterministic, the DuckDB oracle
+    value-matches the Python path end-to-end (Arrow transfer, batch
+    slicing, and all).
 
     Built with an explicit returnType and no parameter annotations: this
     module has `from __future__ import annotations`, which stringifies

@@ -22,21 +22,15 @@ from pandas_reporter_spark.session import configure
 from pandas_reporter_spark.tables import load
 
 
-@query("q_sketch_hll")  # rows-only: estimates are sketch-algorithm-defined
-def q_sketch_hll(spark, sf):
-    """Approx distinct users per event_type + a merged grand total.
-
-    ONE scan builds the per-type sketches (groupBy with map-side
-    partial agg — the shuffle carries n_types fixed-size sketch
-    states, not user ids); the '__all__' row then re-aggregates the
-    per-type sketches with hll_union_agg WITHOUT touching the events
-    table again — the mergeability that makes sketches the 100 TB
-    answer to rollup hierarchies. Exact distinct on the same scan
-    would shuffle every (event_type, user_id) pair.
-
-    tests/test_sketch.py pins estimate-vs-exact relative error ≤ 2%
-    (HLL_8 lgK=12 standard error ≈ 1.04/√2¹² ≈ 1.6%).
-    """
+def hll_estimates(spark, sf):
+    """The raw sketch output: approx distinct users per event_type + a
+    merged grand total. ONE scan builds the per-type sketches (groupBy
+    with map-side partial agg — the shuffle carries n_types fixed-size
+    sketch states, not user ids); the '__all__' row then re-aggregates
+    the per-type sketches with hll_union_agg WITHOUT touching the
+    events table again — the mergeability that makes sketches the
+    100 TB answer to rollup hierarchies. Exact distinct on the same
+    scan would shuffle every (event_type, user_id) pair."""
     configure(spark)
     ev = load(spark, sf, "events")
     sketches = ev.groupBy("event_type").agg(
@@ -49,6 +43,50 @@ def q_sketch_hll(spark, sf):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__all__").alias("event_type"), "approx_users")
     return per_type.unionAll(merged)
+
+
+@query(
+    "q_sketch_hll",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS est_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', COUNT(DISTINCT user_id), CAST(1 AS BIGINT)
+    FROM events
+    """,
+)
+def q_sketch_hll(spark, sf):
+    """DataSketches HLL with its accuracy contract VERIFIED IN-PLAN:
+    per event_type (and for the sketch-merged '__all__' rollup) the
+    estimate must sit within max(2, 2%) of the exact distinct count
+    (HLL_8 lgK=12 standard error ≈ 1.04/√2¹² ≈ 1.6%). Sketch VALUES
+    are algorithm-defined, so no SQL oracle can match them; the
+    deterministic objects are the exact counts and the error
+    GUARANTEE, so the query emits (exact_users, verdict) and the
+    DuckDB oracle computes the same exact counts with the verdict
+    pinned to 1 — an estimator drifting out of tolerance (or a merge
+    bug in the '__all__' union) hash-fails the row. The exact
+    recount is the correctness harness; the production artifact is
+    the sketch pass alone (see hll_estimates above)."""
+    configure(spark)
+    ev = load(spark, sf, "events")
+    est = hll_estimates(spark, sf)
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("__all__").alias("event_type"), "exact_users")
+    exact = exact_t.unionAll(exact_all)
+    ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.greatest(F.lit(2.0), F.lit(0.02) * F.col("exact_users"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "exact_users", ok.cast("long").alias("est_ok"))
+    )
 
 
 def approx_quantiles(spark, sf):

@@ -97,14 +97,20 @@ _PRIORITY = (
     "q_text_decontaminate",
     "q_text_kl_divergence",
     "q_tpch_q5",
-    # Slots 21-50: refresh the STALEST official rows — 30 of the 37
+    # Slots 21-23: promoted from rows-only to oracled this round
+    # (first possible official oracled rows): the HLL verdict grid,
+    # the pandas-UDF value oracle, the sampling-bound verdict.
+    "q_sketch_hll",
+    "q_udf_pandas",
+    "q_sample",
+    # Slots 24-50: refresh the STALEST official rows — 27 of the 37
     # queries whose last row is round 2 (the relational long tail).
-    # The 7 left out (q_scan_parquet, q_project, q_filter, q_limit,
-    # q_agg_global, q_str_substr, q_topk) are the most trivial
-    # near-duplicates of kept slots and re-register after the fold.
+    # The 10 left out (q_scan_parquet, q_project, q_filter, q_limit,
+    # q_agg_global, q_str_substr, q_topk, q_fillna, q_sort,
+    # q_union_all) are the most trivial near-duplicates of kept slots
+    # and re-register after the fold.
     "q_project_arith",
     "q_filter_compound",
-    "q_fillna",
     "q_agg_group_sum",
     "q_agg_multi",
     "q_agg_distinct",
@@ -126,8 +132,6 @@ _PRIORITY = (
     "q_window_lag_lead",
     "q_window_running_sum",
     "q_topk_per_group",
-    "q_sort",
-    "q_union_all",
     "q_intersect",
     "q_except",
     "q_str_funcs",

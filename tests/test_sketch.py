@@ -12,8 +12,19 @@ from pandas_reporter_spark.tables import load
 SF = "/root/testdata/sf0.01"
 
 
+def test_hll_verdict_grid(spark):
+    """The registered query emits exact counts + the tolerance verdict
+    per type (and the merged '__all__'); every cell must pass."""
+    rows = q_sketch_hll(spark, SF).collect()
+    types = {r.event_type for r in rows}
+    assert "__all__" in types and len(types) >= 3
+    assert all(r.est_ok == 1 for r in rows), rows
+
+
 def test_hll_estimates_within_tolerance(spark):
-    est = {r["event_type"]: r["approx_users"] for r in q_sketch_hll(spark, SF).collect()}
+    from pandas_reporter_spark.operators.sketch import hll_estimates
+
+    est = {r["event_type"]: r["approx_users"] for r in hll_estimates(spark, SF).collect()}
     ev = load(spark, SF, "events")
     exact = {
         r["event_type"]: r["n"]
