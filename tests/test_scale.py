@@ -262,3 +262,45 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q21_self_joins_share_orderkey_partitioning(spark):
+    """The Q21 topology: late-lines slice probed by a LEFT SEMI
+    (another supplier exists) then a LEFT ANTI (no other late
+    supplier) — both legs must plan as non-broadcast joins keyed on
+    l_orderkey (fact-sized sides), with the supplier/nation dim side
+    BROADCAST, and probe rows never duplicated (semi/anti forms)."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = plan_of(QUERIES["q_tpch_q21"](spark, SF))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p  # the supplier⨝nation dim leg
+    # all three self-join legs hash on the orderkey equi-pair; the
+    # non-equi suppkey residual stays a join CONDITION, never a
+    # cross product
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_langid_probe_side_has_no_shuffle(spark):
+    """q_text_langid's probe side must be shuffle-free: documents scan
+    → array_intersect against the BROADCAST profiles → one final
+    combinable aggregate. The only shuffle exchanges allowed in the
+    whole plan are the profile build's (lang, token) aggregate + its
+    top-k window and the final per-doc argmax — no exploded-corpus
+    repartition, no scores shuffle, no rank window over docs."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = plan_of(QUERIES["q_text_langid"](spark, SF))
+    # profile side: 2 shuffles (agg + window); probe side: 1 (argmax
+    # partial→final). Anything beyond that is a regression.
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    assert "BroadcastExchange" in p
+    # the probe never explodes: exactly ONE Generate (profile build's
+    # explode); the scorer is array_intersect in a Project
+    # formatted explain prints each node twice (tree + details):
+    # "Generate (id)" appears once per node in the tree section
+    assert p.count("Generate (") == 1, p
+    assert "array_intersect" in p
