@@ -927,6 +927,76 @@ def q_tpch_q21(spark, sf):
 
 
 @query(
+    "q_tpch_q16",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark, sf):
+    """TPC-H-Q16-style parts/supplier relationship count: how many
+    distinct suppliers can provide each qualifying part class,
+    excluding a supplier denylist. The association table (the spec's
+    partsupp) is DERIVED as the distinct (partkey, suppkey) pairs
+    observed in lineitem — the standard trick when the relationship
+    table is implicit in the fact.
+
+    The plan at 100 TB: the distinct-pairs aggregate map-side combines
+    the fact down to the association's cardinality BEFORE anything
+    joins; the part dim filters (inequality + NOT LIKE + IN-list) prune
+    its broadcast build side; the denylist (tiny) broadcasts as a LEFT
+    ANTI — the NOT IN is safe to compile to anti-join because
+    s_suppkey is non-null by construction. The final count-distinct
+    groups by the part attributes, shuffling only surviving association
+    rows (adapted from the public TPC-H spec, Q16; lineitem pairs stand
+    in for partsupp, and the negative-balance predicate stands in for
+    the spec's comment-LIKE complaint filter, which this supplier
+    table has no column for)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
     "q_tpch_q6",
     oracle=f"""
     SELECT {oracle_dsum("l_extendedprice * l_discount", 4)} AS revenue,

@@ -67,10 +67,10 @@ _OPERATOR_MODULES = (
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
     # ---- ROUND-6 ROTATION. ----
-    # Slots 1-11: every query that has NEVER had an official row —
+    # Slots 1-12: every query that has NEVER had an official row —
     # the 10 round-5 additions that landed past the r5 prefix fold
     # (all verified green locally, tools/verify_local.py) plus
-    # q_tpch_q21, new this round.
+    # q_tpch_q21 and q_tpch_q16, new this round.
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q10",
@@ -82,6 +82,7 @@ _PRIORITY = (
     "q_split_train_val",
     "q_text_normalize",
     "q_tpch_q21",
+    "q_tpch_q16",
     # Slots 12-14: the two red r5 rows, fixed this round (q12's oracle
     # no longer emits HUGEINT→float64; centroids output long-format
     # scalar cells the driver can hash), and q_sketch_quantile,
@@ -103,12 +104,12 @@ _PRIORITY = (
     "q_sketch_hll",
     "q_udf_pandas",
     "q_sample",
-    # Slots 24-50: refresh the STALEST official rows — 27 of the 37
+    # Slots 25-50: refresh the STALEST official rows — 26 of the 37
     # queries whose last row is round 2 (the relational long tail).
-    # The 10 left out (q_scan_parquet, q_project, q_filter, q_limit,
+    # The 11 left out (q_scan_parquet, q_project, q_filter, q_limit,
     # q_agg_global, q_str_substr, q_topk, q_fillna, q_sort,
-    # q_union_all) are the most trivial near-duplicates of kept slots
-    # and re-register after the fold.
+    # q_union_all, q_join_cross) are the most trivial near-duplicates
+    # of kept slots and re-register after the fold.
     "q_project_arith",
     "q_filter_compound",
     "q_agg_group_sum",
@@ -128,7 +129,6 @@ _PRIORITY = (
     "q_join_semi",
     "q_join_anti",
     "q_join_range",
-    "q_join_cross",
     "q_window_lag_lead",
     "q_window_running_sum",
     "q_topk_per_group",
