@@ -1170,6 +1170,349 @@ def q_tpch_q14(spark, sf):
     )
 
 
+# Derived partsupp: the driver testdata has no partsupp table, so the
+# association relation is DERIVED from the fact exactly as in q_tpch_q16
+# (distinct observed pairs), extended with the two attributes Q2/Q9/Q11/
+# Q20 need: ps_supplycost := MIN unit price observed for the pair (min
+# of per-row doubles is order-independent, so it is bit-identical
+# cross-engine), and ps_availqty := exact integer-unit sum of quantities
+# (tables.dsum discipline). At 100 TB this aggregate map-side combines
+# the fact down to pair cardinality before anything joins it.
+_ORACLE_PS = f"""
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+             {oracle_dsum('l_quantity')} AS ps_availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def _derived_partsupp(spark, sf):
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            ),
+            dsum("l_quantity").alias("ps_availqty"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH {_ORACLE_PS},
+    eur AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM eur JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 7 AND p_type = 'STANDARD'
+      AND ps_supplycost = (
+        SELECT MIN(e2.ps_supplycost) FROM eur e2
+        WHERE e2.ps_partkey = eur.ps_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark, sf):
+    """TPC-H-Q2-style minimum-cost supplier: for each qualifying part,
+    the European supplier(s) offering the region-wide minimum cost —
+    the correlated-MIN-subquery topology.
+
+    Spark-first shape: the correlated `cost = MIN(cost) per part` is a
+    window-min over the region-scoped association (one shuffle on
+    ps_partkey), NOT a self-join back onto a grouped copy — at 100 TB
+    that halves the passes over the association and reuses the same
+    hash partitioning the final per-part filter needs. supplier/
+    nation/region broadcast into the association before the window, so
+    the region filter prunes rows ahead of the only shuffle; the
+    part-attribute filter is a broadcast join applied AFTER the window
+    (the spec's correlated min ranges over all European offers of the
+    part, not just filtered parts). min(double) is exact, so the
+    equality filter selects the identical row set cross-engine
+    (adapted from the public TPC-H spec, Q2; partsupp is derived from
+    lineitem pairs, p_type='STANDARD' stands in for '%BRASS')."""
+    configure(spark)
+    ps = _derived_partsupp(spark, sf)
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        ps.join(
+            F.broadcast(
+                s.join(n, F.col("s_nationkey") == F.col("n_nationkey")).join(
+                    r, F.col("n_regionkey") == F.col("r_regionkey")
+                )
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    w = W.partitionBy("ps_partkey")
+    p = load(spark, sf, "part").filter(
+        (F.col("p_size") == 7) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eur.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "ps_supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH {_ORACLE_PS}
+    SELECT nation, o_year,
+           {oracle_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - ps_supplycost * l_quantity AS amount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark, sf):
+    """TPC-H-Q9-style product-type profit: revenue minus supply cost
+    per supplier nation per year, over a part-name slice.
+
+    The widest join tree in the registry: fact ⨝ orders (orderkey
+    shuffle) ⨝ derived partsupp (composite-key shuffle against an
+    aggregate of the same fact) with part/supplier/nation broadcast.
+    The p_name LIKE filter prunes the broadcast part build side, and
+    AQE turns the lineitem⨝part leg into a broadcast join BEFORE the
+    big shuffles, so only matching lines reach them. The profit
+    expression is identical text in both engines (single IEEE ops on
+    exact inputs) and the sum goes through the integer-unit quantizer
+    (adapted from the public TPC-H spec, Q9; partsupp derived from
+    lineitem pairs, '%widget%' stands in for '%green%')."""
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    ps = _derived_partsupp(spark, sf)
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(
+            F.broadcast(
+                s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH {_ORACLE_PS},
+    scoped AS (
+      SELECT ps_partkey,
+             CAST(floor(ps_supplycost * ps_availqty * 100.0 + 0.5)
+                  AS BIGINT) AS value_units
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_4'
+    )
+    SELECT ps_partkey,
+           CAST(SUM(value_units) AS DOUBLE) / 100.0 AS value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(value_units) AS DOUBLE) / 100.0 >
+           (SELECT CAST(SUM(value_units) AS DOUBLE) / 100.0 * 0.001
+            FROM scoped)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark, sf):
+    """TPC-H-Q11-style important stock: parts whose inventory value in
+    one nation exceeds a fraction of the nation's total — the
+    HAVING-against-global-scalar-subquery topology.
+
+    Spark-first shape: the nation-scoped association computes ONCE
+    (broadcast supplier⨝nation prunes it before its groupBy shuffle);
+    the global total is a 1-row aggregate of the same scoped relation
+    that broadcast-cross-joins into the grouped result as the HAVING
+    threshold — no second scan topology, no collect(). Value units are
+    quantized to integer cents on BOTH the per-part and the total
+    sums, so the > comparison is between exactly-reproducible doubles
+    cross-engine (adapted from the public TPC-H spec, Q11; partsupp
+    derived from lineitem pairs, availqty := summed quantity,
+    fraction 0.001 sized to the driver SFs)."""
+    configure(spark)
+    ps = _derived_partsupp(spark, sf)
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_4")
+    units = F.floor(
+        F.col("ps_supplycost") * F.col("ps_availqty") * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scoped = (
+        ps.join(
+            F.broadcast(
+                s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select("ps_partkey", units.alias("value_units"))
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(
+        (F.sum("value_units").cast("double") / F.lit(100.0)).alias("value")
+    )
+    total = scoped.agg(
+        (F.sum("value_units").cast("double") / F.lit(100.0) * F.lit(0.001))
+        .alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH {_ORACLE_PS},
+    y96 AS (
+      SELECT l_partkey, l_suppkey,
+             {oracle_dsum('l_quantity')} AS qty_1996
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND s_suppkey IN (
+        SELECT ps_suppkey
+        FROM ps
+        JOIN y96 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+        )
+        AND ps_availqty > 0.5 * qty_1996
+      )
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark, sf):
+    """TPC-H-Q20-style potential promotion: suppliers in one nation
+    whose stock of name-matched parts exceeds half what they shipped
+    in 1996 — the nested-semi-join-with-correlated-aggregate topology.
+
+    Spark-first shape: both sides of the correlated comparison are
+    aggregates of the SAME fact on the SAME (partkey, suppkey) key —
+    the association (all-time) and the 1996 slice — so their equi-join
+    reuses one co-partitioning; the part name-filter applies as a
+    broadcast LEFT SEMI before that shuffle, pruning the association
+    first. Qualifying supplier keys then broadcast-LEFT-SEMI into the
+    region-scoped supplier dim: the full chain moves only keys, never
+    duplicating supplier rows. Both quantity aggregates go through the
+    integer-unit quantizer so the `> 0.5 ×` comparison is exact
+    cross-engine (adapted from the public TPC-H spec, Q20; partsupp
+    derived from lineitem pairs, availqty := all-time summed quantity,
+    'large%' stands in for 'forest%'; the scope widens from the
+    spec's single nation to a region so the driver's small supplier
+    dim still yields a discriminating result)."""
+    configure(spark)
+    ps = _derived_partsupp(spark, sf)
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    y96 = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty_1996"))
+    )
+    qual = (
+        ps.join(
+            F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"), "left_semi"
+        )
+        .join(
+            y96,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("qty_1996"))
+        .select("ps_suppkey")
+    )
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        s.join(
+            F.broadcast(
+                n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(qual),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 @query(
     "q_agg_global",
     oracle=f"""

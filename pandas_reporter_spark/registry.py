@@ -83,6 +83,13 @@ _PRIORITY = (
     "q_text_normalize",
     "q_tpch_q21",
     "q_tpch_q16",
+    # New this session: the last four TPC-H shapes (22/22) — the
+    # derived-partsupp family (correlated-MIN, widest join tree,
+    # HAVING-vs-scalar, nested semi with correlated aggregate).
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q20",
     # Slots 12-14: the two red r5 rows, fixed this round (q12's oracle
     # no longer emits HUGEINT→float64; centroids output long-format
     # scalar cells the driver can hash), and q_sketch_quantile,
@@ -118,13 +125,11 @@ _PRIORITY = (
     "q_agg_approx_countd",
     "q_having",
     "q_rollup",
-    "q_cube",
     "q_grouping_sets",
     "q_pivot",
     "q_join_inner",
     "q_join_left",
     "q_join_full",
-    "q_join_right",
     "q_agg_percentile",
     "q_join_semi",
     "q_join_anti",
@@ -132,16 +137,17 @@ _PRIORITY = (
     "q_window_lag_lead",
     "q_window_running_sum",
     "q_topk_per_group",
-    "q_intersect",
-    "q_except",
     "q_str_funcs",
     "q_date_funcs",
     # Evicted to make room: the entire r5 official record (all 50
     # green after this round's q12/centroids fixes), the r3/r4
     # greens (census MOE algebra, dedup/text/similarity/multimodal/
     # scale/source families) — unchanged, re-registered after the
-    # fold. After r6 records, every one of the 157 registered
-    # queries has an official row, none older than round 3.
+    # fold; plus four near-duplicates of kept stale-refresh slots
+    # (q_join_right~join_left, q_intersect/q_except~union_all,
+    # q_cube~rollup) to fund the Q2/Q9/Q11/Q20 additions. After r6
+    # records, every one of the 161 registered queries has an
+    # official row, none older than round 3 except those four.
 )
 
 
