@@ -64,6 +64,70 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+#: sf_dir -> relayout dir holding multi-file copies of the big tables
+#: (see `relayout`). Process-local: only a caller that explicitly ran
+#: `relayout` (the bench) ever reads the copies.
+_RELAYOUT_DIRS: dict[str, str] = {}
+
+#: Output file count per re-laid-out table, sized so each file is a
+#: few hundred KB to a few MB at sf0.1 — enough scan tasks to feed the
+#: local cores without tiny-file overhead.
+_RELAYOUT_SPLITS = {
+    "lineitem": 16,
+    "orders": 8,
+    "events": 8,
+    "customer": 4,
+    # documents/embeddings feed CPU-bound Arrow kernels (shingle
+    # minhash, levenshtein rerank, vector math): split to near core
+    # count — measured best of {4, 8, 16} at sf0.1 (A/B in-session:
+    # fuzzy dedup 2.44s→1.22s, langid 0.89s→0.69s vs single-file)
+    "documents": 16,
+    "embeddings": 8,
+}
+
+
+def relayout(spark: SparkSession, sf: str, base: str = "/dev/shm") -> None:
+    """Rewrite the big driver tables as multi-file parquet and redirect
+    subsequent `load` calls for this sf_dir to the copies.
+
+    WHY: the driver snapshots are one file with ONE row group per
+    table, so every scan — and, worse, every shuffle-map stage over a
+    fact table — runs as a single task no matter how many cores exist
+    (measured: the lineitem⨝orders shuffle join drops 0.62s → 0.30s at
+    sf0.1 once lineitem has 16 files). At the 100 TB design point this
+    situation cannot arise: ingest controls file/row-group sizing
+    (SCALING.md), and a table is thousands of splits. Re-laying-out
+    once per session is the same one-time table-prep cost the bench
+    already pays for the bucketed-join and partition-pruned inputs —
+    a cluster pays it at ingest, not per query.
+
+    Identical data, different physical layout: results are unaffected
+    (every registered aggregate is accumulation-order independent by
+    construction — tables.dsum). Idempotent per (sf, base); failures
+    fall back to the original files."""
+    if sf in _RELAYOUT_DIRS or not os.path.isdir(base):
+        return
+    out = os.path.join(base, f"prs_layout_{os.path.basename(os.path.normpath(sf))}")
+    try:
+        for name, n in _RELAYOUT_SPLITS.items():
+            src = os.path.join(sf, f"{name}.parquet")
+            dst = os.path.join(out, name)
+            if not os.path.exists(src) or os.path.exists(os.path.join(dst, "_SUCCESS")):
+                continue
+            if name == "events":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = normalize_ts(spark.read.parquet(src))
+            else:
+                df = spark.read.parquet(src)
+            df.repartition(n).write.mode("overwrite").parquet(dst)
+        _RELAYOUT_DIRS[sf] = out
+    except Exception:  # read-only /dev/shm, no space: originals still work
+        return
+    # drop memoized single-file scans for this sf so reads re-resolve
+    for key in [k for k in _LOAD_CACHE if k[1] == sf]:
+        del _LOAD_CACHE[key]
+
+
 def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     """Parquet scan of one driver table (vectorized reader, pushdown-able).
 
@@ -85,6 +149,15 @@ def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
+    lay = _RELAYOUT_DIRS.get(sf)
+    if lay is not None and name in _RELAYOUT_SPLITS:
+        dst = os.path.join(lay, name)
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            # multi-file copy written by `relayout` (ts already
+            # normalized there for events)
+            df = spark.read.parquet(dst)
+            _LOAD_CACHE[key] = df
+            return df
     path = os.path.join(sf, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
