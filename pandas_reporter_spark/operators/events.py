@@ -212,10 +212,27 @@ def _run_stream(spark, stream_df: DataFrame, output_mode: str) -> DataFrame:
     if os.path.isdir("/dev/shm"):
         ckpt = f"/dev/shm/prs_ckpt_{name}"
         w = w.option("checkpointLocation", ckpt)
+    # Skip the trailing no-data micro-batch (~0.3-1.0s each at bench
+    # scale; q_stream_stream_join 2.5s → 1.5s). That batch exists to
+    # advance the watermark so APPEND-mode AGGREGATES emit finalized
+    # windows and event-time timeouts fire — none of which the
+    # _run_stream callers need: complete mode re-emits full state in
+    # the data batch, the update-mode stateful op uses NoTimeout, and
+    # the one append caller is an inner stream-stream join that emits
+    # on match (the finalize batch would only evict state). A query
+    # that DOES need finalization (q_stream_file_sink's append-mode
+    # windowed agg) runs its own writeStream with the default on.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = w.start()
         q.awaitTermination()
     finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         if ckpt is not None:
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
