@@ -82,3 +82,38 @@ def test_table_contract(spark, sf, table):
             "tables.load like normalize_ts does for events.ts"
         )
     assert df.limit(1).count() >= 0  # scan actually executes
+
+
+def test_relayout_redirect_preserves_data(spark, tmp_path):
+    """`tables.relayout` must be invisible to results: same schema, same
+    rows, different physical layout (multiple files). Uses its own base
+    dir so the shared-session _RELAYOUT_DIRS state never leaks into
+    other tests."""
+    from pandas_reporter_spark import tables
+
+    sf = "/root/testdata/sf0.001"
+    before = {}
+    for t in ("lineitem", "events", "documents"):
+        df = load(spark, sf, t)
+        before[t] = (
+            tuple(df.columns),
+            df.count(),
+            df.agg({df.columns[0]: "sum"}).collect()[0][0],
+        )
+    try:
+        tables.relayout(spark, sf, base=str(tmp_path))
+        assert sf in tables._RELAYOUT_DIRS
+        for t in ("lineitem", "events", "documents"):
+            df = load(spark, sf, t)
+            # redirected scan reads >1 input file
+            n_files = len(df.inputFiles())
+            assert n_files == tables._RELAYOUT_SPLITS[t], (t, n_files)
+            assert (
+                tuple(df.columns),
+                df.count(),
+                df.agg({df.columns[0]: "sum"}).collect()[0][0],
+            ) == before[t]
+    finally:
+        tables._RELAYOUT_DIRS.pop(sf, None)
+        for k in [k for k in tables._LOAD_CACHE if k[1] == sf]:
+            del tables._LOAD_CACHE[k]
