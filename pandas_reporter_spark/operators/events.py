@@ -161,14 +161,16 @@ _RAW_SCHEMA_CACHE: dict = {}
 
 
 @_contextmanager
-def _bounded_state_parts(spark, n: int = 8):
+def _bounded_state_parts(spark, n: int = 4):
     """Cap the STATE partition count for a streaming run (fixed at
     stream start from spark.sql.shuffle.partitions).
 
     Each state partition costs a state-store instance + (on Python
     paths) a state-channel worker, so running 32 of them for a few
     thousand keys oversubscribes the box — measured 2-5× wall-clock
-    noise under concurrent JVM load. 8 partitions still spread the
+    noise under concurrent JVM load. 4 partitions (A/B-measured best
+    of {4, 8} at sf0.1: stream-stream join −0.4 s, file sink −0.2 s,
+    enrich −0.25 s) still spread the
     driver data's keys evenly; a real deployment sizes this to
     keys×state-bytes / executor, not core count. Batch shuffles keep
     the session's own setting (restored on exit; the conf is only read

@@ -1605,16 +1605,40 @@ def q_agg_distinct(spark, sf):
     )
 
 
-@query("q_agg_approx_countd")  # rows-only: HLL estimate ≠ DuckDB exact count
+@query(
+    "q_agg_approx_countd",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           CAST(1 AS BIGINT) AS est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_countd(spark, sf):
     """approx_count_distinct (HyperLogLog++). At 100 TB this replaces
     exact distinct where a ~2% error is acceptable: no massive
-    distinct-shuffle, mergeable sketches."""
+    distinct-shuffle, mergeable sketches.
+
+    Verdict-grid oracle (same contract style as q_sketch_hll): the
+    estimate itself is algorithm-defined, so the deterministic objects
+    are the exact per-group counts and the ACCURACY GUARANTEE — the
+    query emits (exact_parts, est_ok) where est_ok pins the estimate
+    within max(2, 5%) of exact (rsd 0.02 → 5% ≈ 2.5σ; the estimate is
+    deterministic for fixed data+hash, verified in-tolerance at every
+    driver SF). The exact recount exists only in this harness row; the
+    production artifact is the sketch pass alone."""
     configure(spark)
-    return (
-        load(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    li = load(spark, sf, "lineitem")
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    ok = F.abs(F.col("approx_parts") - F.col("exact_parts")) <= F.greatest(
+        F.lit(2.0), F.lit(0.05) * F.col("exact_parts")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "exact_parts", ok.cast("long").alias("est_ok")
     )
 
 
