@@ -92,3 +92,36 @@ def test_redact_rewrites_pii_and_counts(spark, tmp_path_factory):
     assert out[2].n_names == 2
     assert out[3].redacted == out[3].redacted == rows[3][1]
     assert out[3].n_names == 0
+
+
+def test_doc_token_tf_artifact_is_result_invariant(spark, tmp_path):
+    """The shared tokenize artifact must be invisible to results: every
+    consumer query returns byte-identical rows whether it starts from
+    the materialized (doc, token, tf) relation or its standalone plan."""
+    from pandas_reporter_spark.operators import text as T
+    from pandas_reporter_spark.tables import _session_key
+
+    sf = "/root/testdata/sf0.001"
+    consumers = (
+        "q_text_tokens",
+        "q_text_tfidf",
+        "q_text_langid",
+        "q_text_logprob",
+        "q_text_kl_divergence",
+    )
+    from pandas_reporter_spark.registry import QUERIES
+
+    key = (_session_key(spark), sf)
+    T._TF_ART.pop(key, None)
+    base = {
+        q: sorted(map(tuple, QUERIES[q](spark, sf).collect()))
+        for q in consumers
+    }
+    try:
+        T.materialize_doc_tokens(spark, sf, base=str(tmp_path))
+        assert T.doc_token_tf(spark, sf) is not None
+        for q in consumers:
+            got = sorted(map(tuple, QUERIES[q](spark, sf).collect()))
+            assert got == base[q], f"{q} diverged on the artifact path"
+    finally:
+        T._TF_ART.pop(key, None)
