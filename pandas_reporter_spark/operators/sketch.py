@@ -226,23 +226,37 @@ def q_sketch_heavy_hitters(spark, sf):
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
+    from pandas_reporter_spark.operators.text import doc_token_tf
+
     configure(spark)
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
+    # All three passes run tf-WEIGHTED over (token, tf): from the
+    # shared tokenize artifact when materialized, else from the
+    # exploded stream with tf=1 (identical math — weighted MG with the
+    # same capacity never evicts a token whose partition WEIGHT
+    # exceeds W_p/1025, so the candidate-superset guarantee holds
+    # verbatim, and the recount is exact either way).
+    art = doc_token_tf(spark, sf)
+    if art is not None:
+        tok = art.filter(F.col("token") != "").select("token", "tf")
+    else:
+        d = load(spark, sf, "documents")
+        tok = (
+            d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .withColumn("tf", F.lit(1).cast("long"))
+        )
 
     cap = 1024
 
     def mg_partition(batches):
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            vc = pdf["token"].value_counts()
+            vc = pdf.groupby("token")["tf"].sum()
             counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > cap:
                 # prune: subtract the (cap+1)-th largest counter from
                 # all, drop non-positive — the mergeable-MG step whose
-                # total decrement is bounded by n_p/cap
+                # total decrement is bounded by W_p/cap
                 dec = counters.nlargest(cap + 1).iloc[-1]
                 counters = counters[counters > dec] - dec
         yield pd.DataFrame({"token": counters.index.astype(str)})
@@ -250,11 +264,11 @@ def q_sketch_heavy_hitters(spark, sf):
     candidates = (
         tok.mapInPandas(mg_partition, "token string").distinct()
     )
-    total = tok.agg(F.count("*").alias("n_total"))
+    total = tok.agg(F.sum("tf").alias("n_total"))
     return (
         tok.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") > F.col("n_total") / 256.0)
         .select("token", "cnt")
