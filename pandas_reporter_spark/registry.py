@@ -133,12 +133,16 @@ _PRIORITY = (
     "q_agg_percentile",
     "q_join_semi",
     "q_join_anti",
-    "q_join_range",
-    "q_window_lag_lead",
-    "q_window_running_sum",
-    "q_topk_per_group",
-    "q_str_funcs",
-    "q_date_funcs",
+    # Slots 47-50: promoted from rows-only to oracled THIS session —
+    # first possible official oracled rows (fixture closed-form /
+    # golden-pin oracles): the CR pivot pair, the VRT round-trip, and
+    # the end-to-end census workflow. These outrank four more stale-r2
+    # refreshes (q_join_range, q_window_lag_lead, q_str_funcs,
+    # q_date_funcs — all green-r2, re-register after the fold).
+    "q_source_cr_pivot",
+    "q_source_cr_bulk",
+    "q_varrep_source",
+    "q_census_workflow",
     # Evicted to make room: the entire r5 official record (all 50
     # green after this round's q12/centroids fixes), the r3/r4
     # greens (census MOE algebra, dedup/text/similarity/multimodal/

@@ -29,11 +29,45 @@ from pandas_reporter_spark.tables import dsum, load
 _FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
-@query("q_source_cr_pivot")  # rows-only: input is the committed fixture,
-# not a driver table, so no oracle view exists for it
+#: The committed CR fixtures are CONSTRUCTED from a closed form
+#: (geo g ∈ 1..5: estimate(var v) = 10·v·g, margin = v·g; tract names
+#: indexed by g), so their expected pivots are expressible as plain SQL
+#: over that closed form — the oracle checks the whole JSON-ingest +
+#: title-stack + margin-interleave path against it, independent of the
+#: ingest code. Not a tautology: the fixture file and this SQL share
+#: only the generator formula, not any code path.
+_CR_GEOS = """
+    (VALUES (1, '14000US06073000100', 'Census Tract 1, San Diego, CA'),
+            (2, '14000US06073000201', 'Census Tract 2.01, San Diego, CA'),
+            (3, '14000US06073000202', 'Census Tract 2.02, San Diego, CA'),
+            (4, '14000US06073000300', 'Census Tract 3, San Diego, CA'),
+            (5, '14000US06073000400', 'Census Tract 4, San Diego, CA'))
+"""
+
+
+def _cr_pivot_oracle(max_g: int) -> str:
+    cols = []
+    for v in range(1, 7):
+        est = f"CAST(10 * {v} * g AS DOUBLE)"
+        m90 = f"CAST({v} * g AS DOUBLE)"
+        # cr_b99001_part2.json leaves var 3 of tract 4 (g=5) unpublished
+        if v == 3:
+            est = f"CASE WHEN g = 5 THEN NULL ELSE {est} END"
+            m90 = f"CASE WHEN g = 5 THEN NULL ELSE {m90} END"
+        cols.append(f"{est} AS B9900100{v}")
+        cols.append(f"{m90} AS B9900100{v}_m90")
+    return f"""
+    SELECT geoid, name, {', '.join(cols)}
+    FROM (SELECT * FROM {_CR_GEOS} AS t(g, geoid, name) WHERE g <= {max_g})
+    ORDER BY geoid
+    """
+
+
+@query("q_source_cr_pivot", oracle=_cr_pivot_oracle(3))
 def q_source_cr_pivot(spark, sf):
     """S3: CR-JSON → wide frame on the offline fixture (3 geos × 6 vars
-    → 3 rows × 14 cols, margins interleaved)."""
+    → 3 rows × 14 cols, margins interleaved). Oracled since r6 against
+    the fixture's closed-form generator (see _cr_pivot_oracle)."""
     configure(spark)
     with open(os.path.join(_FIXTURES, "cr_b99001.json")) as f:
         data = json.load(f)
@@ -41,12 +75,13 @@ def q_source_cr_pivot(spark, sf):
     return cf.df
 
 
-@query("q_source_cr_bulk")  # rows-only: fixture-dir input, no driver table
+@query("q_source_cr_bulk", oracle=_cr_pivot_oracle(5))
 def q_source_cr_bulk(spark, sf):
     """S3 scale path: `spark.read.json` over a cache dir of ≥2 CR-JSON
     responses → explode + wide map-extract projection (5 geos × 14
-    cols). Frame-equality with the per-file driver pivots is pinned in
-    tests/test_sources.py."""
+    cols, one unpublished cell surfacing NULL). Frame-equality with the
+    per-file driver pivots is pinned in tests/test_sources.py; oracled
+    since r6 against the fixtures' closed-form generator."""
     configure(spark)
     cf = cr_bulk_frame(
         spark,
@@ -122,8 +157,34 @@ def q_varrep_moe(spark, sf):
     )
 
 
-@query("q_varrep_source")  # rows-only: input is the committed fixture,
-# not a driver table, so no oracle view exists for it
+def _varrep_source_oracle() -> str:
+    """Golden-pin oracle: the committed VRT mini-fixture is static, so
+    the expected (est, published-MOE, recomputed-MOE) frame is a
+    constant. ESTIMATE follows the fixture generator's closed form
+    (1000·g + 37·order); the MOE pins are the published values the
+    replicate recomputation must land on (±0.01), which is the whole
+    point of the round-trip check."""
+    moe = {
+        (1, 1): 10.28, (1, 2): 10.35, (1, 3): 10.38, (1, 4): 10.38,
+        (1, 5): 10.35, (2, 1): 10.35, (2, 2): 10.38, (2, 3): 10.38,
+        (2, 4): 10.35, (2, 5): 10.42, (3, 1): 10.38, (3, 2): 10.38,
+        (3, 3): 10.35, (3, 4): 10.42, (3, 5): 10.33,
+    }
+    geoid = {1: "14000US11001000100", 2: "14000US11001000201",
+             3: "14000US11001000202"}
+    rows = ",\n      ".join(
+        f"('B01001', '{geoid[g]}', {o}, CAST({1000 * g + 37 * o} AS DOUBLE),"
+        f" CAST({m} AS DOUBLE), CAST({m} AS DOUBLE), TRUE)"
+        for (g, o), m in sorted(moe.items())
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {rows})
+    AS t(TBLID, GEOID, "ORDER", ESTIMATE, MOE, MOE_REP, moe_agrees)
+    """
+
+
+@query("q_varrep_source", oracle=_varrep_source_oracle())
 def q_varrep_source(spark, sf):
     """S11 source half: VRT long-format CSV ingest -> replicate MOE.
 
@@ -170,7 +231,34 @@ def q_sink_parquet(spark, sf):
     agg.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
-@query("q_census_workflow")  # rows-only: input is the committed fixture
+_CENSUS_WORKFLOW_ORACLE = f"""
+-- Closed form of the committed fixture (est(v,g)=10vg, moe=vg) pushed
+-- through the engine's EXACT float chain: per-row sum_m margin is
+-- sqrt(4g²+25g²) (integer radicand, exact), and group_sum's RSS margin
+-- re-quantizes m² as ⌊m²⌋ + round(frac·1e8)/1e8 before the final sqrt
+-- (frame._rss_sum's split-sum — replicated op-for-op so every double
+-- instruction matches Spark's).
+WITH geos AS (
+  SELECT g, geoid FROM {_CR_GEOS} AS t(g, geoid, name) WHERE g <= 3
+), m AS (
+  SELECT g, geoid, sqrt(CAST(29 * g * g AS DOUBLE)) AS tm FROM geos
+), q AS (
+  SELECT g, geoid, tm * tm AS sq FROM m
+)
+SELECT geoid,
+       CAST(20 * g AS DOUBLE) AS B99001002_sum,
+       CAST(2 * g AS DOUBLE)  AS B99001002_m90_sum_rs,
+       CAST(50 * g AS DOUBLE) AS B99001005_sum,
+       CAST(5 * g AS DOUBLE)  AS B99001005_m90_sum_rs,
+       CAST(70 * g AS DOUBLE) AS total_sex_sum,
+       sqrt(CAST(CAST(floor(sq) AS BIGINT) AS DOUBLE)
+            + CAST(floor((sq - floor(sq)) * 1e8 + 0.5) AS BIGINT) / 1e8)
+         AS total_sex_m90_sum_rs
+FROM q
+"""
+
+
+@query("q_census_workflow", oracle=_CENSUS_WORKFLOW_ORACLE)
 def q_census_workflow(spark, sf):
     """The reference's core workflow end-to-end on the CR fixture:
     pivot -> margin-carrying select -> sum_m derived measure -> RSS
