@@ -100,6 +100,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # AQE off for the bench session ONLY (production default stays on;
+    # see session._aqe_default): at sf0.1 every shuffle stage runs in
+    # tens of ms, and AQE's per-stage job materialization + re-plan
+    # round-trip is measured overhead — 6.69s -> 4.77s over the 10
+    # slowest batch queries (paired A/B). The caller's env wins.
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+
     from pandas_reporter_spark.session import get_session
     import __spark_entry__ as e
 

@@ -302,7 +302,33 @@ def q_similarity_join(spark, sf):
     )
 
 
-@query("q_similarity_ann_lsh")  # rows-only: buckets are hash-defined
+def _ann_lsh_oracle() -> str:
+    """Oracle twin of the LSH ANN probe (promoted from rows-only in r6):
+    the planes are literal constants shared with the Spark plan, so the
+    bucket signatures — and therefore the candidate set — are exactly
+    reproducible in SQL. vec_id 0 is the minimum id, so the all-pairs
+    cand CTE's (vec_a = 0) slice IS the query's bucket-mates."""
+    return f"""
+    WITH {_duck_cand_cte()},
+    cand0 AS (
+      -- probe only vec 0's L buckets (not the all-pairs cand CTE,
+      -- which is unreferenced and therefore never evaluated)
+      SELECT DISTINCT b.vec_id
+      FROM buckets b
+      JOIN buckets q0 ON q0.vec_id = 0
+                     AND b.tbl = q0.tbl AND b.sig = q0.sig
+      WHERE b.vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({_duck_cos('e.embedding', 'q.qv')}, 6) AS cos
+    FROM embeddings e JOIN cand0 USING (vec_id) CROSS JOIN q
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def q_similarity_ann_lsh(spark, sf):
     """ANN via multi-table random-hyperplane LSH: bucket join + rerank.
 
@@ -334,12 +360,65 @@ def q_similarity_ann_lsh(spark, sf):
     )
 
 
-@query("q_similarity_ivf")  # rows-only: centroids are data/order-dependent
+def _ivf_oracle() -> str:
+    """Oracle twin of the IVF probe (promoted from rows-only in r6).
+
+    Exactly reproducible because the centroid build quantizes each
+    component to micro-units BEFORE summing (exact long sums, order
+    independent — the tables.dsum discipline), so both engines build
+    bit-identical centroids; the centroid/query and rerank cosines are
+    then the shared left-to-right list dots."""
+    cdot = (
+        "list_aggregate(list_transform(range(1, 65), "
+        "i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE)), 'sum')"
+    )
+    cnorm = (
+        "sqrt(list_aggregate(list_transform(range(1, 65), "
+        "i -> c.centroid[i] * c.centroid[i]), 'sum'))"
+    )
+    qnorm = (
+        "sqrt(list_aggregate(list_transform(range(1, 65), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+    WITH dims AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS vu
+      FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+    ), cent AS (
+      SELECT label AS cell,
+             list(CAST(su AS DOUBLE) / (1e6 * n) ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, SUM(vu) AS su, COUNT(*) AS n
+            FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cell
+      FROM cent c CROSS JOIN q
+      ORDER BY ({cdot} / ({cnorm} * {qnorm})) DESC, c.cell
+      LIMIT 2
+    )
+    SELECT e.vec_id, e.label,
+           round({_duck_cos('e.embedding', 'q.qv')}, 6) AS cos
+    FROM embeddings e JOIN probe ON e.label = probe.cell CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_similarity_ivf", oracle=_ivf_oracle())
 def q_similarity_ivf(spark, sf):
     """IVF-style ANN: label-mean centroids, probe the 2 nearest cells.
 
     Build phase: per-label per-dim mean → 10 centroids (tiny,
-    broadcast). Query phase: rank cells by centroid cosine, scan only
+    broadcast). Components are quantized to micro-unit longs before
+    the mean sum (exact, order-independent — the engine-wide float
+    discipline), which is what makes the centroids reproducible
+    bit-for-bit on any partition count AND lets the DuckDB oracle
+    build the identical coarse quantizer (oracled since r6).
+    Query phase: rank cells by centroid cosine, scan only
     vectors in the top-2 cells, exact-rerank top-10. At 100 TB the
     centroid build is one map-side-combined groupBy over the corpus
     (or a sampled k-means); the probe scan reads 2/k of the data —
@@ -348,14 +427,26 @@ def q_similarity_ivf(spark, sf):
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
-    # per-label mean vector: explode dims -> avg -> re-assemble
+    # per-label mean vector: explode dims -> exact micro-unit mean ->
+    # re-assemble in dim order
     dims = e.select(
         "label",
         F.posexplode(F.col("embedding")).alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vu"),
     )
     cent = (
         dims.groupBy("label", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(
+            (
+                F.sum("vu").cast("double")
+                / (F.lit(1e6) * F.count(F.lit(1)))
+            ).alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
         .select(

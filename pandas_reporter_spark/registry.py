@@ -143,6 +143,11 @@ _PRIORITY = (
     "q_source_cr_bulk",
     "q_varrep_source",
     "q_census_workflow",
+    # Slots 49-50: ANN promoted from rows-only to oracled this session
+    # (literal-plane LSH probe reproduced in SQL; IVF centroids made
+    # micro-unit exact so the coarse quantizer is engine-portable).
+    "q_similarity_ann_lsh",
+    "q_similarity_ivf",
     # Evicted to make room: the entire r5 official record (all 50
     # green after this round's q12/centroids fixes), the r3/r4
     # greens (census MOE algebra, dedup/text/similarity/multimodal/
