@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "q_sketch_heavy_hitters",
     "q_split_train_val",
     "q_text_normalize",
+    # round-6 additions: iterative integer-exact PageRank (5 chained
+    # dictionary joins, no driver loop), ColBERT-style MaxSim late
+    # interaction, incremental batch-vs-corpus dedup
+    "q_graph_pagerank",
+    "q_similarity_maxsim",
+    "q_dedup_incremental",
 ]
 
 

@@ -737,3 +737,63 @@ def q_dedup_spans(spark, sf):
             ),
         ).alias("kept_md5"),
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    -- incremental dedup: the new batch (doc_id % 10 = 7) against the
+    -- standing corpus (everything else) by exact content hash, plus
+    -- keep-first within the batch itself
+    WITH b AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    f AS (
+      SELECT b.doc_id, b.source,
+             row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+      FROM b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 10 <> 7 AND md5(c.text) = b.h
+      )
+    )
+    SELECT doc_id, source FROM f WHERE rn = 1
+    """,
+)
+def q_dedup_incremental(spark, sf):
+    """Incremental (batch-vs-corpus) exact dedup: admit a new-crawl
+    batch only where its content hash is absent from the standing
+    corpus, then keep-first within the batch.
+
+    This is the shape every production ingest actually runs — dedup
+    the DELTA against an existing corpus, never re-deduping the corpus
+    itself. Plan: both sides reduce to content-hash dictionaries
+    before any join (the corpus side via distinct — map-side
+    combined), the anti join shuffles hashes only, and the in-batch
+    keep-first is one window over the already-hash-partitioned batch.
+    At 100 TB the corpus hash set lives as a sorted/bucketed artifact,
+    and a bloom filter of it prunes the batch at scan time before the
+    anti join (the q_join_bloom_pruned technique composes here);
+    payload text never enters a shuffle.
+
+    Reference parity: none (driver-mandated dedup surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    corpus_hashes = (
+        d.filter(F.col("doc_id") % 10 != 7)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    fresh = batch.join(corpus_hashes, "h", "left_anti")
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )

@@ -676,3 +676,63 @@ def q_embed_centroids(spark, sf):
         .select("label", "pos", "c", "n")
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "q_similarity_maxsim",
+    oracle=f"""
+    -- MaxSim late interaction: per (doc=label, query token) take the
+    -- MAX cosine (order-independent), quantize to micro-units, THEN
+    -- sum — exact long addition, engine-portable.
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    best AS (
+      SELECT e.label, q.qid,
+             MAX(round({_duck_cos('e.embedding', 'q.qv')}, 6)) AS m
+      FROM embeddings e CROSS JOIN q
+      GROUP BY e.label, q.qid
+    )
+    SELECT label,
+           CAST(SUM(CAST(floor(m * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS score_micro
+    FROM best GROUP BY label
+    """,
+)
+def q_similarity_maxsim(spark, sf):
+    """ColBERT-style MaxSim scoring: multi-vector docs (one per label)
+    scored against a 4-token multi-vector query.
+
+    score(doc) = Σ_{query token} max_{doc vector} cos(q, v) — the late-
+    interaction retrieval kernel. Plan: the query's token vectors are a
+    4-row broadcast; each corpus vector computes 4 cosines in the scan
+    stage; two map-side-combined aggregations (per-(label, qid) MAX →
+    per-label SUM of micro-unit longs) reduce it to one row per doc.
+    Per-vector work is O(q_tokens·dim) with NO pairwise doc×doc term
+    and the shuffles carry only (label, qid) rows — at 100 TB this is
+    scan-bound, the same cost class as brute-force top-k. The max is
+    order-independent and the sum is exact integer addition, so the
+    score is bit-stable on any partition count (engine float
+    discipline).
+
+    Reference parity: none (driver-mandated similarity surface;
+    public algorithm — Khattab & Zaharia 2020, ColBERT).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    best = (
+        e.crossJoin(F.broadcast(q))
+        .select("label", "qid", F.round(cos, 6).alias("c"))
+        .groupBy("label", "qid")
+        .agg(F.max("c").alias("m"))
+    )
+    return best.groupBy("label").agg(
+        F.sum(
+            F.floor(F.col("m") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        ).alias("score_micro")
+    )

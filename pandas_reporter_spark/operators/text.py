@@ -1296,3 +1296,148 @@ def q_text_normalize(spark, sf):
         norm.alias("norm_text"),
         F.length(norm).alias("norm_len"),
     )
+
+
+@query(
+    "q_mix_temperature",
+    oracle="""
+    -- temperature-0.5 mixture: keep-fraction f_s = sqrt(n_min/n_s)
+    -- (smallest source keeps 100%). Threshold = floor(f_s * 65536) in
+    -- 16-bit hash space; sqrt/floor are correctly-rounded IEEE ops, so
+    -- both engines derive identical thresholds, and the md5-prefix
+    -- predicate picks the identical sample.
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT MIN(n) AS nmin FROM c),
+    t AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 65536.0) AS BIGINT)
+               AS thr
+      FROM c, m
+    ),
+    k AS (
+      SELECT d.source
+      FROM documents d JOIN t USING (source)
+      WHERE t.thr >= 65536
+         OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+            < lower(lpad(hex(t.thr), 4, '0'))
+    )
+    SELECT t.source, t.n AS n_orig, t.thr,
+           (SELECT COUNT(*) FROM k WHERE k.source = t.source) AS n_kept
+    FROM t
+    """,
+)
+def q_mix_temperature(spark, sf):
+    """Temperature-based mixture reweighting (T=0.5): downsample each
+    source to f_s = sqrt(n_min/n_s) of its rows — the standard
+    corpus-mixing move that flattens a skewed source distribution
+    (p_s ∝ n_s^α with α = 0.5, normalized to keep the scarcest source
+    whole).
+
+    Plan: one tiny per-source count (map-side combined), thresholds
+    derived on the agg's handful of rows, broadcast back onto the
+    scan, where the md5-prefix predicate keeps rows at scan speed —
+    the corpus itself is never shuffled. Deterministic hash-threshold
+    sampling for the same three reasons as q_sample_stratified
+    (engine-portable, retry-stable, reshard-stable); data-DEPENDENT
+    rates is what this adds — the rates come from the corpus itself
+    in the same plan, no config file.
+
+    Reference parity: none (driver-mandated pipeline surface; public
+    method — multilingual-corpus temperature sampling).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    nmin = c.agg(F.min("n").alias("nmin"))
+    t = c.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        "n",
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("n")) * F.lit(65536.0)
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    kept = (
+        d.join(F.broadcast(t), "source")
+        .filter(
+            (F.col("thr") >= 65536)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                < F.lower(F.lpad(F.hex(F.col("thr")), 4, "0"))
+            )
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return t.join(kept, "source", "left").select(
+        "source",
+        F.col("n").alias("n_orig"),
+        "thr",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+@query(
+    "q_text_vocab_overlap",
+    oracle="""
+    -- cross-source vocabulary set algebra over the distinct
+    -- (source, token) dictionary
+    WITH ts AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    spread AS (SELECT token, COUNT(*) AS ns FROM ts GROUP BY token),
+    tot AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+    SELECT ts.source,
+           COUNT(*) AS vocab,
+           CAST(SUM(CASE WHEN s.ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           CAST(SUM(CASE WHEN s.ns = tot.n_sources THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_universal
+    FROM ts JOIN spread s USING (token) CROSS JOIN tot
+    GROUP BY ts.source
+    """,
+)
+def q_text_vocab_overlap(spark, sf):
+    """Per-source vocabulary overlap: how much of each source's
+    vocabulary is exclusive to it vs shared by every source — the
+    diversity diagnostic behind mixture decisions (a source whose
+    vocabulary is mostly universal adds volume, not coverage).
+
+    Everything happens on the DISTINCT (source, token) dictionary: the
+    exploded token stream collapses map-side before any shuffle, the
+    per-token source-spread is a second dictionary-sized aggregate,
+    and the scalar source count broadcasts. The corpus is read once;
+    no shuffle ever carries more than vocabulary-sized rows — the only
+    shape that survives 100 TB of text.
+
+    Reference parity: none (driver-mandated text surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    ts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    spread = ts.groupBy("token").agg(F.count(F.lit(1)).alias("ns"))
+    tot = d.agg(F.countDistinct("source").alias("n_sources"))
+    return (
+        ts.join(spread, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("ns") == 1).cast("bigint")).alias("n_exclusive"),
+            F.sum((F.col("ns") == F.col("n_sources")).cast("bigint")).alias(
+                "n_universal"
+            ),
+        )
+    )

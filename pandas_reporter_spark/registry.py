@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "pandas_reporter_spark.operators.multimodal",
     "pandas_reporter_spark.operators.scale",
     "pandas_reporter_spark.operators.sketch",
+    "pandas_reporter_spark.operators.graph",
     "pandas_reporter_spark.sources.queries",
 )
 
@@ -117,19 +118,25 @@ _PRIORITY = (
     # q_agg_global, q_str_substr, q_topk, q_fillna, q_sort,
     # q_union_all, q_join_cross) are the most trivial near-duplicates
     # of kept slots and re-register after the fold.
+    # Five NEW operators this session (first possible official rows):
+    # iterative PageRank, ColBERT MaxSim, temperature mixing,
+    # vocabulary set algebra, incremental batch-vs-corpus dedup.
+    # They outrank five more stale-r2 refreshes (q_agg_distinct,
+    # q_agg_approx_countd, q_having, q_grouping_sets, q_join_full —
+    # all green-r2 near-duplicates of kept slots).
+    "q_graph_pagerank",
+    "q_similarity_maxsim",
+    "q_mix_temperature",
+    "q_text_vocab_overlap",
+    "q_dedup_incremental",
     "q_project_arith",
     "q_filter_compound",
     "q_agg_group_sum",
     "q_agg_multi",
-    "q_agg_distinct",
-    "q_agg_approx_countd",
-    "q_having",
     "q_rollup",
-    "q_grouping_sets",
     "q_pivot",
     "q_join_inner",
     "q_join_left",
-    "q_join_full",
     "q_agg_percentile",
     "q_join_semi",
     "q_join_anti",
