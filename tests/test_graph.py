@@ -1,0 +1,100 @@
+"""PageRank (operators/graph.py) semantics + determinism pins.
+
+What matters for the 100 TB contract:
+- integer-unit updates are partition-count independent (the whole
+  reason the operator avoids float accumulation), and
+- the rank ordering matches hand-computed PageRank on a tiny graph.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_reporter_spark.operators.graph import (
+    _BASE,
+    _D_DEN,
+    _D_NUM,
+    _ITERS,
+    _R0,
+    q_graph_pagerank,
+)
+
+
+def _write_docs(spark, tmp_path, texts, n_parts=1):
+    df = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).repartition(n_parts)
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def chain_dir(spark, tmp_path_factory):
+    # bigrams: a->b (x3 via three docs), b->c, c->a — a weighted cycle
+    # plus a hub: every doc ends "... hub", so hub has high in-degree.
+    texts = [
+        "a b c a hub",
+        "a b hub",
+        "a b c hub",
+    ]
+    return _write_docs(
+        spark, tmp_path_factory.mktemp("pr_chain"), texts
+    )
+
+
+def _ranks(spark, sf_dir):
+    return {
+        r["token"]: r["r"]
+        for r in q_graph_pagerank(spark, sf_dir).collect()
+    }
+
+
+def test_pagerank_hand_computed_iteration(spark, chain_dir):
+    """One iteration by hand must equal the engine's iteration rule.
+
+    Edges from the fixture (doc1: a-b, b-c, c-a, a-hub; doc2: a-b,
+    b-hub; doc3: a-b, b-c, c-hub): a->b:3, a->hub:1, b->c:2,
+    b->hub:1, c->a:1, c->hub:1. Out-weights: a:4, b:3, c:2. The loop
+    below replays the exact integer update rule _ITERS times.
+    """
+    edges = {
+        ("a", "b"): 3,
+        ("a", "hub"): 1,
+        ("b", "c"): 2,
+        ("b", "hub"): 1,
+        ("c", "a"): 1,
+        ("c", "hub"): 1,
+    }
+    wtot = {"a": 4, "b": 3, "c": 2}
+    nodes = {"a", "b", "c", "hub"}
+    r = {n: _R0 for n in nodes}
+    for _ in range(_ITERS):
+        nxt = {n: _BASE for n in nodes}
+        for (u, v), w in edges.items():
+            nxt[v] += (_D_NUM * r[u] * w) // (_D_DEN * wtot[u])
+        r = nxt
+    got = _ranks(spark, chain_dir)
+    assert got == r
+
+
+def test_pagerank_partition_count_invariant(spark, tmp_path_factory):
+    """Identical ranks from 1-partition and 7-partition inputs: the
+    integer-unit discipline makes the iteration exactly reproducible
+    on any layout (the float version would differ in low bits)."""
+    texts = [f"w{i} w{(i * 3) % 11} w{(i * 7) % 11} end" for i in range(40)]
+    d1 = _write_docs(
+        spark, tmp_path_factory.mktemp("pr_p1"), texts, n_parts=1
+    )
+    d7 = _write_docs(
+        spark, tmp_path_factory.mktemp("pr_p7"), texts, n_parts=7
+    )
+    assert _ranks(spark, d1) == _ranks(spark, d7)
+
+
+def test_pagerank_hub_outranks_periphery(spark, chain_dir):
+    """The all-docs sink token collects the most rank."""
+    got = _ranks(spark, chain_dir)
+    hub = got["hub"]
+    assert all(hub >= v for v in got.values())

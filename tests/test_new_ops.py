@@ -1,0 +1,113 @@
+"""Semantic pins for the round-6 additions: MaxSim, temperature
+mixing, vocabulary overlap, incremental dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_reporter_spark.operators.dedup import q_dedup_incremental
+from pandas_reporter_spark.operators.similarity import q_similarity_maxsim
+from pandas_reporter_spark.operators.text import (
+    q_mix_temperature,
+    q_text_vocab_overlap,
+)
+
+
+def _docs_dir(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def embed_dir(spark, tmp_path_factory):
+    """16 vectors in 4 labels; label 3 contains EXACT copies of the
+    four query vectors (vec_id 0-3)."""
+    import math
+
+    def vec(seed):
+        return [float(math.sin(seed * 13 + i)) for i in range(64)]
+
+    rows = []
+    for vid in range(16):
+        label = vid % 4
+        if label == 3 and vid >= 4:
+            # vids 7/11/15 -> exact copies of query vectors 0/1/2
+            # (vid 3 itself already equals query vector 3)
+            src = vec(vid // 4 - 1)
+        else:
+            src = vec(vid)
+        rows.append((vid, src, label))
+    tmp = tmp_path_factory.mktemp("maxsim")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+    return str(tmp)
+
+
+def test_maxsim_perfect_label_scores_full(spark, embed_dir):
+    scores = {
+        r["label"]: r["score_micro"]
+        for r in q_similarity_maxsim(spark, embed_dir).collect()
+    }
+    # label 3 holds exact copies of every query vector: each of the 4
+    # per-query maxima is cos=1.0 -> 4 * 1e6 micro-units exactly
+    assert scores[3] == 4_000_000
+    assert all(v <= 4_000_000 for v in scores.values())
+    # every label scores > 0 only if some cosine is positive; at least
+    # the self-label of each query vector contains it exactly
+    for lbl in (0, 1, 2):
+        assert scores[lbl] >= 1_000_000  # contains its own query vector
+
+
+def test_mix_temperature_keeps_scarcest_source_whole(spark, tmp_path_factory):
+    rows = []
+    did = 0
+    for src, n in (("s0", 40), ("s1", 10), ("s2", 160)):
+        for _ in range(n):
+            rows.append((did, f"t {did}", "en", src, 5))
+            did += 1
+    d = _docs_dir(spark, tmp_path_factory.mktemp("mixt"), rows)
+    out = {r["source"]: r for r in q_mix_temperature(spark, d).collect()}
+    # scarcest source: threshold saturates, everything kept
+    assert out["s1"]["thr"] == 65536 and out["s1"]["n_kept"] == 10
+    # n_s/n_min = 4 and 16 -> expected keep-rates 1/2 and 1/4
+    assert out["s0"]["thr"] == 32768
+    assert out["s2"]["thr"] == 16384
+    for r in out.values():
+        assert 0 <= r["n_kept"] <= r["n_orig"]
+
+
+def test_vocab_overlap_hand_computed(spark, tmp_path_factory):
+    rows = [
+        (0, "alpha beta", "en", "s0", 10),
+        (1, "alpha gamma", "en", "s1", 11),
+    ]
+    d = _docs_dir(spark, tmp_path_factory.mktemp("vocab"), rows)
+    out = {
+        r["source"]: r for r in q_text_vocab_overlap(spark, d).collect()
+    }
+    # alpha is universal; beta/gamma exclusive
+    assert out["s0"]["vocab"] == 2 and out["s1"]["vocab"] == 2
+    assert out["s0"]["n_exclusive"] == 1 and out["s1"]["n_exclusive"] == 1
+    assert out["s0"]["n_universal"] == 1 and out["s1"]["n_universal"] == 1
+
+
+def test_incremental_dedup_admits_only_fresh_content(spark, tmp_path_factory):
+    rows = [
+        # corpus (doc_id % 10 != 7)
+        (1, "known text", "c", "s0", 10),
+        (2, "other text", "c", "s0", 10),
+        # batch (doc_id % 10 == 7)
+        (7, "known text", "b", "s1", 10),   # dup of corpus -> dropped
+        (17, "fresh text", "b", "s1", 10),  # fresh -> kept
+        (27, "fresh text", "b", "s1", 10),  # in-batch dup -> dropped
+        (37, "unique text", "b", "s1", 11), # fresh -> kept
+    ]
+    d = _docs_dir(spark, tmp_path_factory.mktemp("incr"), rows)
+    kept = sorted(
+        r["doc_id"] for r in q_dedup_incremental(spark, d).collect()
+    )
+    assert kept == [17, 37]
