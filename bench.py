@@ -152,6 +152,16 @@ def main() -> None:
         materialize_doc_tokens(spark, sf_dir)
     except Exception:
         pass
+    # Same policy for the LSH-signature artifact: three embedding
+    # queries consume the identical (vec_id, tbl, sig) relation.
+    try:
+        from pandas_reporter_spark.operators.similarity import (
+            materialize_lsh_signatures,
+        )
+
+        materialize_lsh_signatures(spark, sf_dir)
+    except Exception:
+        pass
     for prime in ("q_join_bucketed", "q_partition_pruned_scan"):
         if prime in qs:
             try:

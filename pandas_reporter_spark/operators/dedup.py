@@ -432,7 +432,7 @@ def q_dedup_embedding(spark, sf):
 
     configure(spark)
     e = load(spark, sf, "embeddings")
-    cand = lsh_candidate_pairs(e)
+    cand = lsh_candidate_pairs(e, spark, sf)
     # norms hoisted into the scan projection: ONE dot per candidate
     # pair instead of three (bit-identical to the per-pair recompute)
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))

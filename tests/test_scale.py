@@ -304,3 +304,47 @@ def test_langid_probe_side_has_no_shuffle(spark):
     # "Generate (id)" appears once per node in the tree section
     assert p.count("Generate (") == 1, p
     assert "array_intersect" in p
+
+
+def test_funnel_single_exchange_single_scan(spark):
+    """r6 rewrite pin: the funnel is ONE events scan and ONE hash
+    Exchange — both windows and the final collapse reuse the user_id
+    partitioning (ClusteredDistribution already satisfied)."""
+    from pandas_reporter_spark.operators.events import q_events_funnel
+
+    plan = plan_of(q_events_funnel(spark, SF))
+    # formatted mode: tree nodes render as "+- Exchange (n)"; a second
+    # Exchange (or any BroadcastExchange) would add distinct entries
+    assert plan.count("+- Exchange") == 1
+    assert "BroadcastExchange" not in plan
+    # one physical scan = at most two mentions (tree node + the
+    # formatted-mode details section repeats each node header)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_maxsim_broadcasts_query_side(spark):
+    """MaxSim's 4-vector query side must broadcast (never shuffle the
+    corpus against it) and both aggregations must partial-aggregate."""
+    from pandas_reporter_spark.operators.similarity import (
+        q_similarity_maxsim,
+    )
+
+    plan = plan_of(q_similarity_maxsim(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+
+
+def test_pagerank_reuses_persisted_edge_artifact(spark):
+    """All five iterations must read the SAME persisted edge relation
+    (InMemoryTableScan appears once per iteration join, not a parquet
+    re-scan per iteration) — the no-driver-loop iterative pattern."""
+    from pandas_reporter_spark.operators.graph import q_graph_pagerank
+
+    plan = plan_of(q_graph_pagerank(spark, SF))
+    # every iteration's join legs read cached relations (ej + nodes),
+    # so InMemoryTableScan appears throughout the tree. (Raw "Scan
+    # parquet" counts are NOT meaningful here: formatted explain
+    # prints each cached relation's STORED lineage, which includes the
+    # original scan — execution replays it at most once per artifact.)
+    assert plan.count("InMemoryTableScan") >= 10
