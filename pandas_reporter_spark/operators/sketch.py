@@ -273,3 +273,114 @@ def q_sketch_heavy_hitters(spark, sf):
         .filter(F.col("cnt") > F.col("n_total") / 256.0)
         .select("token", "cnt")
     )
+
+
+@query(
+    "q_sketch_cms",
+    oracle="""
+    -- verdict grid (see q_sketch_hll): exact top-50 token counts are
+    -- the deterministic object; the CMS estimate's one-sided + slack
+    -- guarantees are checked in-plan on the Spark side and pinned to 1
+    WITH t AS (
+      SELECT token, COUNT(*) AS exact_n
+      FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY token
+    )
+    SELECT token, exact_n,
+           CAST(1 AS BIGINT) AS est_ge,
+           CAST(1 AS BIGINT) AS est_within
+    FROM t
+    ORDER BY exact_n DESC, token
+    LIMIT 50
+    """,
+)
+def q_sketch_cms(spark, sf):
+    """Count-min sketch (d=4 × w=1024) over token frequencies, with
+    BOTH CMS guarantees verified in-plan for the top-50 tokens:
+    est ≥ exact (counts only ever collide upward — deterministic) and
+    est ≤ exact + 8·N/w (the ε-slack bound with generous constant —
+    deterministic for a fixed corpus + fixed hash family).
+
+    The sketch builds as FOUR dictionary rollups: the (token, n)
+    dictionary — itself a map-side-combined aggregate — re-keys by
+    each row's bucket hash, so the sketch state is ≤ d·w integer
+    cells no matter the corpus size, merges by addition (partition
+    partials, day→month rollups), and answers point queries with a
+    broadcast join against ≤ 4096 rows. That fixed-size-state +
+    associative-merge contract is why CMS (like the HLL / GK /
+    Misra-Gries entries in this module) is the 100 TB frequency
+    story; the exact recount here is the correctness harness, not
+    the production path.
+
+    Reference parity: none (driver-mandated sketch surface; public
+    algorithm — Cormode & Muthukrishnan 2005).
+    """
+    from pandas_reporter_spark.operators.text import doc_token_tf
+
+    configure(spark)
+    d_rows, w = 4, 1024
+    art = doc_token_tf(spark, sf)
+    if art is not None:
+        tok = art.filter(F.col("token") != "").select("token", "tf")
+        exact = tok.groupBy("token").agg(F.sum("tf").alias("exact_n"))
+    else:
+        d = load(spark, sf, "documents")
+        tok = (
+            d.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .select("token", F.lit(1).alias("tf"))
+        )
+        exact = tok.groupBy("token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_n")
+        )
+    total = exact.agg(F.sum("exact_n").alias("n_total"))
+
+    def bucket(i):
+        return F.pmod(
+            F.xxhash64(F.concat(F.lit(str(i) + "#"), F.col("token"))),
+            F.lit(w),
+        )
+
+    # d bucket rollups of the token dictionary = the CMS state
+    cms = None
+    for i in range(d_rows):
+        row = exact.groupBy(bucket(i).alias("b")).agg(
+            F.sum("exact_n").alias("cell")
+        ).select(F.lit(i).alias("i"), "b", "cell")
+        cms = row if cms is None else cms.unionAll(row)
+    top = exact.orderBy(F.col("exact_n").desc(), "token").limit(50)
+    # point queries: top tokens re-hash per row, join the tiny state
+    probes = top.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                    for i in range(d_rows)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "exact_n", "p.i", "p.b")
+    est = (
+        probes.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "token",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).cast("bigint").alias("est_ge"),
+        (
+            F.col("est")
+            <= F.col("exact_n") + (F.lit(8) * F.col("n_total")) / F.lit(w)
+        )
+        .cast("bigint")
+        .alias("est_within"),
+    )

@@ -122,13 +122,14 @@ _PRIORITY = (
     # iterative PageRank, ColBERT MaxSim, temperature mixing,
     # vocabulary set algebra, incremental batch-vs-corpus dedup.
     # They outrank five more stale-r2 refreshes (q_agg_distinct,
-    # q_agg_approx_countd, q_having, q_grouping_sets, q_join_full —
+    # q_agg_approx_countd, q_having, q_grouping_sets, q_join_full, q_join_left —
     # all green-r2 near-duplicates of kept slots).
     "q_graph_pagerank",
     "q_similarity_maxsim",
     "q_mix_temperature",
     "q_text_vocab_overlap",
     "q_dedup_incremental",
+    "q_sketch_cms",  # CMS verdict grid (evicts the q_join_left refresh)
     "q_project_arith",
     "q_filter_compound",
     "q_agg_group_sum",
@@ -136,7 +137,6 @@ _PRIORITY = (
     "q_rollup",
     "q_pivot",
     "q_join_inner",
-    "q_join_left",
     "q_agg_percentile",
     "q_join_semi",
     "q_join_anti",

@@ -109,3 +109,20 @@ def test_heavy_hitters_exact_on_skewed_partitions(spark, tmp_path_factory):
         for r in QUERIES["q_sketch_heavy_hitters"](spark, sf).collect()
     }
     assert got == {"hot": 2000}  # 2000/22000 > 1/256; every filler below
+
+
+def test_cms_guarantees_on_tiny_corpus(spark, tmp_path_factory):
+    """CMS verdict columns must both hold on a hand corpus (31 distinct
+    tokens in 4×1024 buckets: collisions possible, overshoot bounded)."""
+    from pandas_reporter_spark.operators.sketch import q_sketch_cms
+
+    tmp = tmp_path_factory.mktemp("cms")
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(i % 7 + 1)), "en", "s0", 10)
+        for i in range(50)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = q_sketch_cms(spark, str(tmp)).collect()
+    assert out and all(r["est_ge"] == 1 and r["est_within"] == 1 for r in out)
