@@ -130,6 +130,12 @@ def q_graph_pagerank(spark, sf):
         "token", F.lit(_R0).cast("bigint").alias("r")
     )
     for _ in range(_ITERS):
+        # hash join, NOT broadcast: an A/B at sf0.1 measured the
+        # broadcast form at 3.7 s vs 1.2 s — ten per-iteration
+        # broadcast builds (~0.25 s each) cost more than ten
+        # dictionary-sized shuffles. Both sides hash on the same key
+        # every round, which is also the 100 TB shape (a 1e8-row edge
+        # dictionary outgrows broadcast anyway).
         contrib = (
             ranks.join(ej, ranks.token == ej.a)
             .select(
