@@ -1007,3 +1007,140 @@ def q_fillna_group(spark, sf):
         ),
         F.col("value_gapped").isNull().alias("was_imputed"),
     )
+
+
+@query(
+    "q_events_interpolate",
+    oracle="""
+    -- daily per-type value series with silent days LINEARLY
+    -- interpolated between neighbors (NULL outside the observed span).
+    -- Arithmetic is exact integer cents with a double floor for the
+    -- slope term (magnitudes << 2^53, so the double math is exact and
+    -- engine-identical).
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(gs.g AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                CAST(hi AS TIMESTAMP),
+                                                INTERVAL 1 DAY)) AS g
+                  FROM span) gs
+    ),
+    g AS (
+      SELECT grid.event_type, grid.day, c.v
+      FROM grid LEFT JOIN c
+        ON grid.event_type = c.event_type AND grid.day = c.day
+    ),
+    x AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS pd,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM g
+    )
+    SELECT event_type, day,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL OR nv IS NULL THEN NULL
+           ELSE pv + CAST(floor(
+                  (CAST(nv - pv AS DOUBLE) * (day - pd)) / (nd - pd)
+                ) AS BIGINT)
+      END AS v_cents,
+      CAST(v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+           AS BOOLEAN) AS is_interp
+    FROM x
+    """,
+)
+def q_events_interpolate(spark, sf):
+    """Gap interpolation on the daily grid: silent days get the linear
+    interpolation between their nearest observed neighbors (per
+    event_type), NULL outside the observed span — the time-series prep
+    step after q_events_resample's zero-fill, for metrics where
+    "missing" means unobserved rather than zero.
+
+    Plan: the daily integer-cent aggregate (map-side combined) left-
+    joins the generated grid, then ONE window partitioning carries all
+    four neighbor columns (running last/first with ignorenulls over
+    the same ordering — Catalyst evaluates them in two frames over one
+    sort, no extra shuffle). Everything downstream of the daily
+    aggregate is dimension-sized (types × days); at 100 TB the event
+    volume only ever touches the first aggregate. The slope term uses
+    a double floor over exact cent integers (magnitudes << 2^53) so
+    both engines — and any partition count — produce identical bits;
+    integer `div` is avoided because Spark truncates toward zero while
+    DuckDB floors, and negative slopes would diverge.
+
+    Reference parity: none (driver-mandated events surface, SURVEY
+    §2.3).
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    c = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vc"),
+    ).groupBy("event_type", "day").agg(F.sum("vc").alias("v"))
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = span.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(days))
+    g = grid.join(c, ["event_type", "day"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    x = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wn))
+    )
+    interp = F.col("pv") + F.floor(
+        (F.col("nv") - F.col("pv")).cast("double")
+        * F.datediff("day", "pd")
+        / F.datediff("nd", "pd")
+    ).cast("bigint")
+    return x.select(
+        "event_type",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(interp)
+        .alias("v_cents"),
+        (
+            F.col("v").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("is_interp"),
+    )

@@ -130,8 +130,8 @@ _PRIORITY = (
     "q_text_vocab_overlap",
     "q_dedup_incremental",
     "q_sketch_cms",  # CMS verdict grid (evicts the q_join_left refresh)
+    "q_events_interpolate",  # linear gap interpolation (evicts q_filter_compound)
     "q_project_arith",
-    "q_filter_compound",
     "q_agg_group_sum",
     "q_agg_multi",
     "q_rollup",

@@ -248,3 +248,38 @@ def test_events_ts_is_timestamp_across_sf_dirs(spark):
             continue
         dt = load(spark, d, "events").schema["ts"].dataType
         assert isinstance(dt, TimestampType), (sf, dt)
+
+
+def test_interpolate_linear_between_neighbors(spark, tmp_path_factory):
+    """Hand series: day0 v=100, day3 v=400 (cents 10000/40000) ->
+    day1/day2 interpolate to 20000/30000; days outside the span NULL
+    only when another type widens the grid."""
+    import datetime as dt
+
+    tmp = tmp_path_factory.mktemp("interp")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10, "a", 100.0, "{}"),
+        (2, base + dt.timedelta(days=3), 10, "a", 400.0, "{}"),
+        # type b spans wider so type a has out-of-span NULL days
+        (3, base - dt.timedelta(days=1), 11, "b", 5.0, "{}"),
+        (4, base + dt.timedelta(days=4), 11, "b", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    from pandas_reporter_spark.operators.events import q_events_interpolate
+
+    out = {
+        (r["event_type"], str(r["day"])): (r["v_cents"], r["is_interp"])
+        for r in q_events_interpolate(spark, str(tmp)).collect()
+    }
+    assert out[("a", "2024-01-01")] == (10000, False)
+    assert out[("a", "2024-01-02")] == (20000, True)
+    assert out[("a", "2024-01-03")] == (30000, True)
+    assert out[("a", "2024-01-04")] == (40000, False)
+    assert out[("a", "2023-12-31")] == (None, False)  # before a's span
+    assert out[("a", "2024-01-05")] == (None, False)  # after a's span
+    assert out[("b", "2024-01-02")][1] is True  # interpolated b day
