@@ -212,8 +212,15 @@ def materialize_lsh_signatures(spark, sf, base: str = "/dev/shm") -> None:
     key = (_session_key(spark), sf)
     if key in _SIG_ART or not os.path.isdir(base):
         return
+    # mtime-fingerprinted path — same staleness guard as the tokenize
+    # artifact (regenerated testdata must not hit an old /dev/shm copy)
+    try:
+        src_tag = int(os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
+    except OSError:
+        src_tag = 0
     out = os.path.join(
-        base, f"prs_lshsig_{os.path.basename(os.path.normpath(sf))}"
+        base,
+        f"prs_lshsig_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
     )
     try:
         if not os.path.exists(os.path.join(out, "_SUCCESS")):

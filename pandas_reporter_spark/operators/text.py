@@ -70,8 +70,16 @@ def materialize_doc_tokens(spark, sf, base: str = "/dev/shm") -> None:
     key = (_session_key(spark), sf)
     if key in _TF_ART or not os.path.isdir(base):
         return
+    # fingerprint the SOURCE file's mtime into the artifact path: a
+    # regenerated testdata snapshot (it happened in round 4) must never
+    # silently reuse a stale /dev/shm artifact from a previous run
+    try:
+        src_tag = int(os.path.getmtime(os.path.join(sf, "documents.parquet")))
+    except OSError:
+        src_tag = 0
     out = os.path.join(
-        base, f"prs_tokens_{os.path.basename(os.path.normpath(sf))}"
+        base,
+        f"prs_tokens_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
     )
     try:
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
