@@ -107,7 +107,23 @@ def relayout(spark: SparkSession, sf: str, base: str = "/dev/shm") -> None:
     fall back to the original files."""
     if sf in _RELAYOUT_DIRS or not os.path.isdir(base):
         return
-    out = os.path.join(base, f"prs_layout_{os.path.basename(os.path.normpath(sf))}")
+    # fingerprint the source snapshot's mtime into the copy path: a
+    # regenerated testdata dir (round 4 changed the events physical
+    # type) must never silently reuse a stale tmpfs layout
+    try:
+        src_tag = int(
+            max(
+                os.path.getmtime(os.path.join(sf, f"{n}.parquet"))
+                for n in _RELAYOUT_SPLITS
+                if os.path.exists(os.path.join(sf, f"{n}.parquet"))
+            )
+        )
+    except (OSError, ValueError):
+        src_tag = 0
+    out = os.path.join(
+        base,
+        f"prs_layout_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
+    )
     try:
         for name, n in _RELAYOUT_SPLITS.items():
             src = os.path.join(sf, f"{name}.parquet")
