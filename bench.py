@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_graph_pagerank",
     "q_similarity_maxsim",
     "q_dedup_incremental",
+    "q_pipeline_pretrain",
 ]
 
 

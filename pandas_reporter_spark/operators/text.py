@@ -1449,3 +1449,128 @@ def q_text_vocab_overlap(spark, sf):
             ),
         )
     )
+
+
+@query(
+    "q_pipeline_pretrain",
+    oracle="""
+    -- the full pretrain-curation DAG as one chained relation:
+    -- normalize -> quality gate -> exact dedup keep-first ->
+    -- temperature-0.5 mixture -> deterministic split -> shard report.
+    -- Every stage is the same closed-form predicate the standalone
+    -- operators use, so this also pins that the stages COMPOSE.
+    WITH normed AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))
+               AS norm_text
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM normed
+      WHERE len(string_split(norm_text, ' ')) >= 5
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN_BY(source, doc_id) AS source,
+             MIN_BY(norm_text, doc_id) AS norm_text
+      FROM gated GROUP BY norm_text
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM deduped GROUP BY source),
+    thr AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n)
+                        * 65536.0) AS BIGINT) AS t
+      FROM counts
+    ),
+    mixed AS (
+      SELECT d.doc_id, d.source, d.norm_text
+      FROM deduped d JOIN thr USING (source)
+      WHERE thr.t >= 65536
+         OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+            < lower(lpad(hex(thr.t), 4, '0'))
+    ),
+    split AS (
+      SELECT source,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                 1, 2) < 'e6'
+                  THEN 'train' ELSE 'val' END AS split,
+             length(norm_text) AS n_chars
+      FROM mixed
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM split GROUP BY source, split
+    """,
+)
+def q_pipeline_pretrain(spark, sf):
+    """The capstone composition: the whole pretrain curation DAG as ONE
+    fused lazy plan — normalize → token-count quality gate → exact
+    dedup (keep-first on normalized text) → temperature-0.5 mixture
+    reweighting → deterministic ~90/10 train/val split → per-(source,
+    split) shard report.
+
+    What the fusion buys at 100 TB: the corpus is scanned ONCE;
+    normalize + gate + (after the rates broadcast back) the mixture
+    and split predicates are all scan-stage codegen; the only
+    corpus-sized shuffle is the dedup groupBy, whose map-side combine
+    ships distinct normalized texts; everything after is
+    dictionary-sized. Running the five stages as separate jobs would
+    scan and shuffle the corpus five times — THE argument for a
+    declarative pipeline on Catalyst (stages compose as relations, the
+    optimizer fuses them; no orchestration glue, no intermediate
+    materialization unless you ask). Hash-threshold sampling and
+    splitting keep every stage deterministic, retry-stable and
+    engine-portable, so the END-TO-END result — not just each stage —
+    hash-matches the oracle.
+
+    Reference parity: none (driver-mandated pipeline surface; composes
+    q_text_normalize / q_pipeline_curate / q_dedup_exact /
+    q_mix_temperature / q_split_train_val semantics).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[ \t\r\n]+", " ")
+    )
+    normed = d.select("doc_id", "source", norm.alias("norm_text"))
+    gated = normed.filter(F.size(F.split(F.col("norm_text"), " ")) >= 5)
+    deduped = gated.groupBy("norm_text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+    )
+    counts = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    nmin = counts.agg(F.min("n").alias("nmin"))
+    thr = counts.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("n")) * F.lit(65536.0)
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    mixed = deduped.join(F.broadcast(thr), "source").filter(
+        (F.col("t") >= 65536)
+        | (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < F.lower(F.lpad(F.hex(F.col("t")), 4, "0"))
+        )
+    )
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+            1,
+            2,
+        )
+        < "e6",
+        "train",
+    ).otherwise("val")
+    return (
+        mixed.select(
+            "source", split.alias("split"), F.length("norm_text").alias("nc")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("n_chars"),
+        )
+    )

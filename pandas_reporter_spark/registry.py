@@ -131,7 +131,7 @@ _PRIORITY = (
     "q_dedup_incremental",
     "q_sketch_cms",  # CMS verdict grid (evicts the q_join_left refresh)
     "q_events_interpolate",  # linear gap interpolation (evicts q_filter_compound)
-    "q_project_arith",
+    "q_pipeline_pretrain",  # capstone fused curation DAG (evicts q_project_arith)
     "q_agg_group_sum",
     "q_agg_multi",
     "q_rollup",

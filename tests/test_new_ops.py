@@ -111,3 +111,32 @@ def test_incremental_dedup_admits_only_fresh_content(spark, tmp_path_factory):
         r["doc_id"] for r in q_dedup_incremental(spark, d).collect()
     )
     assert kept == [17, 37]
+
+
+def test_pipeline_pretrain_stage_composition(spark, tmp_path_factory):
+    """The capstone DAG must gate short docs, dedup normalized copies,
+    keep the scarcest source whole, and split deterministically."""
+    from pandas_reporter_spark.operators.text import q_pipeline_pretrain
+
+    rows = []
+    did = 0
+    long_text = "alpha beta gamma delta epsilon zeta"
+    for src, n in (("s0", 30), ("s1", 6)):
+        for _ in range(n):
+            rows.append((did, f"{long_text} {did}", "en", src, 40))
+            did += 1
+    rows.append((100, "short doc", "en", "s0", 9))       # gated out (<5 tok)
+    rows.append((101, f"{long_text} 0", "en", "s0", 40)) # dup of doc 0
+    d = _docs_dir(spark, tmp_path_factory.mktemp("pretrain"), rows)
+    out = q_pipeline_pretrain(spark, d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += r["n_docs"]
+    # scarcest source survives whole; dup + short doc never counted
+    assert by_src["s1"] == 6
+    assert by_src["s0"] <= 30  # dup 101 collapsed, short 100 gated, mix <= 1
+    assert all(r["split"] in ("train", "val") for r in out)
+    # deterministic: second run identical
+    out2 = q_pipeline_pretrain(spark, d).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
