@@ -72,12 +72,19 @@ def q_sketch_hll(spark, sf):
     configure(spark)
     ev = load(spark, sf, "events")
     est = hll_estimates(spark, sf)
-    exact_t = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
+    # both exact recounts derive from ONE distinct-pair reduction of
+    # the raw stream (r6: one fewer full scan; the global distinct
+    # re-aggregates the pair dictionary, not the corpus)
+    pairs = ev.select("event_type", "user_id").distinct()
+    exact_t = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users")
     )
-    exact_all = ev.agg(
-        F.countDistinct("user_id").alias("exact_users")
-    ).select(F.lit("__all__").alias("event_type"), "exact_users")
+    exact_all = (
+        pairs.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+        .select(F.lit("__all__").alias("event_type"), "exact_users")
+    )
     exact = exact_t.unionAll(exact_all)
     ok = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
