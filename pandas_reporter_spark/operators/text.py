@@ -1187,15 +1187,23 @@ def q_text_kl_divergence(spark, sf):
             .filter(F.col("token") != "")
         )
         st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
-    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
-    g = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    # r6 rewrite: n_s and c_t as WINDOW sums over st instead of two
+    # broadcast-joined aggregates — st (the expensive dictionary
+    # aggregation) is computed twice (main + grand total) instead of
+    # four times, and two broadcast builds disappear (0.83 s → 0.68 s
+    # at sf0.1, best-of-3). Window sums of longs are exact and order-independent,
+    # so values are bit-identical to the join form; st is dictionary-
+    # sized, so per-source/per-token window partitions stay small at
+    # any corpus scale.
     tot = st.agg(F.sum("c_st").alias("n"))
+    w_s = W.partitionBy("source")
+    w_t = W.partitionBy("token")
     ratio = (F.col("c_st").cast("double") * F.col("n")) / (
         F.col("n_s").cast("double") * F.col("c_t")
     )
     terms = (
-        st.join(F.broadcast(s), "source")
-        .join(F.broadcast(g), "token")
+        st.withColumn("n_s", F.sum("c_st").over(w_s))
+        .withColumn("c_t", F.sum("c_st").over(w_t))
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
