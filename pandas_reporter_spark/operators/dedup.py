@@ -199,7 +199,9 @@ _N_HASH, _N_BANDS, _BAND_ROWS = 64, 16, 4
 
 @query("q_dedup_minhash")  # rows-only: hash-dependent candidates, no SQL oracle
 def q_dedup_minhash(spark, sf):
-    """MinHash-LSH near-dup detection — the 100 TB dedup path.
+    """MinHash-LSH near-dup detection — the 100 TB dedup path
+    (public algorithm: Broder 1997 resemblance sketches; banded LSH
+    per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
 
     Pipeline (all JVM expressions):
     1. hashed 3-token shingles (tokens xxhash64'd once, arithmetic
@@ -322,7 +324,9 @@ def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8):
 
 @query("q_dedup_simhash")  # rows-only: signature values are hash-defined
 def q_dedup_simhash(spark, sf):
-    """64-bit SimHash signatures + near-dup pairs at Hamming distance 0.
+    """64-bit SimHash signatures + near-dup pairs at Hamming distance 0
+    (public algorithm: Charikar 2002 similarity estimation; the
+    Google near-dup variant, Manku et al. 2007).
 
     Per doc: bit j of the signature is the per-bit majority of
     xxhash64(token) over the token multiset (±1 votes; 2·popcountⱼ > n).
