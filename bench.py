@@ -163,6 +163,13 @@ def main() -> None:
         materialize_lsh_signatures(spark, sf_dir)
     except Exception:
         pass
+    # ...and the minhash shingle-hash + band-signature artifacts.
+    try:
+        from pandas_reporter_spark.operators.dedup import materialize_minhash
+
+        materialize_minhash(spark, sf_dir)
+    except Exception:
+        pass
     for prime in ("q_join_bucketed", "q_partition_pruned_scan"):
         if prime in qs:
             try:
