@@ -113,18 +113,11 @@ def q_multimodal_pack(spark, sf):
     )
 
 
-@query("q_multimodal_features")  # rows-only: exercises the Python path
-def q_multimodal_features(spark, sf):
-    """Feature extraction over binary payloads via mapInPandas.
-
-    The real-media pattern: Arrow ships (doc_id, media) batches to
-    Python, the decoder runs per batch, output schema is explicit.
-    `n_batch_rows` records the actual Arrow batch size so the batch
-    shape itself is observable/testable. At scale: repartition by size
-    bucket first so decode cost per task is even, and keep payloads
-    OUT of any shuffle (extract features, drop bytes, then join back
-    by doc_id if needed).
-    """
+def media_features(spark, sf):
+    """Full feature-extraction frame, INCLUDING the Arrow batch-shape
+    column (n_batch_rows) — the batch size is execution-dependent, so
+    it stays out of the oracled query and is pinned separately by
+    tests/test_multimodal.py."""
     configure(spark)
     d = load(spark, sf, "documents")
     media = with_media(d).select("doc_id", "media")
@@ -145,6 +138,43 @@ def q_multimodal_features(spark, sf):
             )
 
     return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    -- the payload is the utf-8 encoding of ASCII-only text, so the
+    -- Python decoder's byte arithmetic is replayable per-character in
+    -- SQL: n_bytes = octet_length, first_byte = ord(first char),
+    -- byte_sum = Σ ord(char) — promoted from rows-only in r6, making
+    -- the mapInPandas path VALUE-checked, not just row-counted
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN length(text) > 0
+                     THEN ord(substring(text, 1, 1)) ELSE -1
+                END AS INTEGER) AS first_byte,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(range(1, length(text) + 1),
+                                 i -> ord(substring(text, i, 1))),
+                  'sum'), 0) % 997 AS BIGINT) AS byte_sum_mod
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf):
+    """Feature extraction over binary payloads via mapInPandas.
+
+    The real-media pattern: Arrow ships (doc_id, media) batches to
+    Python, the decoder runs per batch, output schema is explicit.
+    At scale: repartition by size
+    bucket first so decode cost per task is even, and keep payloads
+    OUT of any shuffle (extract features, drop bytes, then join back
+    by doc_id if needed). The Arrow batch shape itself is pinned by
+    tests via media_features' n_batch_rows column (execution-
+    dependent, so excluded from the hash-checked projection).
+    """
+    return media_features(spark, sf).select(
+        "doc_id", "n_bytes", "first_byte", "byte_sum_mod"
+    )
 
 
 @query(
@@ -193,7 +223,28 @@ def fake_resize(data: bytes, target: int = 128) -> bytes:
     return data[::stride][:target]
 
 
-@query("q_multimodal_resize")  # rows-only: exercises the Python path
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    -- fake_resize is stride-sampling: stride = len//128, take bytes
+    -- 0, stride, 2·stride, … capped at 128. For len > 128 that is
+    -- EXACTLY 128 samples (stride = ⌊len/128⌋ ⇒ ⌈len/stride⌉ ≥ 128),
+    -- all in range — so the resized payload is replayable per
+    -- character on the ASCII text and md5 must match the Python
+    -- path's blob digest byte-for-byte (promoted from rows-only r6)
+    SELECT doc_id,
+           CAST(CASE WHEN length(text) <= 128 THEN length(text)
+                     ELSE 128 END AS INTEGER) AS n_bytes,
+           md5(CASE WHEN length(text) <= 128 THEN text
+                    ELSE array_to_string(
+                      list_transform(range(0, 128),
+                        k -> substring(text,
+                                       1 + k * (length(text) // 128), 1)),
+                      '')
+               END) AS payload_md5
+    FROM documents
+    """,
+)
 def q_multimodal_resize(spark, sf):
     """Resize stage: mapInPandas over (id, media, meta) -> smaller
     payload + updated metadata.

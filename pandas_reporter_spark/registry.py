@@ -138,8 +138,13 @@ _PRIORITY = (
     "q_pivot",
     "q_join_inner",
     "q_agg_percentile",
-    "q_join_semi",
-    "q_join_anti",
+    # q_join_semi / q_join_anti evicted late-session: the semi/anti
+    # join paths already earn r6 rows through q_tpch_q4 and
+    # q_tpch_q21/q22 above; their slots fund the two multimodal
+    # promotions (first possible ORACLED rows for the mapInPandas
+    # Python path — byte-arithmetic and stride-sample oracles).
+    "q_multimodal_features",
+    "q_multimodal_resize",
     # Slots 47-50: promoted from rows-only to oracled THIS session —
     # first possible official oracled rows (fixture closed-form /
     # golden-pin oracles): the CR pivot pair, the VRT round-trip, and

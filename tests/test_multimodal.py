@@ -37,9 +37,9 @@ def test_with_media_schema(spark):
 def test_mapinpandas_batch_shape(spark):
     """The feature extractor's n_batch_rows must equal the Arrow batch
     size — i.e. the decoder really sees batches, not rows."""
-    from pandas_reporter_spark.operators.multimodal import q_multimodal_features
+    from pandas_reporter_spark.operators.multimodal import media_features
 
-    out = q_multimodal_features(spark, "/root/testdata/sf0.001")
+    out = media_features(spark, "/root/testdata/sf0.001")
     rows = out.collect()
     assert len(rows) == 500
     assert all(r["n_batch_rows"] > 1 for r in rows)
