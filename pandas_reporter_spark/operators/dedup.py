@@ -17,10 +17,11 @@ Four dedup families over `documents`, each in its scale-correct shape:
 - SimHash          — 64-bit signature via per-bit majority of token
                      hashes; near-dups collide on signature prefixes.
 
-Token/shingle hashing is Spark built-ins (split/transform/xxhash64,
-JVM-side); the two dense signature kernels (64 minhash mixes, 63-bit
+Token/shingle hashing is the PORTABLE md5-derived 60-bit hash (since
+r6 — it made every signature pipeline here oracle-expressible); the
+dense signature kernels (64 minhash mixes + band combines, 63-bit
 simhash majority) are Arrow-batched pandas UDFs with arithmetic
-bit-identical to the built-in form they replaced — flat HOFs are
+bit-identical to the expression form they replaced — flat HOFs are
 CodegenFallback (interpreted) in Spark 4.1.2, and the kernels measured
 3-6× faster (see SCALING.md). No row-at-a-time Python anywhere.
 """
@@ -47,10 +48,34 @@ def tokens_col(col: str = "text"):
 _SH_C = (1000003, 998244353, 911382323)
 
 
+def portable_token_hash(s):
+    """60-bit token hash both engines can compute bit-identically:
+    the first 15 hex digits of md5 as a BIGINT. Replaced xxhash64 in
+    r6 so the ENTIRE minhash pipeline — shingles, 64 mixes, band
+    signatures, candidate buckets — became oracle-expressible (DuckDB
+    twin: CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT));
+    cost is ~md5-per-token at scan speed, and hash quality at 60 bits
+    is unchanged for dedup purposes (collisions ~|tokens|²/2⁶⁰)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+#: DuckDB twin of portable_token_hash (format with the token expr)
+_DUCK_TOKHASH = "CAST(concat('0x', substring(md5({t}), 1, 15)) AS BIGINT)"
+
+#: DuckDB signed-64 wraparound over HUGEINT arithmetic — bit-equal to
+#: numpy/Java long overflow (prototype-verified against the kernel)
+def _duck_wrap64(inner: str) -> str:
+    m = "18446744073709551616::HUGEINT"
+    h = "9223372036854775808::HUGEINT"
+    return (
+        f"CAST((((({inner}) % {m} + {m} + {h}) % {m}) - {h}) AS BIGINT)"
+    )
+
+
 def with_hashed_shingles(df, col: str = "text", k: int = 3, out: str = "hs"):
     """Adds distinct k-token shingles as 64-bit hashes — never strings.
 
-    Each token is xxhash64'd ONCE into a named column; the shingle hash
+    Each token is hashed ONCE into a named column; the shingle hash
     is the arithmetic combine Σ cⱼ·h(tokᵢ₊ⱼ) over ATTRIBUTE references
     (wrapping long math). Two rules, both measured:
     - shingle strings cost ~20× the arithmetic combine (3.77s vs 0.19s
@@ -62,7 +87,9 @@ def with_hashed_shingles(df, col: str = "text", k: int = 3, out: str = "hs"):
     Collisions (~|shingles|²/2⁶⁴) are negligible for dedup purposes.
     """
     assert k == len(_SH_C)
-    th = F.transform(F.split(F.lower(F.col(col)), " "), lambda s: F.xxhash64(s))
+    th = F.transform(
+        F.split(F.lower(F.col(col)), " "), lambda s: portable_token_hash(s)
+    )
     step1 = df.withColumn("_th", th)
     thc = F.col("_th")
     n = F.size(thc)
@@ -196,21 +223,99 @@ def q_dedup_ngram_jaccard(spark, sf):
 #: P(candidate | J) = 1 - (1 - J^4)^16 — ~0.97 at J=0.8, ~0.07 at J=0.3.
 _N_HASH, _N_BANDS, _BAND_ROWS = 64, 16, 4
 
+#: band-combine coefficients (odd ⇒ invertible mod 2⁶⁴); arithmetic —
+#: not xxhash64 — since r6 so the oracle can replay band signatures
+_BC = np.array(
+    [1469598103934665603, 1099511628211, 16777619, 1000003],
+    dtype=np.int64,
+)
 
-@query("q_dedup_minhash")  # rows-only: hash-dependent candidates, no SQL oracle
+
+
+
+def _minhash_oracle() -> str:
+    """Full SQL twin of the MinHash-LSH pipeline (promoted from
+    rows-only in r6): md5-derived token hashes, wraparound shingle
+    combines, the 64 affine mixes, arithmetic band signatures, bucket
+    self-join, exact-Jaccard verify — every stage the identical
+    integer arithmetic (HUGEINT-mod = int64 wraparound)."""
+    t = _DUCK_TOKHASH
+    sh_sum = " + ".join(
+        f"CAST({t.format(t=f'toks[i + {j}]')} AS HUGEINT) * {_SH_C[j]}"
+        for j in range(3)
+    )
+    mix = _duck_wrap64(
+        "CAST(h AS HUGEINT) * (2 * i + 1) + (i * 2654435761 + 1)"
+    )
+    band_exprs = ", ".join(
+        "("
+        + _duck_wrap64(
+            " + ".join(
+                f"CAST(mh[{4 * b + j + 1}] AS HUGEINT) * {int(_BC[j])}"
+                for j in range(_BAND_ROWS)
+            )
+        )
+        + f") AS s{b}"
+        for b in range(_N_BANDS)
+    )
+    sig_list = ", ".join(f"s{b}" for b in range(_N_BANDS))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> {_duck_wrap64(sh_sum)})) AS hs
+      FROM t WHERE len(toks) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, hs,
+             list_transform(range(0, {_N_HASH}),
+               i -> list_min(list_transform(hs, h -> {mix}))) AS mh
+      FROM sh WHERE len(hs) > 0
+    ),
+    bands_w AS (SELECT doc_id, hs, {band_exprs} FROM mh),
+    bands AS (
+      SELECT doc_id, hs, u.band, [{sig_list}][u.band + 1] AS sig
+      FROM bands_w, unnest(range(0, {_N_BANDS})) AS u(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+               / (len(sa.hs) + len(sb.hs)
+                  - len(list_intersect(sa.hs, sb.hs))) AS jac
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+    FROM j WHERE jac >= 0.8
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup detection — the 100 TB dedup path
     (public algorithm: Broder 1997 resemblance sketches; banded LSH
     per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
 
     Pipeline (all JVM expressions):
-    1. hashed 3-token shingles (tokens xxhash64'd once, arithmetic
-       combine — shingle strings never materialize, 20× measured);
-       the 64 minhash functions are arithmetic mixes h·odd₁ + odd₂
-       (universal hashing), not re-hashes.
-    2. 16 band signatures = xxhash64 of each 4-minhash slice → explode
-       to (doc_id, band, sig) — 16 SMALL rows per doc; the shingle
-       payload never enters the explode or the shuffle.
+    1. hashed 3-token shingles (tokens md5-hashed once — the
+       portable_token_hash — then an arithmetic combine; shingle
+       strings never materialize, 20× measured); the 64 minhash
+       functions are arithmetic mixes h·odd₁ + odd₂ (universal
+       hashing), not re-hashes.
+    2. 16 band signatures = wrapping combines of each 4-minhash slice
+       → explode to (doc_id, band, sig) — 16 SMALL rows per doc; the
+       shingle payload never enters the explode or the shuffle.
+       Since r6 the ENTIRE pipeline is hash-checked against a DuckDB
+       twin (_minhash_oracle) — candidates, not just verified pairs.
     3. Candidates via bucket-explode: groupBy (band, sig), collect doc
        ids, pair within buckets — ONE pass over the signature pipeline
        and one shuffle (a self-join would recompute the pipeline per
@@ -255,8 +360,8 @@ def materialize_minhash(spark, sf, base: str = "/dev/shm") -> None:
     except OSError:
         src_tag = 0
     tag = f"{os.path.basename(os.path.normpath(sf))}_{src_tag}"
-    hs_out = os.path.join(base, f"prs_mh_hs_{tag}")
-    bd_out = os.path.join(base, f"prs_mh_bands_{tag}")
+    hs_out = os.path.join(base, f"prs_mh2_hs_{tag}")
+    bd_out = os.path.join(base, f"prs_mh2_bands_{tag}")
     try:
         docs = _load(spark, sf, "documents")
         if not os.path.exists(os.path.join(hs_out, "_SUCCESS")):
@@ -274,40 +379,36 @@ def materialize_minhash(spark, sf, base: str = "/dev/shm") -> None:
 
 
 def _band_signatures(d):
-    """(doc_id, band, sig) from a (doc_id, hs) frame — the Arrow
-    minhash kernel + banded xxhash64 slices (see minhash_pairs for the
-    kernel history and exactness argument)."""
+    """(doc_id, band, sig) from a (doc_id, hs) frame — ONE Arrow
+    kernel computes the 64 minhash mixes AND the 16 band signatures
+    sig_b = wrap64(Σⱼ mh[4b+j]·BCⱼ) (see minhash_pairs for the kernel
+    history; numpy int64 wraparound is bit-equal to the oracle's
+    HUGEINT-mod arithmetic, prototype-verified)."""
     a_mul = np.arange(_N_HASH, dtype=np.int64) * 2 + 1
     b_add = np.arange(_N_HASH, dtype=np.int64) * 2654435761 + 1
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
-    def _mh_sigs(col: pd.Series) -> pd.Series:
-        none_row = [None] * _N_HASH
+    def _band_sigs(col: pd.Series) -> pd.Series:
+        none_row = [None] * _N_BANDS
         out = []
         for hs in col:
             if hs is None or len(hs) == 0:
-                out.append(none_row)  # matches array_min([]) -> NULL
+                out.append(none_row)  # matches list_min([]) -> NULL
                 continue
             h = np.asarray(hs, dtype=np.int64)
             with np.errstate(over="ignore"):
-                out.append((h[:, None] * a_mul + b_add).min(axis=0))
+                mh = (h[:, None] * a_mul + b_add).min(axis=0)
+                sigs = (mh.reshape(_N_BANDS, _BAND_ROWS) * _BC).sum(
+                    axis=1
+                )
+            out.append(sigs)
         return pd.Series(out)
 
-    sigs = d.select("doc_id", _mh_sigs(F.col("hs")).alias("mh"))
-    return sigs.select(
+    return d.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.slice(F.col("mh"), b * _BAND_ROWS + 1, _BAND_ROWS)
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band", "sig"),
+        F.posexplode(_band_sigs(F.col("hs"))).alias("band", "sig"),
     )
 
 
@@ -385,7 +486,38 @@ def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8,
     )
 
 
-@query("q_dedup_simhash")  # rows-only: signature values are hash-defined
+def _simhash_oracle() -> str:
+    """SQL twin of the SimHash pipeline (promoted from rows-only in
+    r6): md5-derived token hashes (< 2⁶⁰, so >> is shift-equal for
+    both engines), per-bit majority over the token multiset, exact
+    63-bit signature, self-join on equal signatures."""
+    th = _DUCK_TOKHASH.format(t="s")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(coalesce(text, '')), ' ') AS toks
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, list_transform(toks, s -> {th}) AS hs FROM t
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_aggregate(list_transform(range(0, 63),
+               j -> CASE WHEN 2 * list_aggregate(
+                             list_transform(hs, h -> (h >> j) & 1), 'sum')
+                          > len(hs)
+                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 'sum')
+                  AS BIGINT) AS simhash
+      FROM th
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+    FROM sig a JOIN sig b
+      ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark, sf):
     """64-bit SimHash signatures + near-dup pairs at Hamming distance 0
     (public algorithm: Charikar 2002 similarity estimation; the
@@ -399,8 +531,9 @@ def q_dedup_simhash(spark, sf):
     joining on signature quarters (any d≤3 pair shares at least one
     exact quarter) — same banded-join shape as LSH.
 
-    Shape: tokens xxhash64'd in-plan (JVM hash — the signature stays
-    engine-defined), then the per-doc 63-bit majority runs as ONE
+    Shape: tokens hashed in-plan (portable md5-derived hash — since
+    r6 the signature is oracle-checked, not merely engine-defined),
+    then the per-doc 63-bit majority runs as ONE
     Arrow kernel over each doc's hash array — ZERO shuffle to build
     signatures (evolution, all measured at sf0.1 warm: 63 per-row
     `F.aggregate` HOF re-walks 4.8s → explode + 63 codegen'd
@@ -431,7 +564,7 @@ def q_dedup_simhash(spark, sf):
 
     th = F.transform(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
-        lambda s: F.xxhash64(s),
+        lambda s: portable_token_hash(s),
     )
     agg = load(spark, sf, "documents").select(
         "doc_id", _simhash(th).alias("_sig")

@@ -133,8 +133,12 @@ _PRIORITY = (
     "q_events_interpolate",  # linear gap interpolation (evicts q_filter_compound)
     "q_pipeline_pretrain",  # capstone fused curation DAG (evicts q_project_arith)
     "q_agg_group_sum",
-    "q_agg_multi",
-    "q_rollup",
+    # q_agg_multi / q_rollup evicted late-session for the two
+    # signature pipelines, oracled for the FIRST time this round
+    # (portable md5-derived hashes made the full MinHash-LSH and
+    # SimHash pipelines SQL-replayable — last rows-only slots gone).
+    "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_pivot",
     "q_join_inner",
     "q_agg_percentile",
