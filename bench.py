@@ -170,6 +170,13 @@ def main() -> None:
         materialize_minhash(spark, sf_dir)
     except Exception:
         pass
+    # ...and the bigram-graph edge/node artifact for PageRank.
+    try:
+        from pandas_reporter_spark.operators.graph import materialize_graph
+
+        materialize_graph(spark, sf_dir)
+    except Exception:
+        pass
     for prime in ("q_join_bucketed", "q_partition_pruned_scan"):
         if prime in qs:
             try:
