@@ -162,7 +162,7 @@ _RAW_SCHEMA_CACHE: dict = {}
 
 
 @_contextmanager
-def _bounded_state_parts(spark, n: int = 4):
+def _bounded_state_parts(spark, n: int = 2):
     """Cap the STATE partition count for a streaming run (fixed at
     stream start from spark.sql.shuffle.partitions).
 
@@ -172,7 +172,12 @@ def _bounded_state_parts(spark, n: int = 4):
     noise under concurrent JVM load. 4 partitions (A/B-measured best
     of {4, 8} at sf0.1: stream-stream join −0.4 s, file sink −0.2 s,
     enrich −0.25 s) still spread the
-    driver data's keys evenly; a real deployment sizes this to
+    driver data's keys evenly (r6 re-A/B over {4, 2, 1}: 2 is best
+    for the join/enrich/sink states — stream-stream −0.26 s, enrich
+    −0.17 s, file sink −0.10 s — while the stateful Python path keeps
+    4, its state-channel workers being the parallel resource; 1
+    partition serializes stateful 1.7 s → 2.9 s). A real deployment
+    sizes this to
     keys×state-bytes / executor, not core count. Batch shuffles keep
     the session's own setting (restored on exit; the conf is only read
     at stream start, so the restore cannot affect the running query).
@@ -416,7 +421,7 @@ def q_events_stateful(spark, sf):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     try:
-        with _bounded_state_parts(spark):
+        with _bounded_state_parts(spark, 4):
             res = _run_stream(spark, out, "update")
     finally:
         spark.conf.set(
