@@ -99,3 +99,23 @@ def test_span_dedup_drops_repeated_boilerplate(spark, tmp_path_factory):
     assert out[1].n_chunks == 2 and out[1].n_kept == 1
     assert out[2].n_chunks == 1 and out[2].n_kept == 0
     assert out[2].kept_md5 is None  # fully-deduplicated doc -> no text
+
+
+def test_portable_token_hash_matches_md5_prefix(spark):
+    """The r6 portable hash must equal int(md5(t)[:15], 16) exactly —
+    the property that makes the signature pipelines oracle-checkable."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pandas_reporter_spark.operators.dedup import portable_token_hash
+
+    toks = ["hello", "WORLD", "", "a b", "42", "ünïcode"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {
+        r["t"]: r["h"]
+        for r in df.select("t", portable_token_hash(F.col("t")).alias("h")).collect()
+    }
+    for t in toks:
+        exp = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[t] == exp, t
