@@ -233,12 +233,10 @@ _BC = np.array(
 
 
 
-def _minhash_oracle() -> str:
-    """Full SQL twin of the MinHash-LSH pipeline (promoted from
-    rows-only in r6): md5-derived token hashes, wraparound shingle
-    combines, the 64 affine mixes, arithmetic band signatures, bucket
-    self-join, exact-Jaccard verify — every stage the identical
-    integer arithmetic (HUGEINT-mod = int64 wraparound)."""
+def _minhash_cand_sql() -> str:
+    """Shared WITH-clause body: tokens → shingle hashes → 64 mixes →
+    band signatures → distinct candidate pairs (ends at the `cand`
+    CTE; callers append their own verify/select)."""
     t = _DUCK_TOKHASH
     sh_sum = " + ".join(
         f"CAST({t.format(t=f'toks[i + {j}]')} AS HUGEINT) * {_SH_C[j]}"
@@ -284,7 +282,17 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    """Full SQL twin of the MinHash-LSH pipeline (promoted from
+    rows-only in r6): md5-derived token hashes, wraparound shingle
+    combines, the 64 affine mixes, arithmetic band signatures, bucket
+    self-join, exact-Jaccard verify — every stage the identical
+    integer arithmetic (HUGEINT-mod = int64 wraparound)."""
+    return f"""
+    {_minhash_cand_sql()},
     j AS (
       SELECT c.doc_a, c.doc_b,
              CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
@@ -996,4 +1004,77 @@ def q_dedup_incremental(spark, sf):
         fresh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "source")
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+    {_minhash_cand_sql()},
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+               / least(len(sa.hs), len(sb.hs)) AS cont
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(cont, 6) AS containment
+    FROM j WHERE cont >= 0.7
+    """
+
+
+@query("q_dedup_containment", oracle=_containment_oracle())
+def q_dedup_containment(spark, sf):
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|)
+    ≥ 0.7 over the LSH candidate pairs — catches quote/subset
+    relationships (one doc embedded in a longer one) that symmetric
+    Jaccard misses because the union denominator dilutes them.
+
+    Same scale shape as q_dedup_minhash (shared shingle + band
+    artifacts when materialized; candidates only ever form inside
+    equal-signature buckets), different verify metric. Known recall
+    caveat, documented rather than hidden: extreme size ratios push
+    Jaccard — and therefore LSH collision probability — down even at
+    high containment, so a production subset-hunter adds shorter
+    shingle bands or a suffix-automaton pass for the tail; candidates
+    here are what banded MinHash yields. Oracle replays the identical
+    candidate set and metric (public technique: Broder's containment
+    sketches; RefinedWeb-style subset filtering).
+    """
+    configure(spark)
+    docs = load(spark, sf, "documents")
+    from pandas_reporter_spark.tables import _session_key
+
+    art = _MH_ART.get((_session_key(spark), sf))
+    if art is not None:
+        d, bands = art
+    else:
+        d = with_hashed_shingles(docs).select("doc_id", "hs")
+        from pyspark import StorageLevel
+
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        bands = _band_signatures(d)
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sha = d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    shb = d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.7)
+        .select(
+            "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+        )
     )

@@ -141,7 +141,8 @@ _PRIORITY = (
     "q_dedup_simhash",
     "q_pivot",
     "q_join_inner",
-    "q_agg_percentile",
+    # q_agg_percentile evicted for the containment-dedup first-ever row
+    "q_dedup_containment",
     # q_join_semi / q_join_anti evicted late-session: the semi/anti
     # join paths already earn r6 rows through q_tpch_q4 and
     # q_tpch_q21/q22 above; their slots fund the two multimodal
