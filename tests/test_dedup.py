@@ -119,3 +119,34 @@ def test_portable_token_hash_matches_md5_prefix(spark):
     for t in toks:
         exp = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
         assert got[t] == exp, t
+
+
+def test_wrap64_duckdb_matches_numpy_wraparound():
+    """Property pin of the cross-engine arithmetic contract: DuckDB's
+    HUGEINT-mod wrap (_duck_wrap64) equals numpy int64 two's-complement
+    overflow for the minhash mix on arbitrary inputs."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from pandas_reporter_spark.operators.dedup import _duck_wrap64
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        i=st.integers(min_value=0, max_value=63),
+    )
+    def check(h, i):
+        with np.errstate(over="ignore"):
+            expect = int(
+                np.int64(h) * np.int64(2 * i + 1)
+                + np.int64(i * 2654435761 + 1)
+            )
+        sql = "SELECT " + _duck_wrap64(
+            f"CAST({h} AS HUGEINT) * (2*{i}+1) + ({i}*2654435761+1)"
+        )
+        assert con.execute(sql).fetchone()[0] == expect
+
+    check()
