@@ -1517,16 +1517,20 @@ def q_pipeline_pretrain(spark, sf):
     reweighting → deterministic ~90/10 train/val split → per-(source,
     split) shard report.
 
-    What the fusion buys at 100 TB: the corpus is scanned ONCE;
-    normalize + gate + (after the rates broadcast back) the mixture
-    and split predicates are all scan-stage codegen; the only
-    corpus-sized shuffle is the dedup groupBy, whose map-side combine
-    ships distinct normalized texts; everything after is
-    dictionary-sized. Running the five stages as separate jobs would
-    scan and shuffle the corpus five times — THE argument for a
-    declarative pipeline on Catalyst (stages compose as relations, the
-    optimizer fuses them; no orchestration glue, no intermediate
-    materialization unless you ask). Hash-threshold sampling and
+    What the fusion buys at 100 TB: ONE corpus scan and ONE
+    corpus-sized shuffle (the dedup groupBy, map-side combined to
+    distinct normalized texts). The deduped relation feeds two
+    branches (mixture rates and the mixed/split output), so it is
+    persisted — without that, Catalyst re-evaluates the scan+dedup
+    subtree per branch (plan-audited: 3 scans, 7 exchanges → 1 scan
+    + cache reuse); in a real pipeline this intermediate IS the
+    checkpointed artifact between dedup and mixing. Everything after
+    it is dictionary-sized, and the gate/mixture/split predicates are
+    scan-stage codegen. Running the five stages as separate jobs
+    would scan and shuffle the corpus five times — THE argument for a
+    declarative pipeline on Catalyst (stages compose as relations,
+    the optimizer fuses them; materialization only where reuse
+    demands it). Hash-threshold sampling and
     splitting keep every stage deterministic, retry-stable and
     engine-portable, so the END-TO-END result — not just each stage —
     hash-matches the oracle.
@@ -1545,7 +1549,7 @@ def q_pipeline_pretrain(spark, sf):
     deduped = gated.groupBy("norm_text").agg(
         F.min("doc_id").alias("doc_id"),
         F.min_by("source", "doc_id").alias("source"),
-    )
+    ).persist()
     counts = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     nmin = counts.agg(F.min("n").alias("nmin"))
     thr = counts.crossJoin(F.broadcast(nmin)).select(
