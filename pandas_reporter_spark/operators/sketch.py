@@ -346,6 +346,10 @@ def q_sketch_cms(spark, sf):
         exact = tok.groupBy("token").agg(
             F.count(F.lit(1)).cast("bigint").alias("exact_n")
         )
+    # the token dictionary feeds the 4 bucket rollups, the top-50, the
+    # probes and the grand total — persist it once (plan-audited: the
+    # un-persisted form re-runs the corpus aggregation per branch)
+    exact = exact.persist()
     total = exact.agg(F.sum("exact_n").alias("n_total"))
 
     def bucket(i):

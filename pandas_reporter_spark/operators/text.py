@@ -1442,6 +1442,7 @@ def q_text_vocab_overlap(spark, sf):
         )
         .filter(F.col("token") != "")
         .distinct()
+        .persist()  # feeds both the spread aggregate and the join back
     )
     spread = ts.groupBy("token").agg(F.count(F.lit(1)).alias("ns"))
     tot = d.agg(F.countDistinct("source").alias("n_sources"))
