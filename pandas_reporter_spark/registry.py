@@ -166,14 +166,17 @@ _PRIORITY = (
     "q_similarity_ann_lsh",
     "q_similarity_ivf",
     # Evicted to make room: the entire r5 official record (all 50
-    # green after this round's q12/centroids fixes), the r3/r4
-    # greens (census MOE algebra, dedup/text/similarity/multimodal/
-    # scale/source families) — unchanged, re-registered after the
-    # fold; plus four near-duplicates of kept stale-refresh slots
-    # (q_join_right~join_left, q_intersect/q_except~union_all,
-    # q_cube~rollup) to fund the Q2/Q9/Q11/Q20 additions. After r6
-    # records, every one of the 161 registered queries has an
-    # official row, none older than round 3 except those four.
+    # green after this round's q12/centroids fixes) and the r3/r4
+    # greens — unchanged, re-registered after the fold. The 50 slots
+    # above prioritize, in order: queries with NO official row yet
+    # (the r5 stragglers, 22/22 TPC-H completions, this session's 9
+    # new operators, and the 14 rows-only→oracled promotions that
+    # ended with EVERY registered query oracled), the two r5 red rows
+    # re-proven on their fixes, the six perf-reworked text/TPC-H
+    # queries re-proven on their new plans, and a residue of stale-r2
+    # relational refreshes. After r6 records, the only rows older
+    # than r3 are ~15 trivial relational near-duplicates explicitly
+    # traded away for first-ever rows (named in the comments above).
 )
 
 
