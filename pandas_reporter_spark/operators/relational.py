@@ -3157,3 +3157,72 @@ def q_agg_histogram(spark, sf):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    -- exact weighted median: sort by value within group, integer-cent
+    -- cumulative weights, first value whose cumweight reaches half the
+    -- total. No engine has this built-in; both run the same window
+    -- algorithm on exact integers, so the result is bit-identical.
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS wc
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, v,
+             SUM(wc) OVER (PARTITION BY flag ORDER BY v, wc
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wc) OVER (PARTITION BY flag) AS tot
+      FROM w
+    )
+    SELECT flag AS l_returnflag,
+           round(MIN(v), 2) AS weighted_median
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY flag
+    """,
+)
+def q_agg_weighted_median(spark, sf):
+    """Exact weighted median of l_extendedprice weighted by quantity,
+    per returnflag — the aggregation neither engine ships built-in
+    (Spark's percentile ignores weights; DuckDB's quantile too), so
+    the engine supplies the canonical window form: order by value
+    within the group, exact integer-cent cumulative weights, first
+    value whose cumulative weight reaches half the group total.
+
+    Plan: ONE hash partition per group feeds both window sums (same
+    partitioning, one sort), then a map-side-combined MIN collapses
+    the qualifying rows. Weights quantize to exact cents so the
+    cumulative sums — and therefore the crossing point — are
+    partition-count independent and engine-identical; ties inside an
+    equal-value run cannot change the answer because the value itself
+    is the output. At 100 TB this is one shuffle + one within-
+    partition sort, the same cost class as any ranked window; a
+    sketch-based weighted quantile (weighted GK) is the approximate
+    tier when the sort is too hot.
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("wc"),
+    )
+    wcum = (
+        W.partitionBy("flag")
+        .orderBy("v", "wc")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("flag")
+    c = li.withColumn("cum", F.sum("wc").over(wcum)).withColumn(
+        "tot", F.sum("wc").over(wtot)
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.round(F.min("v"), 2).alias("weighted_median"))
+        .select(F.col("flag").alias("l_returnflag"), "weighted_median")
+    )

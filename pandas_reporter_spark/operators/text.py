@@ -1587,3 +1587,90 @@ def q_pipeline_pretrain(spark, sf):
             F.sum("nc").alias("n_chars"),
         )
     )
+
+
+@query(
+    "q_text_chi2",
+    oracle="""
+    -- lang x source chi-square: observed counts are exact integers,
+    -- expected = row_tot*col_tot/N (identical double division), each
+    -- cell term quantized to micro-units BEFORE the sum (exact long
+    -- addition -> order/partition/engine independent)
+    WITH o AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o.lang, o.source, o.obs,
+             SUM(obs) OVER (PARTITION BY lang) AS rt,
+             SUM(obs) OVER (PARTITION BY source) AS ct,
+             SUM(obs) OVER () AS n
+      FROM o
+    ),
+    t AS (
+      SELECT lang, source,
+             CAST(floor(
+               ((obs - CAST(rt * ct AS DOUBLE) / n)
+                * (obs - CAST(rt * ct AS DOUBLE) / n))
+               / (CAST(rt * ct AS DOUBLE) / n) * 1000000.0 + 0.5
+             ) AS BIGINT) AS term_micro
+      FROM m
+    )
+    SELECT CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+           CAST((SELECT COUNT(DISTINCT lang) FROM documents) - 1 AS BIGINT)
+             * ((SELECT COUNT(DISTINCT source) FROM documents) - 1) AS dof,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM t
+    """,
+)
+def q_text_chi2(spark, sf):
+    """Chi-square independence statistic for lang × source — the
+    corpus-QA diagnostic behind "is source a proxy for language?"
+    (mixture design wants them near-independent; a huge χ² says the
+    source split IS a language split and per-source knobs double as
+    language knobs).
+
+    Everything happens on the (lang, source) contingency DICTIONARY:
+    the corpus collapses in one map-side-combined count, the row/
+    column/grand totals are window sums over that tiny relation, and
+    each cell's (O−E)²/E quantizes to micro-unit longs before the
+    final exact sum — the engine-wide discipline that makes a
+    float-valued statistic hash-comparable across engines and
+    partition counts. The global window over the dictionary is fine
+    at any corpus scale: its input is |langs|×|sources| rows, never
+    the corpus.
+
+    Reference parity: none (driver-mandated text surface; public
+    statistic — Pearson 1900).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    m = (
+        o.withColumn("rt", F.sum("obs").over(W.partitionBy("lang")))
+        .withColumn("ct", F.sum("obs").over(W.partitionBy("source")))
+        .withColumn("n", F.sum("obs").over(W.partitionBy()))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = (
+        ((F.col("obs") - e) * (F.col("obs") - e)) / e * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    t = m.select(F.floor(term).cast("bigint").alias("term_micro"))
+    dims = d.agg(
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    return (
+        t.agg(
+            F.sum("term_micro").alias("chi2_micro"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2_micro",
+            ((F.col("nl") - 1) * (F.col("ns") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "n_cells",
+        )
+    )

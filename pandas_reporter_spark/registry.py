@@ -132,7 +132,6 @@ _PRIORITY = (
     "q_sketch_cms",  # CMS verdict grid (evicts the q_join_left refresh)
     "q_events_interpolate",  # linear gap interpolation (evicts q_filter_compound)
     "q_pipeline_pretrain",  # capstone fused curation DAG (evicts q_project_arith)
-    "q_agg_group_sum",
     # q_agg_multi / q_rollup evicted late-session for the two
     # signature pipelines, oracled for the FIRST time this round
     # (portable md5-derived hashes made the full MinHash-LSH and
@@ -140,7 +139,11 @@ _PRIORITY = (
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_pivot",
-    "q_join_inner",
+    # q_join_inner / q_agg_group_sum evicted for the final two new
+    # operators (inner-join and grouped-sum paths already earn r6
+    # rows through the TPC-H prefix entries above).
+    "q_agg_weighted_median",
+    "q_text_chi2",
     # q_agg_percentile evicted for the containment-dedup first-ever row
     "q_dedup_containment",
     # q_join_semi / q_join_anti evicted late-session: the semi/anti
