@@ -140,3 +140,43 @@ def test_pipeline_pretrain_stage_composition(spark, tmp_path_factory):
     # deterministic: second run identical
     out2 = q_pipeline_pretrain(spark, d).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_weighted_median_hand_computed(spark, tmp_path_factory):
+    """w-median crossing: values 10,20,30 with weights 1,1,3 -> half
+    of total (2.5 cents-scaled) is crossed by 30."""
+    from pandas_reporter_spark.operators.relational import (
+        q_agg_weighted_median,
+    )
+
+    tmp = tmp_path_factory.mktemp("wmed")
+    rows = [("A", 10.0, 1.0), ("A", 20.0, 1.0), ("A", 30.0, 3.0),
+            ("B", 5.0, 2.0), ("B", 50.0, 1.0)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    out = {
+        r["l_returnflag"]: r["weighted_median"]
+        for r in q_agg_weighted_median(spark, str(tmp)).collect()
+    }
+    assert out == {"A": 30.0, "B": 5.0}
+
+
+def test_chi2_zero_under_independence(spark, tmp_path_factory):
+    """A perfectly independent lang x source table must score chi2 = 0
+    (every observed cell equals its expectation exactly)."""
+    from pandas_reporter_spark.operators.text import q_text_chi2
+
+    tmp = tmp_path_factory.mktemp("chi2")
+    rows = []
+    did = 0
+    for lang, ln in (("en", 2), ("de", 1)):   # row totals 2:1
+        for src, sn in (("s0", 3), ("s1", 1)):  # col totals 3:1
+            for _ in range(ln * sn):
+                rows.append((did, "t", lang, src, 1))
+                did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = q_text_chi2(spark, str(tmp)).collect()[0]
+    assert out["chi2_micro"] == 0 and out["dof"] == 1 and out["n_cells"] == 4
