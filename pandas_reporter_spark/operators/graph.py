@@ -50,7 +50,8 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
       SELECT n.token, CAST({_BASE} AS BIGINT) + COALESCE(c.s, 0) AS r
       FROM nodes n LEFT JOIN (
         SELECT ej.b AS token,
-               CAST(SUM(({_D_NUM} * p.r * ej.w) // ({_D_DEN} * ej.wtot))
+               CAST(SUM((CAST({_D_NUM} AS HUGEINT) * p.r * ej.w)
+                        // (CAST({_D_DEN} AS HUGEINT) * ej.wtot))
                     AS BIGINT) AS s
         FROM it{k - 1} p JOIN ej ON ej.a = p.token
         GROUP BY ej.b
@@ -123,9 +124,17 @@ def materialize_graph(spark, sf, base: str = "/dev/shm") -> None:
 def _edges_nodes(spark, sf):
     """(edge+outdegree, nodes) relations from the document bigrams."""
     d = load(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # single-token / empty docs first: F.sequence(1, size-1) with
+    # size=1 yields the DESCENDING [1, 0] and element_at(toks, 0)
+    # throws INVALID_INDEX_OF_ZERO. The filter matches the oracle's
+    # range(1, len(toks)), which is simply empty for those docs (same
+    # guard discipline as dedup.with_hashed_shingles).
+    toked = d.select(
+        F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    toks = F.col("toks")
     idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    pairs = d.select(
+    pairs = toked.select(
         F.explode(
             F.transform(
                 idx,
@@ -193,8 +202,15 @@ def q_graph_pagerank(spark, sf):
             ranks.join(ej, ranks.token == ej.a)
             .select(
                 F.col("b").alias("token"),
+                # the 85·r·w product runs in DECIMAL(38,0): bare int64
+                # would silently wrap past 2^63 on large corpora (rank
+                # mass grows with node count) exactly where the DuckDB
+                # oracle's HUGEINT product stays exact. IntegralDivide
+                # on decimals returns BIGINT, so the per-edge
+                # contribution (≤ 0.85·r) lands back in long range.
                 F.expr(
-                    f"({_D_NUM} * r * w) div ({_D_DEN} * wtot)"
+                    f"(cast({_D_NUM} as decimal(38,0)) * r * w)"
+                    f" div (cast({_D_DEN} as decimal(38,0)) * wtot)"
                 ).alias("c"),
             )
             .groupBy("token")

@@ -74,8 +74,15 @@ def q_sketch_hll(spark, sf):
     est = hll_estimates(spark, sf)
     # both exact recounts derive from ONE distinct-pair reduction of
     # the raw stream (r6: one fewer full scan; the global distinct
-    # re-aggregates the pair dictionary, not the corpus)
-    pairs = ev.select("event_type", "user_id").distinct()
+    # re-aggregates the pair dictionary, not the corpus). NULL user
+    # ids are dropped first: counting rows of the pair reduction would
+    # otherwise count a NULL user once per event_type, where both
+    # countDistinct and the oracle's COUNT(DISTINCT) ignore NULLs.
+    pairs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
     exact_t = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_users")
     )

@@ -34,7 +34,11 @@ def _aqe_default() -> str:
     are identical either way (broadcast thresholds and partition
     sizing do not depend on AQE).
     """
-    return os.environ.get("SPARK_GRAFT_AQE", "true")
+    raw = os.environ.get("SPARK_GRAFT_AQE", "true")
+    # normalize: Spark's conf parser accepts only true/false, so
+    # plausible env spellings ("0", "off", "NO") must not reach it
+    # verbatim — at build time that fails the whole session construct.
+    return "false" if raw.strip().lower() in {"0", "false", "no", "off"} else "true"
 
 
 _STATIC_CONFS = {

@@ -98,3 +98,19 @@ def test_pagerank_hub_outranks_periphery(spark, chain_dir):
     got = _ranks(spark, chain_dir)
     hub = got["hub"]
     assert all(hub >= v for v in got.values())
+
+
+def test_pagerank_tolerates_short_and_empty_docs(spark, tmp_path_factory):
+    """Single-token and empty documents must be silently edge-free, not
+    a crash: F.sequence(1, size-1) with size=1 yields the DESCENDING
+    [1, 0] and element_at(toks, 0) raises INVALID_INDEX_OF_ZERO unless
+    guarded (round-7 advice fix). The DuckDB oracle's range(1,
+    len(toks)) is naturally empty for those docs, so the guarded
+    engine also stays value-identical to it."""
+    texts = ["solo", "", "a b c", "x"]
+    d = _write_docs(
+        spark, tmp_path_factory.mktemp("pr_short"), texts
+    )
+    got = _ranks(spark, d)
+    # only the 3-token doc contributes edges: nodes a, b, c
+    assert set(got) == {"a", "b", "c"}

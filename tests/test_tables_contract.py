@@ -117,3 +117,24 @@ def test_relayout_redirect_preserves_data(spark, tmp_path):
         tables._RELAYOUT_DIRS.pop(sf, None)
         for k in [k for k in tables._LOAD_CACHE if k[1] == sf]:
             del tables._LOAD_CACHE[k]
+
+
+@pytest.mark.parametrize("sf", _SF_DIRS)
+def test_documents_text_is_ascii(spark, sf):
+    """Pin the ASCII invariant the multimodal byte-arithmetic oracles
+    rely on (q_multimodal_features / q_multimodal_resize replay the
+    mapInPandas BYTE math per-CHARACTER in DuckDB — ord(char) equals
+    the utf-8 byte only below 128, and the resize stride samples bytes
+    on one side and characters on the other). If the driver ever
+    regenerates documents with non-ASCII text, this failure names the
+    two oracles that must switch to blob-based arithmetic."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf, "documents")
+    n_bad = d.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_bad == 0, (
+        f"{n_bad} non-ASCII documents at {sf}: the q_multimodal_features/"
+        "q_multimodal_resize oracles assume byte==character"
+    )
