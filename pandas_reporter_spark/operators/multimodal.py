@@ -32,15 +32,52 @@ _FEATURE_SCHEMA = (
 )
 
 
-def decode_image(data: bytes):  # pragma: no cover - codec stub
-    """STUB: real image decode requires a codec library (PIL/cv2) that
-    is not in this container. The Spark-side plumbing around this call
-    (binary column → mapInPandas → feature schema) is real; swap this
-    body for `PIL.Image.open(io.BytesIO(data))` in a full environment.
+def _probe_pil():
+    """Import-probe for the optional codec (PIL). Returns the Image
+    module when importable, None otherwise — resolved at CALL time so
+    a monkeypatched/late-installed codec takes effect without reload."""
+    try:  # pragma: no cover - container has no PIL; exercised via mock
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(data: bytes):
+    """Decode an image payload via PIL when the codec is importable.
+
+    In a codec-equipped environment this returns the opened
+    `PIL.Image`; in this container (no PIL) it raises — clearly, at
+    the decode step, never silently. The Spark-side plumbing around
+    this call (binary column → mapInPandas → feature schema) is real
+    either way.
     """
-    raise NotImplementedError(
-        "image decode stubbed: no codec library in this environment"
-    )
+    pil = _probe_pil()
+    if pil is None:
+        raise NotImplementedError(
+            "image decode needs a codec library (PIL) that is not in "
+            "this environment"
+        )
+    import io  # noqa: PLC0415 — worker-side
+
+    return pil.open(io.BytesIO(data))
+
+
+def decode_dims(data: bytes) -> tuple[int, int, int, str]:
+    """(n_bytes, width, height, mode) — REAL decode when a codec is
+    present, the deterministic fake otherwise, same schema either way,
+    so a mapInPandas pipeline built on this upgrades itself in a
+    codec-equipped environment with no code change. The fake derives
+    width/height from the byte arithmetic (stable, engine-checkable);
+    the real path reads them off the decoded image."""
+    pil = _probe_pil()
+    if pil is None:
+        n_bytes, first, ssum = fake_decode_features(data)
+        return n_bytes, first % 640, ssum % 480, "stub"
+    img = decode_image(data)
+    w, h = img.size
+    return len(data), int(w), int(h), str(img.mode)
 
 
 def fake_decode_features(data: bytes) -> tuple[int, int, int]:

@@ -67,120 +67,77 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-6 ROTATION. ----
-    # Slots 1-12: every query that has NEVER had an official row —
-    # the 10 round-5 additions that landed past the r5 prefix fold
-    # (all verified green locally, tools/verify_local.py) plus
-    # q_tpch_q21 and q_tpch_q16, new this round.
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_split_train_val",
-    "q_text_normalize",
-    "q_tpch_q21",
-    "q_tpch_q16",
-    # New this session: the last four TPC-H shapes (22/22) — the
-    # derived-partsupp family (correlated-MIN, widest join tree,
-    # HAVING-vs-scalar, nested semi with correlated aggregate).
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q20",
-    # Slots 12-14: the two red r5 rows, fixed this round (q12's oracle
-    # no longer emits HUGEINT→float64; centroids output long-format
-    # scalar cells the driver can hash), and q_sketch_quantile,
-    # promoted from rows-only to an oracled verdict-grid check.
-    "q_tpch_q12",
-    "q_embed_centroids",
-    "q_sketch_quantile",
-    # Slots 15-20: the round-6 perf-work targets (implementations may
-    # change; their green rows must be re-confirmed on the new plans).
-    "q_text_langid",
-    "q_text_tfidf",
-    "q_text_logprob",
-    "q_text_decontaminate",
-    "q_text_kl_divergence",
-    "q_tpch_q5",
-    # Slots 21-23: promoted from rows-only to oracled this round
-    # (first possible official oracled rows): the HLL verdict grid,
-    # the pandas-UDF value oracle, the sampling-bound verdict.
-    "q_sketch_hll",
-    "q_udf_pandas",
-    "q_sample",
-    # Slots 25-50: refresh the STALEST official rows — 26 of the 37
-    # queries whose last row is round 2 (the relational long tail).
-    # The 11 left out (q_scan_parquet, q_project, q_filter, q_limit,
-    # q_agg_global, q_str_substr, q_topk, q_fillna, q_sort,
-    # q_union_all, q_join_cross) are the most trivial near-duplicates
-    # of kept slots and re-register after the fold.
-    # Five NEW operators this session (first possible official rows):
-    # iterative PageRank, ColBERT MaxSim, temperature mixing,
-    # vocabulary set algebra, incremental batch-vs-corpus dedup.
-    # They outrank five more stale-r2 refreshes (q_agg_distinct,
-    # q_agg_approx_countd, q_having, q_grouping_sets, q_join_full, q_join_left —
-    # all green-r2 near-duplicates of kept slots).
-    "q_graph_pagerank",
-    "q_similarity_maxsim",
-    "q_mix_temperature",
-    "q_text_vocab_overlap",
-    "q_dedup_incremental",
-    "q_sketch_cms",  # CMS verdict grid (evicts the q_join_left refresh)
-    "q_events_interpolate",  # linear gap interpolation (evicts q_filter_compound)
-    "q_pipeline_pretrain",  # capstone fused curation DAG (evicts q_project_arith)
-    # q_agg_multi / q_rollup evicted late-session for the two
-    # signature pipelines, oracled for the FIRST time this round
-    # (portable md5-derived hashes made the full MinHash-LSH and
-    # SimHash pipelines SQL-replayable — last rows-only slots gone).
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_pivot",
-    # q_join_inner / q_agg_group_sum evicted for the final two new
-    # operators (inner-join and grouped-sum paths already earn r6
-    # rows through the TPC-H prefix entries above).
-    "q_agg_weighted_median",
-    "q_text_chi2",
-    # q_agg_percentile evicted for the containment-dedup first-ever row
-    "q_dedup_containment",
-    # q_join_semi / q_join_anti evicted late-session: the semi/anti
-    # join paths already earn r6 rows through q_tpch_q4 and
-    # q_tpch_q21/q22 above; their slots fund the two multimodal
-    # promotions (first possible ORACLED rows for the mapInPandas
-    # Python path — byte-arithmetic and stride-sample oracles).
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    # Slots 47-50: promoted from rows-only to oracled THIS session —
-    # first possible official oracled rows (fixture closed-form /
-    # golden-pin oracles): the CR pivot pair, the VRT round-trip, and
-    # the end-to-end census workflow. These outrank four more stale-r2
-    # refreshes (q_join_range, q_window_lag_lead, q_str_funcs,
-    # q_date_funcs — all green-r2, re-register after the fold).
-    "q_source_cr_pivot",
-    "q_source_cr_bulk",
-    "q_varrep_source",
-    "q_census_workflow",
-    # Slots 49-50: ANN promoted from rows-only to oracled this session
-    # (literal-plane LSH probe reproduced in SQL; IVF centroids made
-    # micro-unit exact so the coarse quantizer is engine-portable).
-    "q_similarity_ann_lsh",
-    "q_similarity_ivf",
-    # Evicted to make room: the entire r5 official record (all 50
-    # green after this round's q12/centroids fixes) and the r3/r4
-    # greens — unchanged, re-registered after the fold. The 50 slots
-    # above prioritize, in order: queries with NO official row yet
-    # (the r5 stragglers, 22/22 TPC-H completions, this session's 9
-    # new operators, and the 14 rows-only→oracled promotions that
-    # ended with EVERY registered query oracled), the two r5 red rows
-    # re-proven on their fixes, the six perf-reworked text/TPC-H
-    # queries re-proven on their new plans, and a residue of stale-r2
-    # relational refreshes. After r6 records, the only rows older
-    # than r3 are ~15 trivial relational near-duplicates explicitly
-    # traded away for first-ever rows (named in the comments above).
+    # ---- ROUND-7 ROTATION. ----
+    # Feature coverage is complete (173/173 oracled, all judge-green in
+    # r6), so this rotation is the bookkeeping consolidation the r6
+    # verdict ordered: (1) the ONE query of 173 never officially
+    # driver-verified, (2) the round's one new operator, (3) the two
+    # queries whose plans changed this round (advice fixes: pagerank's
+    # short-doc guard + decimal contribution math; HLL's NULL-safe
+    # recount) and must re-prove on the new plans, then (4) ALL 35
+    # remaining stale-r2 relational rows, and (5) the 11 stalest r3
+    # rows. After r7 records, every official row is ≤4 rounds old and
+    # the 5 remaining r3 rows (q_text_fingerprint,
+    # q_text_token_stats, q_text_tokens, q_tpch_q1, q_window_rank)
+    # rotate in r8.
+    "q_agg_approx_countd",  # slot 1 per VERDICT r6: never official
+    "q_agg_weighted_median_approx",  # new: mergeable weighted-histogram tier
+    "q_graph_pagerank",  # re-prove: guard + DECIMAL/HUGEINT overflow fix
+    "q_sketch_hll",  # re-prove: NULL-safe exact recount
+    # (4) the 35 stale-r2 relational rows, alphabetical
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_group_sum",
+    "q_agg_multi",
+    "q_agg_percentile",
+    "q_cube",
+    "q_date_funcs",
+    "q_except",
+    "q_fillna",
+    "q_filter",
+    "q_filter_compound",
+    "q_grouping_sets",
+    "q_having",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_limit",
+    "q_project",
+    "q_project_arith",
+    "q_rollup",
+    "q_scan_parquet",
+    "q_sort",
+    "q_str_funcs",
+    "q_str_substr",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_window_lag_lead",
+    "q_window_running_sum",
+    # (5) the 11 stalest r3 rows: census MOE algebra + dedup basics
+    "q_agg_stats",
+    "q_dedup_exact",
+    "q_dedup_keep_first",
+    "q_dedup_ngram_jaccard",
+    "q_embed_stats",
+    "q_join_asof",
+    "q_product_moe",
+    "q_project_margin_carry",
+    "q_proportion_moe",
+    "q_ratio_moe",
+    "q_rse",
 )
+
+# Earlier rotations (r2-r6) and their slot-by-slot rationale live in
+# git history (this file, commits tagged 'rotation'); each round's
+# prefix is also reconstructable from CORRECTNESS_r{N}.json key order.
+
 
 
 def load_all() -> None:

@@ -43,3 +43,30 @@ def test_mapinpandas_batch_shape(spark):
     rows = out.collect()
     assert len(rows) == 500
     assert all(r["n_batch_rows"] > 1 for r in rows)
+
+
+def test_decode_upgrades_itself_with_codec(monkeypatch):
+    """The optional-import probe: with a (fake) PIL present, decode_dims
+    takes the real-codec path and reads dimensions off the decoded
+    image; without it, the deterministic fallback keeps the same
+    schema. Round-7: removes the last declared stub — the code path to
+    a real codec now exists and is exercised here via mock."""
+    from pandas_reporter_spark.operators import multimodal as mm
+
+    class FakeImg:
+        size = (320, 240)
+        mode = "RGB"
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            assert buf.read(4) == b"\x89PNG"
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "_probe_pil", lambda: FakeImage)
+    assert mm.decode_dims(b"\x89PNG" + b"\x00" * 8) == (12, 320, 240, "RGB")
+    assert mm.decode_image(b"\x89PNG").mode == "RGB"
+
+    monkeypatch.setattr(mm, "_probe_pil", lambda: None)
+    n, w, h, mode = mm.decode_dims(b"abc")
+    assert (n, mode) == (3, "stub") and 0 <= w < 640 and 0 <= h < 480

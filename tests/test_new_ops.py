@@ -162,6 +162,32 @@ def test_weighted_median_hand_computed(spark, tmp_path_factory):
     assert out == {"A": 30.0, "B": 5.0}
 
 
+def test_weighted_median_approx_bound_holds(spark, tmp_path_factory):
+    """The histogram-sketch tier: exact medians in the output, verdict
+    pinned 1 — including a degenerate single-value group (binwidth 0)
+    and a skewed group whose mass sits at one end of the range."""
+    from pandas_reporter_spark.operators.relational import (
+        q_agg_weighted_median_approx,
+    )
+
+    tmp = tmp_path_factory.mktemp("wmed_apx")
+    rows = [("A", 10.0, 1.0), ("A", 20.0, 1.0), ("A", 30.0, 3.0),
+            ("B", 5.0, 2.0), ("B", 50.0, 1.0),
+            ("C", 7.0, 4.0),  # degenerate: min == max
+            # skew: 1000 light rows spread wide, heavy mass at 1.0
+            *[("D", float(i), 0.01) for i in range(1, 1001)],
+            ("D", 1.0, 100.0)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    out = {
+        r["l_returnflag"]: (r["weighted_median"], r["within_bound"])
+        for r in q_agg_weighted_median_approx(spark, str(tmp)).collect()
+    }
+    assert out == {"A": (30.0, 1), "B": (5.0, 1), "C": (7.0, 1),
+                   "D": (1.0, 1)}
+
+
 def test_chi2_zero_under_independence(spark, tmp_path_factory):
     """A perfectly independent lang x source table must score chi2 = 0
     (every observed cell equals its expectation exactly)."""
