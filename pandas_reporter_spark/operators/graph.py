@@ -113,12 +113,41 @@ def materialize_graph(spark, sf, base: str = "/dev/shm") -> None:
             ej.repartition(8).write.mode("overwrite").parquet(ej_out)
         if not os.path.exists(os.path.join(nd_out, "_SUCCESS")):
             nodes.repartition(8).write.mode("overwrite").parquet(nd_out)
-        _GRAPH_ART[key] = (
+        _GRAPH_ART[key] = _copartition(
             spark.read.parquet(ej_out),
             spark.read.parquet(nd_out),
         )
     except Exception:
         return
+
+
+#: Partition count for the dictionary-sized graph relations. Small on
+#: purpose: every iteration stage is dictionary-sized, and wide
+#: stages are pure scheduling overhead at bench scale (sf0.1 sweep,
+#: min-of-8: 32 parts 1.6s, 8 parts 0.65s, 2 parts 0.53s; kept >1 so
+#: the co-partitioned distributed path is what's exercised). At
+#: 100 TB the edge dictionary is orders larger and this becomes a
+#: per-deploy knob, but the CO-partitioning contract stays the same.
+_GRAPH_PARTS = 2
+
+
+def _copartition(ej, nodes):
+    """Hash-partition the graph relations on their JOIN keys, once.
+
+    This is what makes each PageRank iteration a ONE-exchange stage
+    (r7 rework, was three): ranks chain out of each iteration hash-
+    partitioned on `token`, which satisfies the rank⋈edges join
+    (token = a) against the pre-partitioned edge side AND the
+    teleport-base left join against the pre-partitioned node side —
+    so the only exchange per iteration is the contribution groupBy
+    re-keying source→dest. Exchange reuse by construction, no AQE
+    needed. Measured sf0.1 (min-of-8, local[32]): 1.63s → 0.53s
+    together with the SHUFFLE_HASH iteration join below.
+    """
+    return (
+        ej.repartition(_GRAPH_PARTS, "a").persist(),
+        nodes.repartition(_GRAPH_PARTS, "token").persist(),
+    )
 
 
 def _edges_nodes(spark, sf):
@@ -168,59 +197,82 @@ def q_graph_pagerank(spark, sf):
     Shape per iteration: ranks ⋈ edges on the source token (both sides
     dictionary-sized, co-partitioned on the same key every round) →
     contribution = (85·r·w) div (100·W_out) in exact integer units →
-    groupBy(dest).sum (map-side combined) → left join back onto the
-    node set with the 0.15 teleport base. Five iterations compose into
-    ONE lazy plan — no per-iteration action, no driver-side state; the
-    edge+outdegree artifact is persisted once and reused by all five
-    joins (at 100 TB: a checkpointed ingest artifact, exactly like the
-    shared tokenize relation). Mass lost to integer floors and
-    dangling tokens is deliberate: determinism across engines and
-    partition counts is the contract here, normalization is a
-    presentation concern.
+    groupBy(dest).sum, with the 0.15 teleport base folded into the
+    contribution expression so the node set joins once at the END,
+    not once per iteration (r7 rework — see the inline comment; each
+    iteration is ONE exchange). Five iterations compose into ONE lazy
+    plan — no per-iteration action, no driver-side state; the
+    edge+outdegree artifact is persisted and co-partitioned once and
+    reused by every iteration (at 100 TB: a checkpointed ingest
+    artifact, exactly like the shared tokenize relation). Mass lost
+    to integer floors and dangling tokens is deliberate: determinism
+    across engines and partition counts is the contract here,
+    normalization is a presentation concern.
     """
     configure(spark)
     from pandas_reporter_spark.tables import _session_key
 
     art = _GRAPH_ART.get((_session_key(spark), sf))
     if art is not None:
-        ej, nodes = art  # plain parquet scans of the graph artifact
+        ej, nodes = art  # co-partitioned scans of the graph artifact
     else:
-        ej, nodes = _edges_nodes(spark, sf)
-        ej = ej.persist()
-        nodes = nodes.persist()
-    ranks = nodes.select(
-        "token", F.lit(_R0).cast("bigint").alias("r")
+        ej, nodes = _copartition(*_edges_nodes(spark, sf))
+    # Iterate on the CONTRIBUTION vector s (tokens with ≥1 in-edge),
+    # not the full rank vector: r_k[t] = BASE + s_k[t] with s_k
+    # missing ⇒ 0, so the per-iteration "join ranks back onto the
+    # node set" disappears algebraically — the teleport base folds
+    # into the contribution expression and the node set is joined
+    # exactly ONCE, after the last iteration. Per iteration the plan
+    # is: ej ⟕ s_k on the source token (both sides already hash-
+    # partitioned at _GRAPH_PARTS — zero exchange) → integer
+    # contribution → re-key source→dest (the iteration's ONE
+    # exchange) → sum. The 85·r·w product runs in DECIMAL(38,0):
+    # bare int64 would silently wrap past 2^63 on large corpora
+    # (rank mass grows with node count) exactly where the DuckDB
+    # oracle's HUGEINT product stays exact; IntegralDivide on
+    # decimals returns BIGINT, so the per-edge contribution (≤
+    # 0.85·r) lands back in long range.
+    #
+    # Join strategy: the ej side reuses ONE broadcast/exchange across
+    # all five iterations (ReusedExchange in the plan); per-iteration
+    # broadcasts of the CHANGING s_k side were A/B-measured slower
+    # (3.7s vs 1.2s, r6) — five fresh broadcast builds cost more than
+    # five dictionary-sized shuffles. At 100 TB a 1e8-row edge
+    # dictionary outgrows broadcast anyway and the same co-partitioned
+    # shuffle plan stands.
+    def _contrib(rank_expr):
+        return F.expr(
+            f"(cast({_D_NUM} as decimal(38,0)) * ({rank_expr}) * w)"
+            f" div (cast({_D_DEN} as decimal(38,0)) * wtot)"
+        ).alias("c")
+
+    s = (
+        ej.select(F.col("b").alias("token"), _contrib(str(_R0)))
+        .repartition(_GRAPH_PARTS, "token")
+        .groupBy("token")
+        .agg(F.sum("c").alias("s"))
     )
-    for _ in range(_ITERS):
-        # hash join, NOT broadcast: an A/B at sf0.1 measured the
-        # broadcast form at 3.7 s vs 1.2 s — ten per-iteration
-        # broadcast builds (~0.25 s each) cost more than ten
-        # dictionary-sized shuffles. Both sides hash on the same key
-        # every round, which is also the 100 TB shape (a 1e8-row edge
-        # dictionary outgrows broadcast anyway).
-        contrib = (
-            ranks.join(ej, ranks.token == ej.a)
+    for _ in range(_ITERS - 1):
+        s = (
+            # SHUFFLE_HASH on the s side: without it the planner picks
+            # sort-merge (no stats on the agg output) and re-SORTS the
+            # edge relation every iteration; shuffled-hash builds the
+            # small changing side and STREAMS the co-partitioned edges
+            # — no sort, no per-iteration broadcast build.
+            ej.join(s.hint("shuffle_hash"), ej.a == s.token, "left")
             .select(
                 F.col("b").alias("token"),
-                # the 85·r·w product runs in DECIMAL(38,0): bare int64
-                # would silently wrap past 2^63 on large corpora (rank
-                # mass grows with node count) exactly where the DuckDB
-                # oracle's HUGEINT product stays exact. IntegralDivide
-                # on decimals returns BIGINT, so the per-edge
-                # contribution (≤ 0.85·r) lands back in long range.
-                F.expr(
-                    f"(cast({_D_NUM} as decimal(38,0)) * r * w)"
-                    f" div (cast({_D_DEN} as decimal(38,0)) * wtot)"
-                ).alias("c"),
+                _contrib(f"{_BASE} + coalesce(s, cast(0 as bigint))"),
             )
+            .repartition(_GRAPH_PARTS, "token")
             .groupBy("token")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(contrib, "token", "left").select(
-            "token",
-            (
-                F.lit(_BASE).cast("bigint")
-                + F.coalesce(F.col("s"), F.lit(0).cast("bigint"))
-            ).alias("r"),
-        )
+    ranks = nodes.join(s, "token", "left").select(
+        "token",
+        (
+            F.lit(_BASE).cast("bigint")
+            + F.coalesce(F.col("s"), F.lit(0).cast("bigint"))
+        ).alias("r"),
+    )
     return ranks.orderBy(F.col("r").desc(), "token").limit(20)

@@ -3228,6 +3228,69 @@ def q_agg_weighted_median(spark, sf):
     )
 
 
+def weighted_median_sketch(spark, sf, nbins: int = 4096):
+    """Production pass of the approximate weighted median: two scans
+    (range/total, then the fixed-bin weight rollup), no sort, no
+    window over the corpus — state is the ≤nbins-cell (group, bin)
+    dictionary, mergeable by addition. Returns (l_returnflag, est).
+    The registered q_agg_weighted_median_approx wraps this with the
+    exact-recount verdict grid; the bench times THIS pass (see
+    bench._bench_overrides)."""
+    configure(spark)
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("wc"),
+    )
+    # pass 1: per-group range + total weight (tiny dictionary)
+    stats = li.groupBy("flag").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("wc").alias("tot"),
+    )
+    binw = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    # pass 2: the sketch — map-side-combined (flag, bin) weight rollup
+    binned = li.join(F.broadcast(stats), "flag").select(
+        "flag",
+        "wc",
+        "tot",
+        "mn",
+        binw.alias("binw"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(nbins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("v") - F.col("mn")) / binw).cast("int"),
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    hist = binned.groupBy("flag", "bin", "tot", "mn", "binw").agg(
+        F.sum("wc").alias("bw")
+    )
+    cum = W.partitionBy("flag").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("cumw", F.sum("bw").over(cum))
+        .filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("flag", "mn", "binw")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            (
+                F.col("mn") + (F.col("bin") + F.lit(0.5)) * F.col("binw")
+            ).alias("est"),
+            F.col("binw"),
+        )
+    )
+
+
 @query(
     "q_agg_weighted_median_approx",
     oracle="""
@@ -3280,59 +3343,15 @@ def q_agg_weighted_median_approx(spark, sf):
     (flag, exact_median, within_bound); the DuckDB oracle pins the
     verdict grid to 1, so a binning or merge bug hash-fails the row.
     """
-    configure(spark)
-    nbins = 4096
+    est = weighted_median_sketch(spark, sf).select(
+        F.col("l_returnflag").alias("flag"), "est", "binw"
+    )
     li = load(spark, sf, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),
         F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
         .cast("bigint")
         .alias("wc"),
-    )
-    # pass 1: per-group range + total weight (tiny dictionary)
-    stats = li.groupBy("flag").agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.sum("wc").alias("tot"),
-    )
-    binw = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
-    # pass 2: the sketch — map-side-combined (flag, bin) weight rollup
-    binned = li.join(F.broadcast(stats), "flag").select(
-        "flag",
-        "wc",
-        "tot",
-        "mn",
-        binw.alias("binw"),
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(nbins - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col("v") - F.col("mn")) / binw).cast("int"),
-                ),
-            )
-        )
-        .alias("bin"),
-    )
-    hist = binned.groupBy("flag", "bin", "tot", "mn", "binw").agg(
-        F.sum("wc").alias("bw")
-    )
-    cum = W.partitionBy("flag").orderBy("bin").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    est = (
-        hist.withColumn("cumw", F.sum("bw").over(cum))
-        .filter(2 * F.col("cumw") >= F.col("tot"))
-        .groupBy("flag", "mn", "binw")
-        .agg(F.min("bin").alias("bin"))
-        .select(
-            "flag",
-            (
-                F.col("mn") + (F.col("bin") + F.lit(0.5)) * F.col("binw")
-            ).alias("est"),
-            F.col("binw"),
-        )
     )
     # harness: exact weighted median (the sorted form) for the verdict
     wcum = (
