@@ -1,0 +1,138 @@
+"""Synthesize larger scale factors from the driver's sf0.1 snapshot.
+
+The driver ships sf{0.001,0.01,0.1}; SCALING.md's marginal-cost
+argument needs at least one more 10× step to be measurement, not
+extrapolation. This tool builds sfN (N ∈ {1, 10}) by unioning K=10N
+key-offset copies of sf0.1 — the same construction TPC-H dbgen uses
+for its scale ladder (independent key ranges, shared dimensions):
+
+- fact/entity keys shift by copy·(1 + max(key)) so every copy joins
+  ONLY within itself: per-key join fan-outs, group cardinalities per
+  key, and selectivity of every key predicate are preserved exactly,
+  while distinct-key counts scale linearly.
+- `region`/`nation` stay fixed (dimensions, like dbgen).
+- `events.user_id` shifts by the CUSTOMER offset so the stream/enrich
+  join keeps its hit rate.
+- `embeddings.embedding` is sign-decorrelated per copy (deterministic
+  xxhash64(vec_id, dim, copy) sign flips): copies of a vector become
+  ~orthogonal instead of exact duplicates, so similarity/ANN workloads
+  scale like a genuinely larger corpus (norms, per-dim magnitude
+  distributions unchanged).
+- `documents.text` is copied VERBATIM, so content-dedup queries see a
+  corpus with a 1-in-K unique rate: exact/keep-first dedup remains
+  representative (crawl corpora are dup-heavy), but NEAR-dup joins
+  (minhash/simhash/fuzzy) would see every dup group at size K and
+  inflate candidate pairs by K², so scale_bench excludes them — their
+  scale story is the bucketed-join bound (Σn_b²), argued in SCALING.md.
+
+Usage: python tools/make_sfn.py [N] [out_base]   (default 1 /dev/shm)
+Writes <out_base>/prs_sf<N>/<table>.parquet directories (multi-file),
+readable by tables.load and by DuckDB via glob.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+
+#: key columns to offset, per table: (column, offset-space table)
+_OFFSETS = {
+    "customer": [("c_custkey", "customer")],
+    "supplier": [("s_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem": [
+        ("l_orderkey", "orders"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supplier"),
+    ],
+    "events": [("event_id", "events"), ("user_id", "customer")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+_FIXED = ("region", "nation")
+
+
+def _key_spaces(spark):
+    """1 + max(primary key) per table — the per-copy offset stride."""
+    spaces = {}
+    pk = {
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    for t, col in pk.items():
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        spaces[t] = int(df.agg(F.max(col)).collect()[0][0]) + 1
+    return spaces
+
+
+def build(spark, n: int, out_base: str = "/dev/shm") -> str:
+    from pandas_reporter_spark.tables import normalize_ts
+
+    k = 10 * n  # copies of sf0.1
+    out = os.path.join(out_base, f"prs_sf{n}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    spaces = _key_spaces(spark)
+    for t in _FIXED:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    for t, offs in _OFFSETS.items():
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            base = normalize_ts(
+                spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+            )
+        else:
+            base = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        parts = []
+        for i in range(k):
+            df = base
+            for col, space_t in offs:
+                df = df.withColumn(
+                    col, F.col(col) + F.lit(i * spaces[space_t])
+                )
+            if t == "embeddings" and i > 0:
+                # deterministic per-copy sign decorrelation (see module
+                # docstring); transform index is 0-based
+                df = df.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, d) -> CAST(x * "
+                        f"(1 - 2 * pmod(xxhash64(vec_id, d, {i}), 2)) "
+                        f"AS FLOAT))"
+                    ),
+                )
+            parts.append(df)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionAll(p)
+        nfiles = max(8, min(64, 2 * k))
+        full.repartition(nfiles).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    open(os.path.join(out, "_DONE"), "w").write("ok")
+    return out
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    out_base = sys.argv[2] if len(sys.argv) > 2 else "/dev/shm"
+    from pandas_reporter_spark.session import get_session
+
+    spark = get_session("make_sfn")
+    print(build(spark, n, out_base))

@@ -1,0 +1,134 @@
+"""Marginal-cost measurement: Spark vs DuckDB across a 10× SF step.
+
+Runs the heavy BATCH queries at sf0.1 (driver snapshot) and sf1
+(tools/make_sfn.py synthesis) on both engines and reports, per query
+and in total: t(sf0.1), t(sf1), and the MARGINAL cost of the extra
+data Δ = t(sf1) − t(sf0.1) — the component that actually scales to
+the 100 TB design point (the residual is per-job fixed floor;
+SCALING.md). Methodology mirrors BASELINE.md: DuckDB runs the
+registered oracle SQL at max threads, Spark runs the registered plan
+to a noop sink; min-of-3 after one warm pass, no artifact priming on
+either side (both engines compute from raw parquet).
+
+Near-dup join queries (minhash/simhash/fuzzy) are excluded by design:
+sfN replicates document text verbatim, so their candidate sets would
+inflate ~K² on BOTH engines and measure the synthesis artifact, not
+the operator (make_sfn.py docstring).
+
+Usage: python tools/scale_bench.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SCALE_QUERIES = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q18",
+    "q_graph_pagerank",
+    "q_pipeline_curate",
+    "q_pipeline_pretrain",
+    "q_text_kl_divergence",
+    "q_text_langid",
+    "q_embed_centroids",
+    "q_dedup_embedding",
+    "q_sketch_heavy_hitters",
+    "q_similarity_topk",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duck_con(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+        )
+    return con
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_bench.json"
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+
+    from pandas_reporter_spark.registry import ORACLES, QUERIES, load_all
+    from pandas_reporter_spark.session import get_session
+
+    load_all()
+    spark = get_session("scale_bench")
+    sf_dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/dev/shm/prs_sf1"}
+
+    def spark_run(name, sf_dir):
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    res: dict = {"queries": {}, "sf_dirs": sf_dirs}
+    for name in SCALE_QUERIES:
+        row = {}
+        for label, sf_dir in sf_dirs.items():
+            # spark: warm once, then min-of-3
+            spark_run(name, sf_dir)
+            best = 9e9
+            for _ in range(3):
+                t0 = time.time()
+                spark_run(name, sf_dir)
+                best = min(best, time.time() - t0)
+            row[f"spark_{label}"] = round(best, 3)
+            # duckdb: fresh connection per sf, warm once, min-of-3
+            con = _duck_con(sf_dir)
+            sql = ORACLES[name]
+            con.execute(sql).fetchall()
+            bestd = 9e9
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                bestd = min(bestd, time.time() - t0)
+            con.close()
+            row[f"duck_{label}"] = round(bestd, 3)
+        row["spark_marginal"] = round(
+            row["spark_sf1"] - row["spark_sf0.1"], 3
+        )
+        row["duck_marginal"] = round(row["duck_sf1"] - row["duck_sf0.1"], 3)
+        res["queries"][name] = row
+        print(name, row, flush=True)
+
+    tot = {
+        k: round(sum(r[k] for r in res["queries"].values()), 3)
+        for k in (
+            "spark_sf0.1",
+            "spark_sf1",
+            "duck_sf0.1",
+            "duck_sf1",
+            "spark_marginal",
+            "duck_marginal",
+        )
+    }
+    tot["marginal_ratio"] = round(
+        tot["spark_marginal"] / tot["duck_marginal"], 3
+    )
+    tot["total_ratio_sf1"] = round(tot["spark_sf1"] / tot["duck_sf1"], 3)
+    res["totals"] = tot
+    json.dump(res, open(out_path, "w"), indent=1)
+    print(json.dumps(tot))
+
+
+if __name__ == "__main__":
+    main()
