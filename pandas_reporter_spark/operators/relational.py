@@ -1197,6 +1197,15 @@ _ORACLE_PS = f"""
 
 
 def _derived_partsupp(spark, sf):
+    """The partsupp stand-in (testdata ships no partsupp table): one
+    row per observed (partkey, suppkey) pair with MIN unit price as
+    supply cost. SHUFFLE_HASH-hinted: this is a bounded DICTIONARY
+    (≤ |part|×|suppliers-per-part|, sublinear in lineitem), so joins
+    against the fact table should build ITS hash map and stream
+    lineitem — without the hint the planner picks sort-merge on the
+    no-stats aggregate output and re-sorts the fact side (sf1
+    measurement: TPC-H Q9 3.2s → 2.4s). Same bounded-build-side
+    discipline as graph.q_graph_pagerank's iteration join."""
     return (
         load(spark, sf, "lineitem")
         .groupBy(
@@ -1209,6 +1218,7 @@ def _derived_partsupp(spark, sf):
             ),
             dsum("l_quantity").alias("ps_availqty"),
         )
+        .hint("shuffle_hash")
     )
 
 

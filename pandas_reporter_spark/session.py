@@ -105,7 +105,20 @@ def get_session(app_name: str = "pandas_reporter_spark") -> SparkSession:
         # spark.memory.fraction, set per-deploy.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MiB, not the 64 MiB of rounds 2-6: the sf1 scale run
+        # (tools/scale_bench.py, round 7) caught the generous setting
+        # broadcasting a FILTERED FACT TABLE — at sf1 the shipdate
+        # slice of lineitem (~3M rows, file-size estimate just under
+        # 64 MiB) became the build side of TPC-H Q3/Q5/Q18, a
+        # 3.8s/3.4s/3.6s disaster that would be fatal at cluster
+        # scale (driver OOM, not just latency). 16 MiB keeps every
+        # genuine dimension broadcast at bench SFs (all dims ≤ 11 MiB
+        # at sf0.1 — plans there are byte-identical) while fact slices
+        # fall back to co-partitioned shuffle joins: Q3 1.07s, Q5
+        # 1.41s, Q18 1.52s at sf1. Snappy parquet also decompresses
+        # ~3-5×, so 16 MiB on disk is already a ~50-80 MiB hash
+        # relation per executor.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
     )
     for k, v in _runtime_confs().items():
         builder = builder.config(k, v)
