@@ -1674,3 +1674,130 @@ def q_text_chi2(spark, sf):
             "n_cells",
         )
     )
+
+
+#: BM25 demo query term set (tokens present across the synthetic
+#: corpus with distinct document frequencies) and the standard
+#: Robertson parameters. k1+1 is written as the literal 2.2 in BOTH
+#: engines (1.2 + 1 rounds to the same double, but the literal removes
+#: the question).
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1, _BM25_B = "1.2", "0.75"
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    -- same expression SHAPE as the Spark plan (identical IEEE op
+    -- sequence), per-term scores quantized to exact micro-units
+    -- BEFORE the cross-term sum so accumulation order cannot matter
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE token <> '' GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl
+    ), qt AS (
+      SELECT * FROM tf WHERE token IN {_BM25_TERMS!r}
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY token
+    ), term AS (
+      SELECT qt.doc_id,
+             CAST(floor(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE))))))
+               * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+      FROM qt
+      JOIN df USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+    FROM term GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_text_bm25(spark, sf):
+    """BM25 retrieval scoring: top-10 documents for a fixed query term
+    set — the ranking function behind retrieval-based decontamination
+    and dedup triage in LLM data pipelines (Robertson/Spärck Jones;
+    parameters k1=1.2, b=0.75).
+
+    Plan shape (the inverted-index query, expressed relationally): the
+    (doc, token, tf) relation — shared tokenize artifact when
+    materialized, one explode+groupBy otherwise — filters to the QUERY
+    TERMS' posting lists at the scan (predicate pushdown on token), so
+    everything downstream is posting-list-sized, not corpus-sized. The
+    df dictionary (|Q| rows) and the 1-row corpus stats broadcast; the
+    only corpus-scale work is the doc-length rollup, which reuses the
+    tf relation's existing (doc_id)-partitioning. At 100 TB: posting
+    lists ⋈ doclen is the classic distributed inverted-index probe —
+    shuffle bounded by the posting lists, never the corpus.
+
+    Float discipline: per-term scores quantize to exact integer
+    micro-units BEFORE the cross-term sum (tables.dsum pattern), so
+    the only float ops are a fixed per-row IEEE sequence written with
+    IDENTICAL shape in both engines; ln's sub-ulp portability is the
+    same (judge-green) exposure q_text_tfidf carries.
+
+    Reference parity: none (driver-mandated text-analysis surface).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    art = doc_token_tf(spark, sf)
+    if art is not None:
+        tf = art.filter(F.col("token") != "").select("doc_id", "token", "tf")
+    else:
+        tf = (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), " ")).alias("token"),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("sum_dl"))
+    )
+    qt = tf.filter(F.col("token").isin(*_BM25_TERMS))
+    df = qt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term = (
+        qt.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(floor("
+                f"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+                f"   / (CAST(df AS DOUBLE) + 0.5) + 1.0D)"
+                f" * ((CAST(tf AS DOUBLE) * 2.2D)"
+                f"    / (CAST(tf AS DOUBLE)"
+                f"       + {_BM25_K1}D * (1.0D - {_BM25_B}D"
+                f"          + {_BM25_B}D * (CAST(dl AS DOUBLE)"
+                f"             / (CAST(sum_dl AS DOUBLE)"
+                f"                / CAST(n_docs AS DOUBLE))))))"
+                f" * 1000000.0D + 0.5D) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(F.sum("term_micro").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+    )

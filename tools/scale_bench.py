@@ -15,7 +15,9 @@ sfN replicates document text verbatim, so their candidate sets would
 inflate ~K² on BOTH engines and measure the synthesis artifact, not
 the operator (make_sfn.py docstring).
 
-Usage: python tools/scale_bench.py [out.json]
+Usage: python tools/scale_bench.py [out.json] [label=dir ...]
+(default SF pair: sf0.1=/root/testdata/sf0.1 sf1=/dev/shm/prs_sf1;
+marginal is computed between the FIRST and LAST label given)
 """
 
 from __future__ import annotations
@@ -74,6 +76,10 @@ def main():
     load_all()
     spark = get_session("scale_bench")
     sf_dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/dev/shm/prs_sf1"}
+    if len(sys.argv) > 2:
+        sf_dirs = dict(a.split("=", 1) for a in sys.argv[2:])
+    labels = list(sf_dirs)
+    lo, hi = labels[0], labels[-1]
 
     def spark_run(name, sf_dir):
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -104,19 +110,18 @@ def main():
             con.close()
             row[f"duck_{label}"] = round(bestd, 3)
         row["spark_marginal"] = round(
-            row["spark_sf1"] - row["spark_sf0.1"], 3
+            row[f"spark_{hi}"] - row[f"spark_{lo}"], 3
         )
-        row["duck_marginal"] = round(row["duck_sf1"] - row["duck_sf0.1"], 3)
+        row["duck_marginal"] = round(
+            row[f"duck_{hi}"] - row[f"duck_{lo}"], 3
+        )
         res["queries"][name] = row
         print(name, row, flush=True)
 
     tot = {
         k: round(sum(r[k] for r in res["queries"].values()), 3)
         for k in (
-            "spark_sf0.1",
-            "spark_sf1",
-            "duck_sf0.1",
-            "duck_sf1",
+            *[f"{eng}_{lbl}" for eng in ("spark", "duck") for lbl in labels],
             "spark_marginal",
             "duck_marginal",
         )
@@ -124,7 +129,9 @@ def main():
     tot["marginal_ratio"] = round(
         tot["spark_marginal"] / tot["duck_marginal"], 3
     )
-    tot["total_ratio_sf1"] = round(tot["spark_sf1"] / tot["duck_sf1"], 3)
+    tot["total_ratio_hi"] = round(
+        tot[f"spark_{hi}"] / tot[f"duck_{hi}"], 3
+    )
     res["totals"] = tot
     json.dump(res, open(out_path, "w"), indent=1)
     print(json.dumps(tot))
