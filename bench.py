@@ -276,6 +276,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "failed": sorted(n for n, t in timings.items() if t is None),
+                # rows timed as the production pass, not the registered
+                # correctness harness (see _bench_overrides) — flagged so
+                # cross-round comparisons know which rows changed meaning
+                # (q_sketch_hll switched in r7; comparisons to r6 and
+                # earlier for these names are apples-to-oranges)
+                "overridden": sorted(_bench_overrides()),
             }
         )
     )

@@ -67,71 +67,70 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-7 ROTATION. ----
-    # Feature coverage is complete (173/173 oracled, all judge-green in
-    # r6), so this rotation is the bookkeeping consolidation the r6
-    # verdict ordered: (1) the ONE query of 173 never officially
-    # driver-verified, (2) the round's one new operator, (3) the two
-    # queries whose plans changed this round (advice fixes: pagerank's
-    # short-doc guard + decimal contribution math; HLL's NULL-safe
-    # recount) and must re-prove on the new plans, then (4) ALL 35
-    # remaining stale-r2 relational rows, and (5) the 11 stalest r3
-    # rows. After r7 records, every official row is ≤4 rounds old and
-    # the 5 remaining r3 rows (q_text_fingerprint,
-    # q_text_token_stats, q_text_tokens, q_tpch_q1, q_window_rank)
-    # rotate in r8.
-    "q_agg_approx_countd",  # slot 1 per VERDICT r6: never official
-    "q_agg_weighted_median_approx",  # new: mergeable weighted-histogram tier
-    "q_graph_pagerank",  # re-prove: guard + DECIMAL/HUGEINT overflow fix
-    "q_sketch_hll",  # re-prove: NULL-safe exact recount
-    # (4) the 35 stale-r2 relational rows, alphabetical
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_group_sum",
-    "q_agg_multi",
-    "q_agg_percentile",
-    "q_cube",
-    "q_date_funcs",
-    "q_except",
-    "q_fillna",
-    "q_filter",
-    "q_filter_compound",
-    "q_grouping_sets",
-    "q_having",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_range",
-    "q_join_right",
-    "q_join_semi",
-    "q_limit",
-    "q_project",
-    "q_project_arith",
-    "q_rollup",
-    "q_scan_parquet",
-    "q_sort",
-    "q_str_funcs",
-    "q_str_substr",
-    "q_topk",
-    "q_topk_per_group",
-    "q_union_all",
-    "q_window_lag_lead",
-    "q_window_running_sum",
-    # (5) the 11 stalest r3 rows: census MOE algebra + dedup basics
-    "q_agg_stats",
-    "q_dedup_exact",
-    "q_dedup_keep_first",
-    "q_dedup_ngram_jaccard",
-    "q_embed_stats",
-    "q_join_asof",
-    "q_product_moe",
-    "q_project_margin_carry",
-    "q_proportion_moe",
-    "q_ratio_moe",
-    "q_rse",
+    # ---- ROUND-8 ROTATION. ----
+    # (1) q_text_bm25 — the ONE query of 175 with no official driver
+    # row (added in the final r7 commit; VERDICT r7 'Next round' #2).
+    # (2) the five r3-stale rows, flagship first. (3) the one query
+    # whose in-plan verdict changed this round (the approx weighted
+    # median's bound loosened binw/2 -> binw to absorb a one-ulp bin-
+    # edge misclassification; ADVICE r7). (4) ALL 29 remaining r4-stale
+    # rows, alphabetical. (5) 14 of the r5-stale rows, chosen where r8
+    # work concentrates: the four streaming queries (bench-floor work
+    # may touch their plumbing), the events trio, deep TPC-H joins,
+    # and the dedup/join heavies. After r8 records, nothing is older
+    # than r5 and 28 r5 rows remain for r9.
+    "q_text_bm25",  # slot 1: never officially verified
+    "q_tpch_q1",  # flagship, official row stale at r3
+    "q_window_rank",
+    "q_text_tokens",
+    "q_text_token_stats",
+    "q_text_fingerprint",
+    "q_agg_weighted_median_approx",  # re-prove: verdict bound loosened
+    # (4) the 29 r4-stale rows, alphabetical
+    "q_array_funcs",
+    "q_case_when",
+    "q_dedup_cluster",
+    "q_dedup_embedding",
+    "q_explode",
+    "q_groupby_mean",
+    "q_groupby_rss",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_json_extract",
+    "q_json_variant",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_multimodal_frame_sample",
+    "q_multimodal_pack",
+    "q_null_funcs",
+    "q_partition_pruned_scan",
+    "q_pipeline_curate",
+    "q_sample_stratified",
+    "q_similarity_join",
+    "q_similarity_topk",
+    "q_sink_parquet",
+    "q_source_csv_roundtrip",
+    "q_sum_m",
+    "q_text_chunk",
+    "q_text_pack",
+    "q_text_quality",
+    "q_text_redact",
+    "q_varrep_moe",
+    # (5) 14 r5-stale rows where round-8 work concentrates
+    "q_events_stateful",
+    "q_stream_file_sink",
+    "q_stream_stream_join",
+    "q_stream_enrich",
+    "q_events_tumbling",
+    "q_events_session",
+    "q_events_funnel",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_dedup_fuzzy",
+    "q_dedup_spans",
+    "q_join_band",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
