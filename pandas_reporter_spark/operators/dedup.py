@@ -233,10 +233,12 @@ _BC = np.array(
 
 
 
-def _minhash_cand_sql() -> str:
+def _minhash_cand_sql(bucket_cap: int | None = None) -> str:
     """Shared WITH-clause body: tokens → shingle hashes → 64 mixes →
     band signatures → distinct candidate pairs (ends at the `cand`
-    CTE; callers append their own verify/select)."""
+    CTE; callers append their own verify/select). With `bucket_cap`,
+    buckets holding more than cap docs are dropped before pairing —
+    the SQL twin of the production hot-bucket guard."""
     t = _DUCK_TOKHASH
     sh_sum = " + ".join(
         f"CAST({t.format(t=f'toks[i + {j}]')} AS HUGEINT) * {_SH_C[j]}"
@@ -257,6 +259,14 @@ def _minhash_cand_sql() -> str:
         for b in range(_N_BANDS)
     )
     sig_list = ", ".join(f"s{b}" for b in range(_N_BANDS))
+    cap_join = ""
+    if bucket_cap is not None:
+        cap_join = (
+            "\n        JOIN (SELECT band, sig, count(*) AS n FROM bands"
+            "\n              GROUP BY band, sig) z"
+            "\n          ON z.band = a.band AND z.sig = a.sig"
+            f" AND z.n <= {bucket_cap}"
+        )
     return f"""
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
@@ -281,7 +291,7 @@ def _minhash_cand_sql() -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id{cap_join}
     )"""
 
 
@@ -338,6 +348,45 @@ def q_dedup_minhash(spark, sf):
     """
     configure(spark)
     return minhash_pairs(load(spark, sf, "documents"), spark=spark, sf=sf)
+
+
+#: Production hot-bucket cap (max docs per LSH bucket before the
+#: bucket is dropped as boilerplate). 3 is deliberately LOW so the
+#: guard genuinely fires at the sf0.01 correctness gate (bucket-size
+#: histogram there: 335×2, 17×3, 1×4 — the size-4 bucket must be
+#: droppable or the registered row verifies a no-op). A deployment
+#: tunes this to its boilerplate profile (hundreds–thousands); the
+#: pair-cost bound is cap²/2 per bucket either way.
+_HOT_BUCKET_CAP = 3
+
+
+@query("q_dedup_minhash_capped", oracle="""
+    {cand}
+    SELECT doc_a, doc_b FROM cand
+    """.format(cand=_minhash_cand_sql(bucket_cap=_HOT_BUCKET_CAP)))
+def q_dedup_minhash_capped(spark, sf):
+    """MinHash-LSH candidate generation under the hot-bucket cap — the
+    production skew guard as a verified operator, not prose.
+
+    Identical signature pipeline to q_dedup_minhash, but LSH buckets
+    holding more than _HOT_BUCKET_CAP docs are dropped BEFORE pair
+    explosion (see minhash_pairs). At corpus scale the bucket-size
+    distribution is heavy-tailed — boilerplate/empty/template text
+    collapse to a handful of signatures whose buckets each emit n²/2
+    pairs; the cap bounds every bucket's work, making worst-case
+    candidate volume linear in corpus size (Σ min(n_b, cap)²/2 ≤
+    cap²/2 · #buckets). The emitted result is the CANDIDATE set
+    (pre-verify), so the oracle — which replays the cap as a
+    bucket-count join — checks exactly the rows the guard
+    admits/drops; the Jaccard verify stage is unchanged and already
+    gated by q_dedup_minhash. Recall under the cap is pinned on
+    planted dups in tests/test_dedup.py.
+    """
+    configure(spark)
+    docs = load(spark, sf, "documents")
+    return minhash_candidates(
+        docs, spark=spark, sf=sf, bucket_cap=_HOT_BUCKET_CAP
+    )
 
 
 #: (session, sf) -> (hashed-shingle DF, band-signature DF) — the
@@ -420,34 +469,15 @@ def _band_signatures(d):
     )
 
 
-def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8,
-                  spark=None, sf=None):
-    """MinHash-LSH near-dup pairs over any (id, text) frame.
-
-    The reusable core of q_dedup_minhash — see that docstring for the
-    plan rationale; tests/test_dedup.py pins recall on planted dups.
-
-    The hashed-shingle table is persisted (MEMORY_AND_DISK): the plan
-    reads it three times (signature branch + both payload-join sides),
-    and recomputing the tokenize+hash pass per branch tripled the
-    steady-state cost (measured 3.8s → 2.6s at sf0.1). At 100 TB the
-    cache is the token-hash footprint of the corpus (≈ corpus-sized,
-    spills to local disk); Spark's ContextCleaner unpersists it when
-    the plan is garbage-collected driver-side.
-    """
+def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
+                            bucket_cap: int | None = None):
+    """(hashed-shingle DF, candidate-pair DF) — the shared front of the
+    minhash family. Uses the session's checkpointed artifact when
+    materialize_minhash has run; otherwise builds and persists the
+    shingle table (read by the signature branch and both payload-join
+    sides of minhash_pairs)."""
     from pyspark import StorageLevel
 
-    # The 64 minhash functions mh_i = min_h(h·(2i+1) + i·2654435761+1)
-    # run as ONE Arrow-batched kernel (_band_signatures). History of
-    # this hot spot: a nested HOF (inner lambda capturing the outer
-    # variable) fell out of codegen into interpreted eval (25.7s at
-    # sf0.01); 64 python-unrolled flat transforms fixed THAT (0.66s)
-    # but HOFs are CodegenFallback — still interpreted per element —
-    # and the Arrow kernel is another ~2× on the signature stage
-    # (measured round 4). Arithmetic is IDENTICAL: numpy int64 ops
-    # wrap two's-complement exactly like Java longs (non-ANSI Spark),
-    # so every mh value is bit-equal to the HOF form — pinned by
-    # tests/test_dedup.py recall and the no-self-pairs invariants.
     art = None
     if spark is not None and sf is not None:
         from pandas_reporter_spark.tables import _session_key
@@ -462,16 +492,76 @@ def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8,
         )
         d = d.persist(StorageLevel.MEMORY_AND_DISK)
         bands = _band_signatures(d)
+    # null signatures mark empty shingle sets (docs under 3 tokens) —
+    # the oracle's `WHERE len(hs) > 0` twin. Filtering here also keeps
+    # the all-empty-docs mega-bucket out of the pair explosion (its
+    # pairs previously died at the jaccard verify, but only after
+    # being generated).
     buckets = (
-        bands.groupBy("band", "sig")
+        bands.filter(F.col("sig").isNotNull())
+        .groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if bucket_cap is not None:
+        # hot-bucket guard: a bucket of n docs emits n(n-1)/2 pairs;
+        # boilerplate signatures (template text) produce buckets of
+        # thousands at corpus scale whose pairs almost never pass the
+        # 0.8 verify. Dropping buckets above the cap bounds per-bucket
+        # work at cap²/2 — the production guard SCALING.md names, now
+        # a real code path. Recall loss is confined to pairs whose
+        # ONLY collision is a hot bucket; a true near-dup pair
+        # collides in ~bands·J^rows of the 16 bands, so it
+        # overwhelmingly retains a small-bucket collision too
+        # (planted-dup recall under the cap pinned in tests).
+        buckets = buckets.filter(F.size("ids") <= bucket_cap)
     cand = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return d, cand
+
+
+def minhash_candidates(docs, id_col: str = "doc_id", spark=None, sf=None,
+                       bucket_cap: int | None = None):
+    """LSH candidate pairs only (no Jaccard verify) — what the
+    hot-bucket guard admits. See q_dedup_minhash_capped."""
+    _, cand = _mh_shingles_candidates(
+        docs, id_col=id_col, spark=spark, sf=sf, bucket_cap=bucket_cap
+    )
+    return cand
+
+
+def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8,
+                  spark=None, sf=None, bucket_cap: int | None = None):
+    """MinHash-LSH near-dup pairs over any (id, text) frame.
+
+    The reusable core of q_dedup_minhash — see that docstring for the
+    plan rationale; tests/test_dedup.py pins recall on planted dups.
+
+    The hashed-shingle table is persisted (MEMORY_AND_DISK): the plan
+    reads it three times (signature branch + both payload-join sides),
+    and recomputing the tokenize+hash pass per branch tripled the
+    steady-state cost (measured 3.8s → 2.6s at sf0.1). At 100 TB the
+    cache is the token-hash footprint of the corpus (≈ corpus-sized,
+    spills to local disk); Spark's ContextCleaner unpersists it when
+    the plan is garbage-collected driver-side.
+    """
+    # The 64 minhash functions mh_i = min_h(h·(2i+1) + i·2654435761+1)
+    # run as ONE Arrow-batched kernel (_band_signatures). History of
+    # this hot spot: a nested HOF (inner lambda capturing the outer
+    # variable) fell out of codegen into interpreted eval (25.7s at
+    # sf0.01); 64 python-unrolled flat transforms fixed THAT (0.66s)
+    # but HOFs are CodegenFallback — still interpreted per element —
+    # and the Arrow kernel is another ~2× on the signature stage
+    # (measured round 4). Arithmetic is IDENTICAL: numpy int64 ops
+    # wrap two's-complement exactly like Java longs (non-ANSI Spark),
+    # so every mh value is bit-equal to the HOF form — pinned by
+    # tests/test_dedup.py recall and the no-self-pairs invariants.
+    d, cand = _mh_shingles_candidates(
+        docs, id_col=id_col, spark=spark, sf=sf, bucket_cap=bucket_cap
     )
     # payload joins happen AFTER candidate dedup — shingle sets move
     # only for candidate pairs

@@ -384,6 +384,36 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def ann_lsh_topk(e, sigs=None, query_vec_id: int = 0, k: int = 10):
+    """LSH ANN probe over any (vec_id, label, embedding) frame: the
+    query's L (tbl, sig) buckets broadcast against the signature
+    table, candidate IDs come out of that join, embeddings are
+    fetched only for candidates, exact-cosine rerank to top-k.
+    Reused by q_similarity_ann_lsh and the planted-neighbor recall
+    pin (tests/test_similarity.py)."""
+    if sigs is None:
+        sigs = lsh_signatures(e)
+    qsig = sigs.filter(F.col("vec_id") == query_vec_id).select("tbl", "sig")
+    cand_ids = (
+        sigs.join(F.broadcast(qsig), ["tbl", "sig"])
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
+    )
+    qv = (
+        e.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 @query("q_similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def q_similarity_ann_lsh(spark, sf):
     """ANN via multi-table random-hyperplane LSH: bucket join + rerank.
@@ -393,29 +423,13 @@ def q_similarity_ann_lsh(spark, sf):
     come out of that join, and embeddings are fetched (one join) only
     for the candidate set before the exact-cosine rerank. At 100 TB
     the bucket join shuffles ~L·n/2^b signature rows, rerank cost is
-    the candidate set — recall/cost dials are L (tables), b (planes).
+    the candidate set — recall/cost dials are L (tables), b (planes);
+    the measured operating point (recall@10 on planted neighbors) is
+    pinned in tests/test_similarity.py.
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
-    sigs = lsh_sigs_artifact(spark, sf)
-    if sigs is None:
-        sigs = lsh_signatures(e)
-    qsig = sigs.filter(F.col("vec_id") == 0).select("tbl", "sig")
-    cand_ids = (
-        sigs.join(F.broadcast(qsig), ["tbl", "sig"])
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id")
-        .distinct()
-    )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cos = cosine(F.col("embedding"), F.col("qv"))
-    return (
-        e.join(cand_ids, "vec_id")
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", "label", F.round(cos, 6).alias("cos"))
-        .orderBy(F.col("cos").desc(), "vec_id")
-        .limit(10)
-    )
+    return ann_lsh_topk(e, sigs=lsh_sigs_artifact(spark, sf))
 
 
 def _ivf_oracle() -> str:
@@ -485,6 +499,13 @@ def q_similarity_ivf(spark, sf):
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
+    return ivf_topk(e)
+
+
+def ivf_topk(e, query_vec_id: int = 0, probes: int = 2, k: int = 10):
+    """IVF probe over any (vec_id, label, embedding) frame — the body
+    of q_similarity_ivf, reusable for the planted-neighbor recall pin
+    (tests/test_similarity.py)."""
     # per-label mean vector: explode dims -> exact micro-unit mean ->
     # re-assemble in dim order
     dims = e.select(
@@ -512,23 +533,26 @@ def q_similarity_ivf(spark, sf):
             F.transform(F.col("dc"), lambda s: s["c"]).alias("centroid"),
         )
     )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    # rank cells by centroid-vs-query cosine, keep 2 probe cells
+    qv = (
+        e.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    # rank cells by centroid-vs-query cosine, keep the probe cells
     cell_rank = (
         cent.crossJoin(F.broadcast(qv))
         .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("ccos"))
         .orderBy(F.col("ccos").desc(), "cell")
-        .limit(2)
+        .limit(probes)
         .select("cell")
     )
     cos = cosine(F.col("embedding"), F.col("qv"))
     return (
         e.join(F.broadcast(cell_rank), e.label == F.col("cell"))
-        .filter(F.col("vec_id") != 0)
+        .filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(qv))
         .select("vec_id", "label", F.round(cos, 6).alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")
-        .limit(10)
+        .limit(k)
     )
 
 

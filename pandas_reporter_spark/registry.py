@@ -123,14 +123,19 @@ _PRIORITY = (
     "q_stream_enrich",
     "q_events_tumbling",
     "q_events_session",
-    "q_events_funnel",
+    # plan changed this round (two-phase exact rework) — re-prove;
+    # q_events_funnel stays r5-official and rotates in r9
+    "q_agg_weighted_median",
     "q_tpch_q3",
     "q_tpch_q4",
     "q_tpch_q6",
     "q_tpch_q18",
     "q_dedup_fuzzy",
     "q_dedup_spans",
-    "q_join_band",
+    # round-8 new operator: the production hot-bucket guard as a
+    # verified candidate-set query (takes the 50th slot; q_join_band
+    # stays r5-official and rotates in r9)
+    "q_dedup_minhash_capped",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

@@ -150,3 +150,46 @@ def test_wrap64_duckdb_matches_numpy_wraparound():
         assert con.execute(sql).fetchone()[0] == expect
 
     check()
+
+
+def test_hot_bucket_cap_drops_boilerplate_keeps_planted(spark):
+    """The production hot-bucket guard (q_dedup_minhash_capped): a
+    boilerplate group BIGGER than the cap contributes no candidate
+    pairs, while planted near-dups in small buckets survive — recall
+    on true near-dups is preserved because their collisions live in
+    small buckets (VERDICT r7 #5: the guard as code, not prose)."""
+    from pandas_reporter_spark.operators.dedup import minhash_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall "
+        "green trees beside the quiet river bank every single morning"
+    )
+    near = base.replace("quiet river", "noisy river")
+    boiler = (
+        "copyright two thousand twenty four all rights reserved "
+        "terms of service privacy policy contact us about careers"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+    ]
+    # 12 identical boilerplate docs — every band bucket holds all 12
+    rows += [{"doc_id": 100 + i, "text": boiler} for i in range(12)]
+    docs = spark.createDataFrame(rows)
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(docs, bucket_cap=8).collect()
+    }
+    # the 12-doc boilerplate buckets exceed the cap → zero pairs from it
+    assert not any(a >= 100 for a, _ in capped)
+    # the planted near-dup pair survives (its buckets hold 2 docs)
+    assert (1, 2) in capped
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(docs).collect()
+    }
+    # sanity: without the cap the boilerplate group emits 12·11/2 pairs
+    assert sum(1 for a, _ in uncapped if a >= 100) == 66

@@ -87,3 +87,97 @@ def test_dedup_embedding_keeps_lowest_id(spark, planted, tmp_path):
     for k in range(N_PLANTED):
         assert k in kept and (100 + k) not in kept
     assert all(i in kept for i in range(N_BASE))
+
+
+def _brute_topk(rows, qv, k=10, exclude=(0,)):
+    """Ground-truth top-k vec_ids by exact cosine (driver-side)."""
+    import heapq
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    scored = [
+        (cos(v, qv), vid) for vid, v, _ in rows if vid not in exclude
+    ]
+    return [vid for _, vid in heapq.nlargest(k, scored)]
+
+
+def test_ann_lsh_recall_at_10_on_planted_neighbors(spark):
+    """Recall@10 operating point for the L=8×b=8 LSH ANN dials, pinned
+    on planted neighbors over the REAL sf0.1 embedding corpus (falls
+    back to sf0.01 when the big snapshot is absent): 10 vectors at
+    cos≈0.999 of the query must dominate top-10 and the probe must
+    recover ≥9 of them (VERDICT r7 #8)."""
+    from pandas_reporter_spark.operators.similarity import ann_lsh_topk
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        sf = "/root/testdata/sf0.01"
+        if not os.path.isdir(sf):
+            pytest.skip("no driver testdata")
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet")).select(
+        "vec_id", "embedding", "label"
+    )
+    q = e.filter(F.col("vec_id") == 0).collect()[0]
+    planted_ids = list(range(10_000_000, 10_000_010))
+    rows = []
+    for n, pid in enumerate(planted_ids):
+        pert = [
+            float(x) + 0.001 * ((_mix64(31_000_000 + n * DIM + j) % 3) - 1)
+            for j, x in enumerate(q.embedding)
+        ]
+        rows.append((pid, pert, int(q.label)))
+    extra = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    full = e.unionByName(extra)
+    got = {
+        r.vec_id
+        for r in ann_lsh_topk(full, query_vec_id=0, k=10).collect()
+    }
+    recall = len(got & set(planted_ids)) / 10
+    assert recall >= 0.9, f"LSH ANN recall@10 {recall} on planted neighbors"
+
+
+def test_ivf_recall_at_10_on_clustered_corpus(spark):
+    """Recall@10 operating point for the IVF probe dial (2 of 10
+    cells): IVF's contract presumes cluster structure (cells = coarse
+    quantizer), so the pin runs on a clustered corpus — 10 Gaussian-ish
+    clusters, label == cluster, query inside cluster 3. Probing 2/10
+    cells must recover ≥9 of the true top-10 (which live in the
+    query's own cluster). Exercises the full centroid-build + probe +
+    rerank plan, not just bucket math (VERDICT r7 #8)."""
+    from pandas_reporter_spark.operators.similarity import ivf_topk
+
+    centers = {
+        c: [(_mix64(77_000 + c * DIM + j) % 2001 - 1000) / 250.0 for j in range(DIM)]
+        for c in range(10)
+    }
+    rows = []
+    vid = 1
+    for c in range(10):
+        for i in range(60):
+            noise = [
+                (_mix64(88_000_000 + (c * 60 + i) * DIM + j) % 2001 - 1000)
+                / 1000.0
+                for j in range(DIM)
+            ]
+            rows.append(
+                (vid, [float(a + b) for a, b in zip(centers[c], noise)], c)
+            )
+            vid += 1
+    qnoise = [
+        (_mix64(99_000_000 + j) % 2001 - 1000) / 1000.0 for j in range(DIM)
+    ]
+    qvec = [float(a + b) for a, b in zip(centers[3], qnoise)]
+    rows.append((0, qvec, 3))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    truth = set(_brute_topk([(r[0], r[1], r[2]) for r in rows], qvec))
+    got = {r.vec_id for r in ivf_topk(e, probes=2, k=10).collect()}
+    recall = len(got & truth) / 10
+    assert recall >= 0.9, f"IVF recall@10 {recall} on clustered corpus"

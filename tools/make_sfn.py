@@ -18,12 +18,18 @@ for its scale ladder (independent key ranges, shared dimensions):
   ~orthogonal instead of exact duplicates, so similarity/ANN workloads
   scale like a genuinely larger corpus (norms, per-dim magnitude
   distributions unchanged).
-- `documents.text` is copied VERBATIM, so content-dedup queries see a
-  corpus with a 1-in-K unique rate: exact/keep-first dedup remains
-  representative (crawl corpora are dup-heavy), but NEAR-dup joins
-  (minhash/simhash/fuzzy) would see every dup group at size K and
-  inflate candidate pairs by K², so scale_bench excludes them — their
-  scale story is the bucketed-join bound (Σn_b²), argued in SCALING.md.
+- `documents.text` is PERTURBED per copy (v2, round 8): copy 0 is
+  verbatim; for copies i>0, 20% of (doc, copy) pairs (chosen by
+  xxhash64(doc_id, i)) stay verbatim — preserving a crawl-like
+  exact-dup rate with BOUNDED dup-group sizes (E[group] ≈ 1 + K/5) —
+  and the other 80% get deterministic ~15% token dropout
+  (xxhash64(doc_id, position, i)). Dropout kills ~56% of 3-token
+  shingles (0.85³), putting copy↔original Jaccard ≈ 0.28 — far below
+  the 0.8 near-dup threshold and below LSH banding's collision knee —
+  so near-dup candidate sets scale ~linearly like a real corpus
+  instead of K². This is what lets scale_bench measure the
+  minhash/span-dedup family at sf1 (the round-7 synthesis copied text
+  verbatim, inflating candidates K² and excluding the whole family).
 
 Usage: python tools/make_sfn.py [N] [out_base]   (default 1 /dev/shm)
 Writes <out_base>/prs_sf<N>/<table>.parquet directories (multi-file),
@@ -82,8 +88,15 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
 
     k = 10 * n  # copies of sf0.1
     out = os.path.join(out_base, f"prs_sf{n}")
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        # v2 changed the documents synthesis (perturbed copies); a v1
+        # tree must not be silently reused for near-dup measurements
+        if open(done).read().strip() == "v2":
+            return out
+        import shutil
+
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     spaces = _key_spaces(spark)
     for t in _FIXED:
@@ -106,6 +119,21 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
                 df = df.withColumn(
                     col, F.col(col) + F.lit(i * spaces[space_t])
                 )
+            if t == "documents" and i > 0:
+                # deterministic per-copy text perturbation (see module
+                # docstring): 1-in-5 (doc, copy) pairs verbatim (exact
+                # dups, bounded groups), the rest ~15% token dropout
+                dropout = (
+                    "array_join(filter(split(text, ' '), (w, p) -> "
+                    f"pmod(xxhash64(doc_id, p, {i}), 100) >= 15), ' ')"
+                )
+                df = df.withColumn(
+                    "text",
+                    F.when(
+                        F.expr(f"pmod(xxhash64(doc_id, {i}), 5) = 0"),
+                        F.col("text"),
+                    ).otherwise(F.expr(dropout)),
+                )
             if t == "embeddings" and i > 0:
                 # deterministic per-copy sign decorrelation (see module
                 # docstring); transform index is 0-based
@@ -125,7 +153,7 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
         full.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
-    open(os.path.join(out, "_DONE"), "w").write("ok")
+    open(done, "w").write("v2")
     return out
 
 

@@ -15,10 +15,15 @@ otherwise serve those from cache across the timed reps while DuckDB
 recomputes — so the Spark cache is CLEARED before every timed rep:
 each timed run pays its full dictionary build, same as DuckDB.
 
-Near-dup join queries (minhash/simhash/fuzzy) are excluded by design:
-sfN replicates document text verbatim, so their candidate sets would
-inflate ~K² on BOTH engines and measure the synthesis artifact, not
-the operator (make_sfn.py docstring).
+The near-dup family (minhash/spans/similarity-join) is measurable
+since the v2 synthesis: make_sfn perturbs document copies (15% token
+dropout, 20% verbatim) so candidate sets scale ~linearly instead of
+K². q_dedup_minhash runs SPARK-ONLY at the high SF: its DuckDB oracle
+evaluates the 64 minhash mixes through DuckDB's list-lambda
+interpreter (~50× the Arrow kernel at sf0.1 — BASELINE analysis), so
+timing it at sf1 would measure DuckDB's HOF interpreter, not the
+operator; the Spark marginal is the datapoint the 100 TB argument
+needs.
 
 Usage: python tools/scale_bench.py [out.json] [label=dir ...]
 (default SF pair: sf0.1=/root/testdata/sf0.1 sf1=/dev/shm/prs_sf1;
@@ -51,7 +56,15 @@ SCALE_QUERIES = [
     "q_dedup_embedding",
     "q_sketch_heavy_hitters",
     "q_similarity_topk",
+    # near-dup family, measurable since the v2 perturbed synthesis
+    "q_dedup_minhash",
+    "q_dedup_spans",
+    "q_similarity_join",
 ]
+
+#: queries whose DuckDB oracle is interpreter-bound (list lambdas) at
+#: the high SF — Spark marginals only; duck columns recorded as None
+_SPARK_ONLY_HI = {"q_dedup_minhash"}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -107,6 +120,9 @@ def main():
                 spark_run(name, sf_dir)
                 best = min(best, time.time() - t0)
             row[f"spark_{label}"] = round(best, 3)
+            if name in _SPARK_ONLY_HI and label != lo:
+                row[f"duck_{label}"] = None
+                continue
             # duckdb: fresh connection per sf, warm once, min-of-3
             con = _duck_con(sf_dir)
             sql = ORACLES[name]
@@ -121,20 +137,30 @@ def main():
         row["spark_marginal"] = round(
             row[f"spark_{hi}"] - row[f"spark_{lo}"], 3
         )
-        row["duck_marginal"] = round(
-            row[f"duck_{hi}"] - row[f"duck_{lo}"], 3
+        row["duck_marginal"] = (
+            None
+            if row[f"duck_{hi}"] is None
+            else round(row[f"duck_{hi}"] - row[f"duck_{lo}"], 3)
         )
         res["queries"][name] = row
         print(name, row, flush=True)
 
+    # totals over the DUCK-COMPARABLE set only (spark-only rows keep
+    # their per-query marginals but must not skew the engine ratio)
+    comparable = {
+        n: r
+        for n, r in res["queries"].items()
+        if r["duck_marginal"] is not None
+    }
     tot = {
-        k: round(sum(r[k] for r in res["queries"].values()), 3)
+        k: round(sum(r[k] for r in comparable.values()), 3)
         for k in (
             *[f"{eng}_{lbl}" for eng in ("spark", "duck") for lbl in labels],
             "spark_marginal",
             "duck_marginal",
         )
     }
+    tot["spark_only"] = sorted(set(res["queries"]) - set(comparable))
     tot["marginal_ratio"] = round(
         tot["spark_marginal"] / tot["duck_marginal"], 3
     )
