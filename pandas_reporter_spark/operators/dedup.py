@@ -492,6 +492,12 @@ def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
         )
         d = d.persist(StorageLevel.MEMORY_AND_DISK)
         bands = _band_signatures(d)
+    try:
+        n = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError, AttributeError):
+        n = 32
     # null signatures mark empty shingle sets (docs under 3 tokens) —
     # the oracle's `WHERE len(hs) > 0` twin. Filtering here also keeps
     # the all-empty-docs mega-bucket out of the pair explosion (its
@@ -502,6 +508,11 @@ def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
         .groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
+        # numbered repartition — coalesce-exempt: AQE would shrink
+        # this byte-tiny exchange to ~1 partition and serialize the
+        # pair explosion it feeds (see lsh_candidate_pairs; measured
+        # at sf1 AQE-on).
+        .repartition(n, "band", "sig")
     )
     if bucket_cap is not None:
         # hot-bucket guard: a bucket of n docs emits n(n-1)/2 pairs;
@@ -515,10 +526,16 @@ def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
         # overwhelmingly retains a small-bucket collision too
         # (planted-dup recall under the cap pinned in tests).
         buckets = buckets.filter(F.size("ids") <= bucket_cap)
+    # Numbered repartition BEFORE the pair dedup: dropDuplicates then
+    # satisfies its clustering from the coalesce-exempt exchange, so
+    # the dedup and the downstream array_intersect verify both keep
+    # full width under AQE (write-bytes say nothing about per-row
+    # compute). Same fix, same measurement, as lsh_candidate_pairs.
     cand = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .repartition(n, "doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return d, cand
@@ -745,9 +762,12 @@ def q_dedup_embedding(spark, sf):
         F.col("nrm").alias("nrm_b"),
     )
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # embedding sides broadcast explicitly — Catalyst's fan-out-blind
+    # stats would otherwise broadcast the PAIR relation (see
+    # q_similarity_join; r8 sf1 measurement)
     dup_b = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
         .filter(cos >= 0.99)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()

@@ -249,15 +249,35 @@ def lsh_candidate_pairs(df: DataFrame, spark=None, sf=None) -> DataFrame:
         b = lsh_sigs_artifact(spark, sf)
     if b is None:
         b = lsh_signatures(df)
+    try:
+        sess = spark if spark is not None else df.sparkSession
+        n = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError, AttributeError):
+        n = 32
     buckets = (
         b.groupBy("tbl", "sig")
         .agg(F.collect_list("vec_id").alias("ids"))
         .filter(F.size("ids") >= 2)
+        # numbered repartition: the bucket relation is byte-TINY, so
+        # AQE's coalescePartitions would shrink this exchange to ~1
+        # partition — but the NEXT operator explodes it ~100× into
+        # candidate pairs, so coalescing serializes pair generation
+        # (write-bytes are blind to downstream fan-out). User-numbered
+        # repartitions are coalesce-exempt.
+        .repartition(n, "tbl", "sig")
     )
+    # The numbered repartition sits BEFORE dropDuplicates: the dedup
+    # then satisfies its clustering requirement from the
+    # coalesce-exempt exchange (no ENSURE_REQUIREMENTS exchange of
+    # its own for AQE to coalesce), so pair dedup AND the downstream
+    # cosine verify both run at full width. Measured at sf1 AQE-on
+    # (q_dedup_embedding): 13.9 s unguarded → ~3 s with the explode
+    # and dedup exchanges pinned.
     return (
         buckets.select(F.explode("ids").alias("vec_a"), "ids")
         .select("vec_a", F.explode("ids").alias("vec_b"))
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .repartition(n, "vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
 
@@ -349,9 +369,18 @@ def q_similarity_join(spark, sf):
         F.col("nrm").alias("nrm_b"),
     )
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # The EMBEDDING sides are the build sides, explicitly: Catalyst's
+    # size estimate for `cand` is fan-out-blind (it cannot see the
+    # bucket explode), so left to stats it broadcasts the PAIR
+    # relation — 100× the vector table in rows at high SF (r8 sf1
+    # measurement). Pairs must stay the streaming probe. At corpus
+    # scale, where the vector table itself outgrows broadcast, the
+    # same pipeline carries payloads into the buckets instead
+    # (SCALING.md) — the candidate relation is never the build side
+    # either way.
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
         .withColumn("_cos", cos)
         .filter(F.col("_cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos"))

@@ -402,3 +402,159 @@ def q_sketch_cms(spark, sf):
         .cast("bigint")
         .alias("est_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the set-membership member of the sketch family
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits, k affine probes. m is a power of two so the
+#: position arithmetic (pmod of a wrapping affine mix) is exactly
+#: portable; the probe multipliers are the classic odd LCG multipliers
+#: (invertible mod 2^64).
+_BLOOM_M = 131072
+_BLOOM_A = (2862933555777941757, 3202034522624059733, 3935559000370003845)
+_BLOOM_B = (1442695040888963407, 1234567890123456789, 987654321987654321)
+
+
+def _bloom_oracle() -> str:
+    """SQL twin of q_sketch_bloom: identical shingle hashes (the
+    portable md5-derived combine shared with the minhash family),
+    identical wrapping affine probe positions, identical bit-set
+    build and membership join."""
+    from pandas_reporter_spark.operators.dedup import (
+        _DUCK_TOKHASH,
+        _SH_C,
+        _duck_wrap64,
+    )
+
+    t = _DUCK_TOKHASH
+    sh_sum = " + ".join(
+        f"CAST({t.format(t=f'toks[i + {j}]')} AS HUGEINT) * {_SH_C[j]}"
+        for j in range(3)
+    )
+    pos = ", ".join(
+        "(("
+        + _duck_wrap64(f"CAST(h AS HUGEINT) * {a} + {b}")
+        + f") % {_BLOOM_M} + {_BLOOM_M}) % {_BLOOM_M}"
+        for a, b in zip(_BLOOM_A, _BLOOM_B)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> {_duck_wrap64(sh_sum)}))) AS h
+      FROM t WHERE len(toks) >= 3
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 25),
+    bits AS (
+      SELECT DISTINCT unnest([{pos}]) AS pos FROM bench
+    ),
+    probe AS (SELECT doc_id, h FROM sh WHERE doc_id >= 25),
+    ppos AS (
+      SELECT doc_id, h, unnest([{pos}]) AS pos FROM probe
+    ),
+    hits AS (
+      SELECT doc_id, h FROM ppos JOIN bits USING (pos)
+      GROUP BY doc_id, h HAVING COUNT(*) = 3
+    ),
+    nb AS (SELECT doc_id, COUNT(*) AS n_bloom_pos FROM hits GROUP BY doc_id),
+    ne AS (
+      SELECT p.doc_id, COUNT(*) AS n_exact
+      FROM probe p JOIN bench USING (h) GROUP BY p.doc_id
+    )
+    SELECT nb.doc_id, n_bloom_pos,
+           COALESCE(n_exact, 0) AS n_exact,
+           CAST(n_bloom_pos >= COALESCE(n_exact, 0) AS BIGINT) AS no_fn
+    FROM nb LEFT JOIN ne USING (doc_id)
+    """
+
+
+@query("q_sketch_bloom", oracle=_bloom_oracle())
+def q_sketch_bloom(spark, sf):
+    """Explicit portable Bloom filter over the benchmark shingle set,
+    probed by the corpus — the set-membership member of the sketch
+    family (HLL=cardinality, GK=quantiles, MG=heavy hitters, CMS=
+    frequency, Bloom=membership), and the scale tier of
+    q_text_decontaminate: when the benchmark shingle set outgrows an
+    exact broadcast set, the m-bit filter (fixed 16 KiB here) is what
+    ships to every executor; positives then re-check exactly against
+    the (much rarer) matching shingles.
+
+    Distinct from q_join_bloom_pruned: that exercises Spark's
+    RUNTIME bloom pushdown inside one query; this one builds the
+    filter as a DATA ARTIFACT — mergeable by bitwise OR across
+    ingest batches, storable next to the benchmark set, and
+    bit-identically replayable in SQL (the bit set is a relation of
+    set positions; the k=3 probe positions are wrapping affine mixes
+    of the md5-derived shingle hashes shared with the minhash
+    family).
+
+    Emitted per corpus doc with ≥1 bloom-positive shingle:
+    n_bloom_pos, the exact membership count n_exact, and the
+    no-false-negatives verdict (pinned 1 — a Bloom filter may
+    overcount, never undercount). n_bloom_pos − n_exact IS the
+    false-positive count, value-hashed on both engines, so the fill
+    ratio/FP behavior is deterministic and checked, not asserted.
+    At 100 TB: bits build is one pass over the benchmark set (tiny);
+    the probe is scan-speed (broadcast hash join against ≤m
+    positions); per-doc rollup is map-side combinable.
+    """
+    configure(spark)
+    from pandas_reporter_spark.operators.dedup import with_hashed_shingles
+
+    docs = load(spark, sf, "documents")
+    sh = with_hashed_shingles(docs).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+
+    def positions(hcol):
+        return F.array(
+            *[
+                F.pmod(hcol * F.lit(a) + F.lit(b), F.lit(_BLOOM_M))
+                for a, b in zip(_BLOOM_A, _BLOOM_B)
+            ]
+        )
+
+    bench = sh.filter(F.col("doc_id") < 25).select("h").distinct()
+    bits = bench.select(
+        F.explode(positions(F.col("h"))).alias("pos")
+    ).distinct()
+    probe = sh.filter(F.col("doc_id") >= 25)
+    ppos = probe.select(
+        "doc_id", "h", F.explode(positions(F.col("h"))).alias("pos")
+    )
+    hits = (
+        ppos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == 3)
+    )
+    nb = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_pos")
+    )
+    ne = (
+        probe.join(bench.hint("broadcast"), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .withColumnRenamed("doc_id", "ne_doc")
+    )
+    return (
+        nb.join(ne, nb.doc_id == F.col("ne_doc"), "left")
+        .select(
+            "doc_id",
+            "n_bloom_pos",
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias(
+                "n_exact"
+            ),
+            (
+                F.col("n_bloom_pos")
+                >= F.coalesce(F.col("n_exact"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("no_fn"),
+        )
+    )

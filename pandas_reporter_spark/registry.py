@@ -128,7 +128,9 @@ _PRIORITY = (
     "q_agg_weighted_median",
     "q_tpch_q3",
     "q_tpch_q4",
-    "q_tpch_q6",
+    # round-8 new operator (portable Bloom membership sketch) — needs
+    # its first official row; q_tpch_q6 stays r5 and rotates in r9
+    "q_sketch_bloom",
     "q_tpch_q18",
     "q_dedup_fuzzy",
     "q_dedup_spans",
