@@ -126,3 +126,37 @@ def test_cms_guarantees_on_tiny_corpus(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
     out = q_sketch_cms(spark, str(tmp)).collect()
     assert out and all(r["est_ge"] == 1 and r["est_within"] == 1 for r in out)
+
+
+def test_bloom_no_false_negatives_and_fp_accounting(spark, tmp_path):
+    """q_sketch_bloom contract on a planted corpus: a doc sharing a
+    shingle with the benchmark set (doc_id < 25) must be reported
+    with n_exact >= 1 and n_bloom_pos >= n_exact (no false
+    negatives); a disjoint doc can appear only as a pure
+    false-positive row (n_exact = 0, still no_fn = 1)."""
+    import os
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": i, "text": bench_text} for i in range(3)
+    ] + [
+        # doc 30 shares the benchmark shingles verbatim
+        {"doc_id": 30, "text": bench_text},
+        # doc 40 disjoint vocabulary
+        {"doc_id": 40, "text": "one two three four five six seven"},
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in QUERIES["q_sketch_bloom"](spark, sf).collect()}
+    assert 30 in out
+    r30 = out[30]
+    assert r30["n_exact"] >= 1
+    assert r30["n_bloom_pos"] >= r30["n_exact"]
+    assert r30["no_fn"] == 1
+    for r in out.values():
+        assert r["no_fn"] == 1
