@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     # mergeable histogram-sketch tier (timed as the production pass)
     "q_agg_weighted_median",
     "q_agg_weighted_median_approx",
+    # round-8 additions: the LSH hot-bucket guard (candidate set under
+    # the cap) and the portable Bloom membership filter
+    "q_dedup_minhash_capped",
+    "q_sketch_bloom",
 ]
 
 
