@@ -174,10 +174,11 @@ def _bounded_state_parts(spark, n: int = 2):
     enrich −0.25 s) still spread the
     driver data's keys evenly (r6 re-A/B over {4, 2, 1}: 2 is best
     for the join/enrich/sink states — stream-stream −0.26 s, enrich
-    −0.17 s, file sink −0.10 s — while the stateful Python path keeps
-    4, its state-channel workers being the parallel resource; 1
-    partition serializes stateful 1.7 s → 2.9 s). A real deployment
-    sizes this to
+    −0.17 s, file sink −0.10 s — while the stateful Python path runs
+    WIDER: its per-key Python upd() calls are the parallel resource,
+    and the r8 A/B over {2, 4, 8, 16} measured 16 best, 2.0 s → 1.37 s
+    steady-state; 1 partition serializes stateful 1.7 s → 2.9 s). A
+    real deployment sizes this to
     keys×state-bytes / executor, not core count. Batch shuffles keep
     the session's own setting (restored on exit; the conf is only read
     at stream start, so the restore cannot affect the running query).
@@ -455,7 +456,7 @@ def q_events_stateful(spark, sf):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     try:
-        with _bounded_state_parts(spark, 4):
+        with _bounded_state_parts(spark, 16):
             res = _run_stream(spark, out, "update")
     finally:
         spark.conf.set(
