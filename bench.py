@@ -100,9 +100,11 @@ BENCH_QUERIES = [
     "q_agg_weighted_median",
     "q_agg_weighted_median_approx",
     # round-8 additions: the LSH hot-bucket guard (candidate set under
-    # the cap) and the portable Bloom membership filter
+    # the cap), the portable Bloom membership filter, and the
+    # bucket-local (beyond-broadcast) similarity join form
     "q_dedup_minhash_capped",
     "q_sketch_bloom",
+    "q_similarity_join_shuffled",
 ]
 
 

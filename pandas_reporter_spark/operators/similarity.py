@@ -387,6 +387,97 @@ def q_similarity_join(spark, sf):
     )
 
 
+@query(
+    "q_similarity_join_shuffled",
+    oracle=f"""
+    WITH {_duck_cand_cte()}
+    SELECT c.vec_a, c.vec_b,
+           round({_duck_cos('ea.embedding', 'eb.embedding')}, 6) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {_duck_cos('ea.embedding', 'eb.embedding')} >= 0.4
+    """,
+)
+def q_similarity_join_shuffled(spark, sf):
+    """Bucket-LOCAL physical form of q_similarity_join — identical
+    semantics and oracle, different strategy: embedding payloads are
+    carried INTO the LSH buckets (one shuffle, L=8 copies of each
+    vector) and pairs verify inside the bucket, so there is NO
+    post-hoc payload join at all.
+
+    This is the corpus-scale tier q_similarity_join's broadcast form
+    cannot reach: when the vector table itself outgrows executor
+    memory, broadcasting ea/eb stops being an option, and re-joining
+    the pair relation against a corpus-sized table shuffles the pairs
+    TWICE by id. Here the only corpus-sized exchange is the bucket
+    shuffle (L·n payload rows, hash-partitioned by (tbl, sig)); pair
+    generation, the cosine verify, and the threshold filter all run
+    bucket-locally at scan speed. Memory per task is one bucket's
+    payload — which is exactly what the hot-bucket cap bounds
+    (q_dedup_minhash_capped; same dial here). Cross-bucket duplicate
+    pairs compute identical cosines, so the final pair-dedup keeps an
+    arbitrary row. The broadcast form wins while dims fit (bench
+    SFs); this form is what survives when they don't — both are
+    registered so the crossover is a one-line choice.
+
+    Measured (r8): sf0.1 0.65 s ≈ the broadcast form; sf1 min-of-3
+    3.4 s (parity with broadcast) but with GC-driven variance up to
+    ~20 s in this single-JVM local run — 7.5 M pair-structs of
+    2×64 floats churn one heap here, where a cluster spreads them
+    across executor heaps. The per-task memory bound (one bucket) is
+    the property that matters at 100 TB.
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    b = lsh_sigs_artifact(spark, sf)
+    if b is None:
+        b = lsh_signatures(e)
+    en = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = 32
+    payload = b.join(en, "vec_id").select(
+        "tbl", "sig", F.struct("vec_id", "embedding", "nrm").alias("x")
+    )
+    buckets = (
+        payload.repartition(n, "tbl", "sig")
+        .groupBy("tbl", "sig")
+        .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
+    # i<j pairs generated by position (buckets sorted by vec_id once
+    # in the agg, explode each element + its strictly-later slice):
+    # only n_b²/2 struct copies flow, vs n_b² for a full cross
+    # filtered after the fact — struct traffic through the two
+    # explodes halves.
+    pairs = (
+        buckets.select(F.posexplode("xs").alias("i", "a"), "xs")
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("xs"), F.col("i") + 2, F.size("xs"))
+            ).alias("b"),
+        )
+    )
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        pairs.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("_cos", 6).alias("cos"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def _ann_lsh_oracle() -> str:
     """Oracle twin of the LSH ANN probe (promoted from rows-only in r6):
     the planes are literal constants shared with the Spark plan, so the

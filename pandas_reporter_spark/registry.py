@@ -121,7 +121,9 @@ _PRIORITY = (
     "q_stream_file_sink",
     "q_stream_stream_join",
     "q_stream_enrich",
-    "q_events_tumbling",
+    # round-8 new operator (bucket-local similarity join) — first
+    # official row; q_events_tumbling stays r5 and rotates in r9
+    "q_similarity_join_shuffled",
     "q_events_session",
     # plan changed this round (two-phase exact rework) — re-prove;
     # q_events_funnel stays r5-official and rotates in r9
