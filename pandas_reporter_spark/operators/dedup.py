@@ -1153,28 +1153,9 @@ def q_dedup_containment(spark, sf):
     """
     configure(spark)
     docs = load(spark, sf, "documents")
-    from pandas_reporter_spark.tables import _session_key
-
-    art = _MH_ART.get((_session_key(spark), sf))
-    if art is not None:
-        d, bands = art
-    else:
-        d = with_hashed_shingles(docs).select("doc_id", "hs")
-        from pyspark import StorageLevel
-
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
-        bands = _band_signatures(d)
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    cand = (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # shared candidate front (artifact reuse, null-sig filter, AQE
+    # parallelism pins) — containment differs only in the verify metric
+    d, cand = _mh_shingles_candidates(docs, spark=spark, sf=sf)
     sha = d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     shb = d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

