@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q_similarity_join_shuffled",
     # r7 addition that never got a bench row (VERDICT r7 missing #1)
     "q_text_bm25",
+    "q_dedup_minhash_incremental",
 ]
 
 

@@ -233,12 +233,11 @@ _BC = np.array(
 
 
 
-def _minhash_cand_sql(bucket_cap: int | None = None) -> str:
-    """Shared WITH-clause body: tokens → shingle hashes → 64 mixes →
-    band signatures → distinct candidate pairs (ends at the `cand`
-    CTE; callers append their own verify/select). With `bucket_cap`,
-    buckets holding more than cap docs are dropped before pairing —
-    the SQL twin of the production hot-bucket guard."""
+def _minhash_bands_sql() -> str:
+    """WITH-clause prefix: tokens → shingle hashes → 64 mixes → band
+    signatures (ends at the `bands` CTE). Shared by the pair-candidate
+    twin (_minhash_cand_sql), the incremental batch-vs-corpus twin,
+    and the bloom sketch's shingle replay."""
     t = _DUCK_TOKHASH
     sh_sum = " + ".join(
         f"CAST({t.format(t=f'toks[i + {j}]')} AS HUGEINT) * {_SH_C[j]}"
@@ -259,14 +258,6 @@ def _minhash_cand_sql(bucket_cap: int | None = None) -> str:
         for b in range(_N_BANDS)
     )
     sig_list = ", ".join(f"s{b}" for b in range(_N_BANDS))
-    cap_join = ""
-    if bucket_cap is not None:
-        cap_join = (
-            "\n        JOIN (SELECT band, sig, count(*) AS n FROM bands"
-            "\n              GROUP BY band, sig) z"
-            "\n          ON z.band = a.band AND z.sig = a.sig"
-            f" AND z.n <= {bucket_cap}"
-        )
     return f"""
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
@@ -287,7 +278,23 @@ def _minhash_cand_sql(bucket_cap: int | None = None) -> str:
     bands AS (
       SELECT doc_id, hs, u.band, [{sig_list}][u.band + 1] AS sig
       FROM bands_w, unnest(range(0, {_N_BANDS})) AS u(band)
-    ),
+    )"""
+
+
+def _minhash_cand_sql(bucket_cap: int | None = None) -> str:
+    """_minhash_bands_sql plus the distinct candidate-pair CTE
+    (callers append their own verify/select). With `bucket_cap`,
+    buckets holding more than cap docs are dropped before pairing —
+    the SQL twin of the production hot-bucket guard."""
+    cap_join = ""
+    if bucket_cap is not None:
+        cap_join = (
+            "\n        JOIN (SELECT band, sig, count(*) AS n FROM bands"
+            "\n              GROUP BY band, sig) z"
+            "\n          ON z.band = a.band AND z.sig = a.sig"
+            f" AND z.n <= {bucket_cap}"
+        )
+    return f"""{_minhash_bands_sql()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -386,6 +393,87 @@ def q_dedup_minhash_capped(spark, sf):
     docs = load(spark, sf, "documents")
     return minhash_candidates(
         docs, spark=spark, sf=sf, bucket_cap=_HOT_BUCKET_CAP
+    )
+
+
+@query("q_dedup_minhash_incremental", oracle=f"""
+    {_minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+    ),
+    j AS (
+      SELECT c.batch_doc, c.corpus_doc,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+               / (len(sa.hs) + len(sb.hs)
+                  - len(list_intersect(sa.hs, sb.hs))) AS jac
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.batch_doc
+      JOIN sh sb ON sb.doc_id = c.corpus_doc
+    )
+    SELECT batch_doc, corpus_doc, round(jac, 6) AS jaccard
+    FROM j WHERE jac >= 0.8
+    """)
+def q_dedup_minhash_incremental(spark, sf):
+    """Incremental NEAR-dup dedup: an arriving batch (docs with
+    doc_id % 7 == 0 stand in for the new ingest) probed against the
+    standing corpus's LSH band index — the streaming-ingest
+    complement of q_dedup_minhash (which is the full-corpus batch
+    pass) and the near-dup upgrade of q_dedup_incremental (which is
+    exact content-hash only).
+
+    Plan: batch band signatures equi-join the CORPUS band index on
+    (band, sig) — never batch×batch, never corpus×corpus — so
+    per-ingest cost is |batch| signatures against a checkpointed
+    index (here the session's band artifact; at 100 TB a
+    bucket-partitioned table the batch join prunes into). The batch
+    side is ingest-sized by construction and broadcasts; Jaccard
+    verify fetches shingle payloads for candidate pairs only. The
+    oracle replays the identical two-sided candidate join and verify.
+    """
+    configure(spark)
+    from pandas_reporter_spark.tables import _session_key
+
+    docs = load(spark, sf, "documents")
+    art = _MH_ART.get((_session_key(spark), sf))
+    if art is not None:
+        d, bands = art
+    else:
+        from pyspark import StorageLevel
+
+        d = with_hashed_shingles(docs).select("doc_id", "hs")
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        bands = _band_signatures(d)
+    live = bands.filter(F.col("sig").isNotNull())
+    bb = live.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("batch_doc"), "band", "sig"
+    )
+    cb = live.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "sig"
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "sig"])
+        .select("batch_doc", "corpus_doc")
+        .dropDuplicates(["batch_doc", "corpus_doc"])
+    )
+    sha = d.select(F.col("doc_id").alias("batch_doc"), F.col("hs").alias("sh_a"))
+    shb = d.select(F.col("doc_id").alias("corpus_doc"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sha, "batch_doc")
+        .join(shb, "corpus_doc")
+        .withColumn("_isz", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_isz")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_isz")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select(
+            "batch_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard")
+        )
     )
 
 

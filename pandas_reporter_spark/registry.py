@@ -129,10 +129,11 @@ _PRIORITY = (
     # q_events_funnel stays r5-official and rotates in r9
     "q_agg_weighted_median",
     "q_tpch_q3",
-    "q_tpch_q4",
-    # round-8 new operator (portable Bloom membership sketch) — needs
-    # its first official row; q_tpch_q6 stays r5 and rotates in r9
+    # round-8 new operators (portable Bloom membership sketch,
+    # incremental batch-vs-corpus LSH dedup) — first official rows;
+    # q_tpch_q4/q_tpch_q6 stay r5 and rotate in r9
     "q_sketch_bloom",
+    "q_dedup_minhash_incremental",
     "q_tpch_q18",
     "q_dedup_fuzzy",
     "q_dedup_spans",
