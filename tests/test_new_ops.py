@@ -206,3 +206,50 @@ def test_chi2_zero_under_independence(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
     out = q_text_chi2(spark, str(tmp)).collect()[0]
     assert out["chi2_micro"] == 0 and out["dof"] == 1 and out["n_cells"] == 4
+
+
+def test_weighted_median_two_phase_equals_full_sort(spark, tmp_path_factory):
+    """r8 two-phase rework equivalence: the histogram+crossing-bin
+    plan must reproduce the full-sort definition exactly on seeded
+    random data — including duplicated values, values landing on bin
+    edges (constructed multiples of range/4096), and a heavy tie run
+    straddling the half-weight point."""
+    import random
+
+    from pandas_reporter_spark.operators.relational import (
+        q_agg_weighted_median,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    for flag in ("A", "B"):
+        lo, hi = 10.0, 20.0
+        binw = (hi - lo) / 4096
+        for _ in range(500):
+            v = round(lo + rng.randrange(4097) * binw, 10)  # on-edge
+            rows.append((flag, v, float(rng.randint(1, 9))))
+        rows.append((flag, lo, 1.0))
+        rows.append((flag, hi, 1.0))
+        # heavy tie run at one value
+        rows += [(flag, 15.0, 50.0)] * 3
+
+    def exact(flag):
+        sub = sorted(
+            ((v, int(q * 100 + 0.5)) for f, v, q in rows if f == flag)
+        )
+        tot = sum(w for _, w in sub)
+        cum = 0
+        for v, w in sub:
+            cum += w
+            if 2 * cum >= tot:
+                return round(v, 2)
+
+    tmp = tmp_path_factory.mktemp("wmed_eq")
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    out = {
+        r["l_returnflag"]: r["weighted_median"]
+        for r in q_agg_weighted_median(spark, str(tmp)).collect()
+    }
+    assert out == {"A": exact("A"), "B": exact("B")}
