@@ -18,6 +18,13 @@ for its scale ladder (independent key ranges, shared dimensions):
   ~orthogonal instead of exact duplicates, so similarity/ANN workloads
   scale like a genuinely larger corpus (norms, per-dim magnitude
   distributions unchanged).
+- `customer.c_name` is perturbed per copy (v3, round 8) under the
+  same bounded-dup-group policy as documents below: 1-in-5 (cust,
+  copy) pairs keep the exact name, the rest gain a per-copy suffix
+  token — without this, verbatim name replication inflated the
+  SymSpell distance-≤1 pair count ~100× (q_dedup_fuzzy 1.7 s →
+  24–83 s at sf1 on the v2 tree: the synthesis artifact, not the
+  operator).
 - `documents.text` is PERTURBED per copy (v2, round 8): copy 0 is
   verbatim; for copies i>0, 20% of (doc, copy) pairs (chosen by
   xxhash64(doc_id, i)) stay verbatim — preserving a crawl-like
@@ -90,9 +97,10 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
     out = os.path.join(out_base, f"prs_sf{n}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
-        # v2 changed the documents synthesis (perturbed copies); a v1
-        # tree must not be silently reused for near-dup measurements
-        if open(done).read().strip() == "v2":
+        # v2 perturbed document copies; v3 additionally perturbs
+        # customer names (fuzzy-dedup measurability) — older trees
+        # must not be silently reused for near-dup measurements
+        if open(done).read().strip() == "v3":
             return out
         import shutil
 
@@ -118,6 +126,24 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
             for col, space_t in offs:
                 df = df.withColumn(
                     col, F.col(col) + F.lit(i * spaces[space_t])
+                )
+            if t == "customer" and i > 0:
+                # same bounded-dup-group policy as documents: name
+                # groups of ~10 verbatim copies would inflate the
+                # SymSpell distance-<=1 pair count ~100x (measured:
+                # q_dedup_fuzzy 1.7 s -> 24-83 s at sf1 on the v2
+                # tree). 1-in-5 copies keep the exact name; the rest
+                # gain a per-copy suffix token (edit distance > 1
+                # from every other variant, so cross-copy fuzzy
+                # pairs form only inside the bounded verbatim group).
+                df = df.withColumn(
+                    "c_name",
+                    F.when(
+                        F.expr(f"pmod(xxhash64(c_custkey, {i}), 5) = 0"),
+                        F.col("c_name"),
+                    ).otherwise(
+                        F.concat(F.col("c_name"), F.lit(f" q{i}"))
+                    ),
                 )
             if t == "documents" and i > 0:
                 # deterministic per-copy text perturbation (see module
@@ -153,7 +179,7 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
         full.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
-    open(done, "w").write("v2")
+    open(done, "w").write("v3")
     return out
 
 

@@ -60,11 +60,17 @@ SCALE_QUERIES = [
     "q_dedup_minhash",
     "q_dedup_spans",
     "q_similarity_join",
+    # measurable since v3 (perturbed customer names; verbatim name
+    # replication inflated distance-<=1 pairs ~100x before)
+    "q_dedup_fuzzy",
 ]
 
 #: queries whose DuckDB oracle is interpreter-bound (list lambdas) at
-#: the high SF — Spark marginals only; duck columns recorded as None
+#: the high SF — duck recorded at the low SF only
 _SPARK_ONLY_HI = {"q_dedup_minhash"}
+#: ...and whose oracle is quadratic at EVERY SF (O(n²) name self-join,
+#: ~110 s at sf0.1) — duck skipped entirely
+_SPARK_ONLY_ALL = {"q_dedup_fuzzy"}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -120,7 +126,9 @@ def main():
                 spark_run(name, sf_dir)
                 best = min(best, time.time() - t0)
             row[f"spark_{label}"] = round(best, 3)
-            if name in _SPARK_ONLY_HI and label != lo:
+            if name in _SPARK_ONLY_ALL or (
+                name in _SPARK_ONLY_HI and label != lo
+            ):
                 row[f"duck_{label}"] = None
                 continue
             # duckdb: fresh connection per sf, warm once, min-of-3
