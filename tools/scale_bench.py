@@ -28,6 +28,13 @@ needs.
 Usage: python tools/scale_bench.py [out.json] [label=dir ...]
 (default SF pair: sf0.1=/root/testdata/sf0.1 sf1=/dev/shm/prs_sf1;
 marginal is computed between the FIRST and LAST label given)
+
+Env knobs (each recorded in the output JSON so the methodology of a
+grid is explicit): SPARK_GRAFT_SCALE_QUERIES=comma,subset of
+SCALE_QUERIES; SPARK_GRAFT_SCALE_REPS / SPARK_GRAFT_SCALE_DUCK_REPS
+override the min-of-3 rep count — the top decade (sf10 = 100x
+sf0.1) needs duck_reps=1 because DuckDB's text oracles run minutes
+there.
 """
 
 from __future__ import annotations
@@ -97,6 +104,21 @@ def main():
     from pandas_reporter_spark.registry import ORACLES, QUERIES, load_all
     from pandas_reporter_spark.session import get_session
 
+    # top-decade runs (sf10: 100x sf0.1) need a rep budget: DuckDB's
+    # text oracles are minutes-per-run there, so min-of-3 would cost
+    # an hour. The knobs are recorded in the output JSON so a grid's
+    # methodology is always explicit.
+    queries = SCALE_QUERIES
+    subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if subset:
+        want = [q.strip() for q in subset.split(",") if q.strip()]
+        unknown = set(want) - set(SCALE_QUERIES)
+        if unknown:
+            raise SystemExit(f"not in SCALE_QUERIES: {sorted(unknown)}")
+        queries = want
+    spark_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    duck_reps = int(os.environ.get("SPARK_GRAFT_SCALE_DUCK_REPS", "3"))
+
     load_all()
     spark = get_session("scale_bench")
     sf_dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/dev/shm/prs_sf1"}
@@ -110,14 +132,19 @@ def main():
             "overwrite"
         ).save()
 
-    res: dict = {"queries": {}, "sf_dirs": sf_dirs}
-    for name in SCALE_QUERIES:
+    res: dict = {
+        "queries": {},
+        "sf_dirs": sf_dirs,
+        "spark_reps": spark_reps,
+        "duck_reps": duck_reps,
+    }
+    for name in queries:
         row = {}
         for label, sf_dir in sf_dirs.items():
-            # spark: warm once, then min-of-3
+            # spark: warm once, then min-of-N
             spark_run(name, sf_dir)
             best = 9e9
-            for _ in range(3):
+            for _ in range(spark_reps):
                 # no cached intermediates survive into a timed rep:
                 # self-persisting plans rebuild their dictionaries
                 # every rep, exactly as DuckDB re-runs its full oracle
@@ -131,12 +158,12 @@ def main():
             ):
                 row[f"duck_{label}"] = None
                 continue
-            # duckdb: fresh connection per sf, warm once, min-of-3
+            # duckdb: fresh connection per sf, warm once, min-of-N
             con = _duck_con(sf_dir)
             sql = ORACLES[name]
             con.execute(sql).fetchall()
             bestd = 9e9
-            for _ in range(3):
+            for _ in range(duck_reps):
                 t0 = time.time()
                 con.execute(sql).fetchall()
                 bestd = min(bestd, time.time() - t0)
