@@ -18,24 +18,27 @@ for its scale ladder (independent key ranges, shared dimensions):
   ~orthogonal instead of exact duplicates, so similarity/ANN workloads
   scale like a genuinely larger corpus (norms, per-dim magnitude
   distributions unchanged).
-- `customer.c_name` is perturbed per copy (v3, round 8) under the
-  same bounded-dup-group policy as documents below: 1-in-5 (cust,
-  copy) pairs keep the exact name, the rest gain a per-copy suffix
-  token — without this, verbatim name replication inflated the
-  SymSpell distance-≤1 pair count ~100× (q_dedup_fuzzy 1.7 s →
-  24–83 s at sf1 on the v2 tree: the synthesis artifact, not the
-  operator).
+- `customer.c_name` is perturbed per copy (v3/v4, round 8) under the
+  same bounded-dup-group policy as documents below: an absolutely
+  bounded number of (cust, copy) pairs keep the exact name
+  (_verbatim_mod; E[verbatim copies] = min(K/5, 2)), the rest gain a
+  per-copy suffix token — without this, verbatim name replication
+  inflated the SymSpell distance-≤1 pair count ~100× (q_dedup_fuzzy
+  1.7 s → 24–83 s at sf1 on the v2 tree; 192 s at sf10 on the v3
+  tree: the synthesis artifact, not the operator).
 - `documents.text` is PERTURBED per copy (v2, round 8): copy 0 is
-  verbatim; for copies i>0, 20% of (doc, copy) pairs (chosen by
-  xxhash64(doc_id, i)) stay verbatim — preserving a crawl-like
-  exact-dup rate with BOUNDED dup-group sizes (E[group] ≈ 1 + K/5) —
-  and the other 80% get deterministic ~15% token dropout
-  (xxhash64(doc_id, position, i)). Dropout kills ~56% of 3-token
-  shingles (0.85³), putting copy↔original Jaccard ≈ 0.28 — far below
-  the 0.8 near-dup threshold and below LSH banding's collision knee —
-  so near-dup candidate sets scale ~linearly like a real corpus
-  instead of K². This is what lets scale_bench measure the
-  minhash/span-dedup family at sf1 (the round-7 synthesis copied text
+  verbatim; for copies i>0, an absolutely bounded number of (doc,
+  copy) pairs (chosen by xxhash64(doc_id, i); _verbatim_mod, v4)
+  stay verbatim — exact dups with dup-GROUP size bounded at
+  E[group] ≈ 1 + min(K/5, 2) independent of K, the quantity
+  all-pairs-within-group operators' cost depends on — and the rest
+  get deterministic ~15% token dropout (xxhash64(doc_id, position,
+  i)). Dropout kills ~56% of 3-token shingles (0.85³), putting
+  copy↔original Jaccard ≈ 0.28 — far below the 0.8 near-dup
+  threshold and below LSH banding's collision knee — so near-dup
+  candidate sets scale ~linearly like a real corpus instead of K².
+  This is what lets scale_bench measure the minhash/span-dedup
+  family at sf1 and sf10 (the round-7 synthesis copied text
   verbatim, inflating candidates K² and excluding the whole family).
 
 Usage: python tools/make_sfn.py [N] [out_base]   (default 1 /dev/shm)
@@ -90,6 +93,29 @@ def _key_spaces(spark):
     return spaces
 
 
+def _verbatim_mod(k: int) -> int:
+    """Modulus of the verbatim-copy rule: a (row, copy) pair stays
+    VERBATIM iff pmod(xxhash64(key, copy), mod) == 0, giving an
+    expected k/mod verbatim copies per base row.
+
+    v3 used the constant 5, which bounds the dup RATE (20%) but lets
+    the dup-GROUP size grow linearly with the copy count k — at sf10
+    (k=100) that meant ~20-strong exact-dup groups, and
+    every all-pairs-within-group near-dup operator (minhash verify,
+    SymSpell fuzzy) saw its pair volume grow ~k^2/25: q_dedup_fuzzy
+    192 s / q_dedup_minhash 18 s at sf10 measured the synthesis, not
+    the operator. A real 10x-bigger crawl has ~10x more DISTINCT
+    pages with roughly CONSTANT dup-group size, so v4 bounds the
+    group ABSOLUTELY: mod = max(5, k // 2) keeps the expected
+    verbatim copies per base row at min(k/5, 2) — identical to v3
+    for k <= 10 (the sf1 tree is bit-identical), bounded ~2 above.
+    The falling exact-dup RATE is the honest tradeoff: replicated
+    base rows cannot hold both rate and group size constant, and
+    group size is what the operators' cost depends on.
+    """
+    return max(5, k // 2)
+
+
 def build(spark, n: int, out_base: str = "/dev/shm") -> str:
     from pandas_reporter_spark.tables import normalize_ts
 
@@ -97,10 +123,13 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
     out = os.path.join(out_base, f"prs_sf{n}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
-        # v2 perturbed document copies; v3 additionally perturbs
-        # customer names (fuzzy-dedup measurability) — older trees
-        # must not be silently reused for near-dup measurements
-        if open(done).read().strip() == "v3":
+        # v2 perturbed document copies; v3 additionally perturbed
+        # customer names; v4 bounds verbatim dup-group size
+        # ABSOLUTELY (_verbatim_mod) — older trees must not be
+        # silently reused for near-dup measurements. (For k <= 10
+        # the v3 and v4 rules coincide, so a v3 sf1 tree is
+        # bit-identical to its v4 rebuild.)
+        if open(done).read().strip() == "v4":
             return out
         import shutil
 
@@ -132,14 +161,18 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
                 # groups of ~10 verbatim copies would inflate the
                 # SymSpell distance-<=1 pair count ~100x (measured:
                 # q_dedup_fuzzy 1.7 s -> 24-83 s at sf1 on the v2
-                # tree). 1-in-5 copies keep the exact name; the rest
-                # gain a per-copy suffix token (edit distance > 1
-                # from every other variant, so cross-copy fuzzy
-                # pairs form only inside the bounded verbatim group).
+                # tree). Verbatim copies are bounded ABSOLUTELY (see
+                # _verbatim_mod); the rest gain a per-copy suffix
+                # token (edit distance > 1 from every other variant,
+                # so cross-copy fuzzy pairs form only inside the
+                # bounded verbatim group).
                 df = df.withColumn(
                     "c_name",
                     F.when(
-                        F.expr(f"pmod(xxhash64(c_custkey, {i}), 5) = 0"),
+                        F.expr(
+                            f"pmod(xxhash64(c_custkey, {i}),"
+                            f" {_verbatim_mod(k)}) = 0"
+                        ),
                         F.col("c_name"),
                     ).otherwise(
                         F.concat(F.col("c_name"), F.lit(f" q{i}"))
@@ -147,8 +180,9 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
                 )
             if t == "documents" and i > 0:
                 # deterministic per-copy text perturbation (see module
-                # docstring): 1-in-5 (doc, copy) pairs verbatim (exact
-                # dups, bounded groups), the rest ~15% token dropout
+                # docstring): a BOUNDED number of (doc, copy) pairs
+                # verbatim (exact dups; _verbatim_mod), the rest ~15%
+                # token dropout
                 dropout = (
                     "array_join(filter(split(text, ' '), (w, p) -> "
                     f"pmod(xxhash64(doc_id, p, {i}), 100) >= 15), ' ')"
@@ -156,7 +190,10 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
                 df = df.withColumn(
                     "text",
                     F.when(
-                        F.expr(f"pmod(xxhash64(doc_id, {i}), 5) = 0"),
+                        F.expr(
+                            f"pmod(xxhash64(doc_id, {i}),"
+                            f" {_verbatim_mod(k)}) = 0"
+                        ),
                         F.col("text"),
                     ).otherwise(F.expr(dropout)),
                 )
@@ -179,7 +216,7 @@ def build(spark, n: int, out_base: str = "/dev/shm") -> str:
         full.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
-    open(done, "w").write("v3")
+    open(done, "w").write("v4")
     return out
 
 
