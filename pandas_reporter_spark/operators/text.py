@@ -1769,11 +1769,25 @@ def q_text_bm25(spark, sf):
             .groupBy("doc_id", "token")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.sum("dl").alias("sum_dl"))
-    )
     qt = tf.filter(F.col("token").isin(*_BM25_TERMS))
+    # Per-doc length ONLY for posting-list docs: the semi-join ahead
+    # of the rollup turns the corpus-wide (doc_id) exchange into a
+    # posting-doc-sized one (the docstring's "shuffle bounded by the
+    # posting lists" claim, now actually true of the plan). The
+    # average-length denominator needs only the SCALAR total token
+    # count, which partial-aggregates to one row with no per-doc
+    # shuffle at all. If a query's posting-doc set ever outgrew the
+    # broadcast tier, the hint comes off and this degrades to the
+    # shuffled semi-join — still posting-bounded on the output side.
+    cand = qt.select("doc_id").distinct()
+    dl = (
+        tf.join(F.broadcast(cand), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").alias("sum_dl"))
+    )
     df = qt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     term = (
         qt.join(F.broadcast(df), "token")

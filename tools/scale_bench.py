@@ -196,11 +196,16 @@ def main():
         )
     }
     tot["spark_only"] = sorted(set(res["queries"]) - set(comparable))
-    tot["marginal_ratio"] = round(
-        tot["spark_marginal"] / tot["duck_marginal"], 3
+    # an all-spark-only subset has no comparable denominator
+    tot["marginal_ratio"] = (
+        round(tot["spark_marginal"] / tot["duck_marginal"], 3)
+        if tot["duck_marginal"]
+        else None
     )
-    tot["total_ratio_hi"] = round(
-        tot[f"spark_{hi}"] / tot[f"duck_{hi}"], 3
+    tot["total_ratio_hi"] = (
+        round(tot[f"spark_{hi}"] / tot[f"duck_{hi}"], 3)
+        if tot[f"duck_{hi}"]
+        else None
     )
     res["totals"] = tot
     json.dump(res, open(out_path, "w"), indent=1)
