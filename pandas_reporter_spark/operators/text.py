@@ -1779,7 +1779,10 @@ def q_text_bm25(spark, sf):
     # shuffle at all. If a query's posting-doc set ever outgrew the
     # broadcast tier, the hint comes off and this degrades to the
     # shuffled semi-join — still posting-bounded on the output side.
-    cand = qt.select("doc_id").distinct()
+    # (No distinct on the build side: a semi-join dedups its build
+    # keys in the hashed relation; a pre-distinct would add an
+    # exchange for nothing.)
+    cand = qt.select("doc_id")
     dl = (
         tf.join(F.broadcast(cand), "doc_id", "left_semi")
         .groupBy("doc_id")
