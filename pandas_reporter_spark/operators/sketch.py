@@ -600,3 +600,147 @@ def q_sketch_bloom(spark, sf):
         .cast("bigint")
         .alias("no_fn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) — the distinct-count + coordinated-sample member
+# ---------------------------------------------------------------------------
+
+#: KMV size: estimator stderr ~ 1/sqrt(k-2) ~ 6.3%
+_KMV_K = 256
+#: (k-1) * 2^60 as an EXACT double (255 has 8 significant bits, so the
+#: product is exactly representable); both engines fold the same
+#: literal, divide by the same h_k, floor the same IEEE double — the
+#: ESTIMATE itself is hash-checkable, unlike library-internal HLL
+_KMV_NUM = 255.0 * 1152921504606846976.0
+
+
+def _kmv_oracle() -> str:
+    """SQL twin of q_sketch_kmv: identical portable 60-bit key hash
+    (md5-derived, shared with the minhash family), identical bottom-k
+    rank, identical IEEE estimate expression, identical verdict."""
+    from pandas_reporter_spark.operators.dedup import _DUCK_TOKHASH
+
+    kh = _DUCK_TOKHASH.format(t="CAST(o_custkey AS VARCHAR)")
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority, {kh} AS h FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY h) AS rn
+      FROM h
+    ),
+    ex AS (
+      SELECT o_orderpriority, COUNT(*) AS exact_keys
+      FROM h GROUP BY o_orderpriority
+    ),
+    kth AS (
+      SELECT o_orderpriority, MAX(h) AS h_k, COUNT(*) AS k_found
+      FROM r WHERE rn <= {_KMV_K} GROUP BY o_orderpriority
+    )
+    SELECT ex.o_orderpriority, exact_keys, h_k,
+           CASE WHEN k_found < {_KMV_K} THEN exact_keys
+                ELSE CAST(floor(({_KMV_NUM!r} + 0.0)
+                                / CAST(h_k AS DOUBLE)) AS BIGINT)
+           END AS est_keys,
+           CAST(abs(CAST(CASE WHEN k_found < {_KMV_K} THEN exact_keys
+                              ELSE CAST(floor(({_KMV_NUM!r} + 0.0)
+                                        / CAST(h_k AS DOUBLE)) AS BIGINT)
+                         END AS DOUBLE) - exact_keys)
+                <= greatest(2.0, 0.2 * exact_keys) AS BIGINT) AS est_ok
+    FROM ex JOIN kth USING (o_orderpriority)
+    """
+
+
+@query("q_sketch_kmv", oracle=_kmv_oracle())
+def q_sketch_kmv(spark, sf):
+    """KMV (k-minimum-values / bottom-k) sketch per order priority:
+    distinct-customer estimate AND a coordinated uniform key sample
+    in one mergeable bounded-state summary — the sampling member of
+    the sketch family (HLL=cardinality, GK=quantiles, MG=heavy
+    hitters, CMS=frequency, Bloom=membership, KMV=cardinality+
+    SAMPLE). Bar-Yossef et al. 2002; the k smallest hash values of a
+    group's key set are simultaneously (a) the cardinality estimator
+    est = (k-1)/F(h_(k)) with F(h) = h/2^60 and (b) a coordinated
+    uniform sample of the keys (the same keys are sampled in EVERY
+    group/partition/ingest batch, so set operations on samples are
+    meaningful) — merging two sketches is union + re-rank + truncate.
+
+    Because the key hash is the portable md5-derived 60-bit hash the
+    minhash family uses, the WHOLE sketch — including the estimate's
+    float arithmetic, written as the identical IEEE sequence in both
+    engines ((k-1)·2^60 is an exact double; one division; one floor)
+    — is value-hash-checked against DuckDB, not just bounded like
+    the HLL verdict grid. Emitted per group: exact_keys (the
+    correctness harness), h_k (the sample threshold — the sketch
+    state's fingerprint), est_keys, and the est_ok tolerance verdict
+    (3σ ≈ 19% at k=256, pinned at 20%).
+
+    Plan: one (group, key-hash) DISTINCT reduction (the pair
+    dictionary — the only corpus-scale shuffle, map-side combined),
+    then a per-group bottom-k rank over the DICTIONARY (not the
+    corpus; dictionary = distinct keys per group). At 100 TB with
+    billions of distinct keys, the rank input is pre-pruned by a
+    static uniform threshold (h < c·2^60 keeps c of the dictionary,
+    valid while ≥ k survivors/group remain) — documented rather than
+    applied, since bench-SF groups would fall under k survivors.
+
+    Reference parity: none (driver-mandated sketch surface).
+    """
+    from pyspark.sql import Window as W
+
+    from pandas_reporter_spark.operators.dedup import portable_token_hash
+
+    configure(spark)
+    o = load(spark, sf, "orders")
+    h = (
+        o.select(
+            "o_orderpriority",
+            portable_token_hash(
+                F.col("o_custkey").cast("string")
+            ).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    ex = h.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("exact_keys")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("h")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("h").alias("h_k"),
+            F.count(F.lit(1)).alias("k_found"),
+        )
+    )
+    est = F.when(
+        F.col("k_found") < _KMV_K, F.col("exact_keys")
+    ).otherwise(
+        F.floor(F.lit(_KMV_NUM) / F.col("h_k").cast("double"))
+    )
+    return (
+        ex.join(kth, "o_orderpriority")
+        .withColumn("est_keys", est)
+        .select(
+            "o_orderpriority",
+            "exact_keys",
+            "h_k",
+            "est_keys",
+            (
+                F.abs(
+                    F.col("est_keys").cast("double")
+                    - F.col("exact_keys")
+                )
+                <= F.greatest(
+                    F.lit(2.0), F.lit(0.2) * F.col("exact_keys")
+                )
+            )
+            .cast("bigint")
+            .alias("est_ok"),
+        )
+    )

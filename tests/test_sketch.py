@@ -160,3 +160,40 @@ def test_bloom_no_false_negatives_and_fp_accounting(spark, tmp_path):
     assert r30["no_fn"] == 1
     for r in out.values():
         assert r["no_fn"] == 1
+
+
+def test_kmv_merge_equals_union_and_sample_is_coordinated(spark, tmp_path):
+    """The KMV property the 100 TB rollup leans on: the bottom-k of a
+    UNION equals merge(bottom-k(A), bottom-k(B)) = re-rank + truncate
+    of the two sketches — so per-ingest-batch sketches roll up without
+    rescanning. Also pins coordination: a key sampled in the union was
+    sampled in whichever half contained it (same hash, same order)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_reporter_spark.operators.dedup import portable_token_hash
+    from pandas_reporter_spark.operators.sketch import _KMV_K
+
+    rows = [{"k": i} for i in range(5000)]
+    df = spark.createDataFrame(rows).withColumn(
+        "h", portable_token_hash(F.col("k").cast("string"))
+    )
+    half_a = df.filter(F.col("k") % 2 == 0)
+    half_b = df.filter(F.col("k") % 2 == 1)
+
+    def bottom_k(frame):
+        return [
+            r["h"]
+            for r in frame.select("h")
+            .orderBy("h")
+            .limit(_KMV_K)
+            .collect()
+        ]
+
+    sk_a, sk_b, sk_union = bottom_k(half_a), bottom_k(half_b), bottom_k(df)
+    merged = sorted(set(sk_a) | set(sk_b))[:_KMV_K]
+    assert merged == sk_union
+    # coordination: every sampled key of the union is sampled in its half
+    in_a, in_b = set(sk_a), set(sk_b)
+    assert all(h in in_a or h in in_b for h in sk_union)
