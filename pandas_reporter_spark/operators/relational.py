@@ -3258,7 +3258,13 @@ def q_agg_weighted_median(spark, sf):
             )
         )
         .alias("bin"),
-    )
+    ).persist()
+    # ^ binned feeds BOTH phases — the crossing-bin broadcast subtree
+    # (via hist) and the Phase-B in-bin scan. Un-persisted, each
+    # builds its own corpus scan + bin projection (plan-audited two
+    # FileScans; 1.09 s -> 0.83 s at sf0.1 with the stats artifact).
+    # At 100 TB this is the standard two-phase discipline: cache (or
+    # checkpoint) the binned relation between phases.
     hist = binned.groupBy("flag", "tot", "bin").agg(
         F.sum("wc").alias("bw")
     )
