@@ -938,3 +938,196 @@ def q_similarity_maxsim(spark, sf):
             F.floor(F.col("m") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
         ).alias("score_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means codebook training (Lloyd's) — the unsupervised IVF companion
+# ---------------------------------------------------------------------------
+
+#: k-means geometry: k cells, 2 assignment→update rounds, then final
+#: stats; micro-unit quantization makes every iteration integer-exact
+_KM_K, _KM_ITERS = 4, 2
+#: driver embeddings are 64-dim (FIXTURES.md); a generic deployment
+#: derives this from size(embedding)
+_KM_DIM = 64
+
+#: array<float> -> array<bigint> exact micro-units: floor(x·1e6 + .5)
+#: rounds identically in both engines (half-up toward +inf, negatives
+#: included), after the same float32->double widening
+_KM_QUANT = (
+    "transform({c}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D"
+    " + 0.5D) AS BIGINT))"
+)
+#: squared L2 between two micro-unit arrays — pure int64 (|diff| <=
+#: ~6e6 -> diff^2 <= 3.6e13, x64 dims <= 2.3e15, far under 2^63)
+_KM_D = (
+    "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _kmeans_oracle() -> str:
+    """SQL twin of q_embed_kmeans: identical quantization, identical
+    integer L2, identical (d, cell) tie-break, identical
+    floor(double-mean) centroid update, unrolled _KM_ITERS times."""
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    dist = (
+        "CAST(list_sum(list_transform(range({dim}), i ->"
+        " (q.xq[i + 1] - c.cq[i + 1]) * (q.xq[i + 1] - c.cq[i + 1])))"
+        " AS BIGINT)"
+    ).format(dim=_KM_DIM)
+    parts = [
+        f"WITH q AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, xq AS cq FROM q"
+        f" WHERE vec_id < {_KM_K})",
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"d{it} AS (SELECT q.vec_id, q.xq, c.cell, {dist} AS d"
+            f" FROM q CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, xq, cell FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d, cell) AS rn FROM d{it}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{it} AS (SELECT cell, i,"
+            f" CAST(floor(CAST(sum(xq[i + 1]) AS DOUBLE) / count(*))"
+            f" AS BIGINT) AS cval"
+            f" FROM a{it} CROSS JOIN range({_KM_DIM}) t(i)"
+            f" GROUP BY cell, i)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cell, list(cval ORDER BY i) AS cq"
+            f" FROM u{it} GROUP BY cell)"
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"df AS (SELECT q.vec_id, c.cell, {dist} AS d"
+        f" FROM q CROSS JOIN {prev} c)"
+    )
+    parts.append(
+        "af AS (SELECT vec_id, cell, d FROM"
+        " (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d, cell) AS rn FROM df) WHERE rn = 1)"
+    )
+    parts.append(
+        f"cs AS (SELECT cell, CAST(list_sum(cq) AS BIGINT) AS c_sum"
+        f" FROM {prev})"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT af.cell, COUNT(*) AS n_members,
+           CAST(sum(af.d) AS BIGINT) AS inertia, any_value(cs.c_sum) AS c_sum
+    FROM af JOIN cs ON af.cell = cs.cell
+    GROUP BY af.cell
+    """
+    )
+
+
+@query("q_embed_kmeans", oracle=_kmeans_oracle())
+def q_embed_kmeans(spark, sf):
+    """Lloyd's k-means over the embedding corpus — unsupervised
+    codebook training, the companion q_similarity_ivf is missing
+    (IVF's cells there come from the supervised label column; a real
+    deployment LEARNS the coarse quantizer from the vectors). k=4
+    centroids seeded deterministically (lowest vec_ids), 2
+    assignment→update rounds, then final assignment stats.
+
+    Everything is INTEGER-EXACT, so the whole training run — not
+    just a tolerance verdict — value-hash-matches the unrolled SQL
+    twin: embeddings quantize to micro-units (floor(x·1e6+.5), the
+    engine's standard exact-decimal discipline), distances are pure
+    int64 squared-L2, argmin ties break on (d, cell), and the
+    centroid update floor(double(sum)/n) is one shared-shape IEEE
+    divide (sums ≤ ~1.5e10 are exactly representable doubles). An
+    empty cell simply drops out — deterministically in both engines.
+
+    Plan shape: the quantized corpus persists once (it feeds every
+    round); each round is corpus × broadcast(k×dim centroids) with
+    the distance evaluated per-pair JVM-side, argmin via one
+    min(struct) groupBy (map-side combinable), and the update a
+    posexplode → (cell, pos) rollup — the same exchange discipline
+    as q_embed_centroids. At 100 TB: k·dim is KBs broadcast per
+    round; the only corpus-scale exchanges are the per-round argmin
+    combine and (cell,pos) rollup, both map-side reduced; rounds are
+    a fixed unrolled pipeline exactly like q_graph_pagerank's. The
+    HOF distance is CodegenFallback — a deployment chasing the last
+    2-3x moves it into the minhash-style Arrow kernel; the plan
+    around it is unchanged.
+
+    Output per surviving cell: member count, exact integer inertia
+    (Σ final squared-L2), and the centroid component-sum fingerprint
+    (c_sum) pinning the learned codebook itself.
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    q = (
+        e.select(
+            "vec_id",
+            F.expr(_KM_QUANT.format(c="embedding")).alias("xq"),
+        )
+        .persist()
+    )
+    cents = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cell"), F.col("xq").alias("cq")
+    )
+
+    def assign(cframe):
+        d = q.crossJoin(F.broadcast(cframe)).select(
+            "vec_id", "xq", "cell", F.expr(_KM_D).alias("d")
+        )
+        return (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cell", "xq")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cell").alias("cell"),
+                F.col("m.d").alias("d"),
+                F.col("m.xq").alias("xq"),
+            )
+        )
+
+    for _ in range(_KM_ITERS):
+        assigned = assign(cents)
+        cents = (
+            assigned.select("cell", F.posexplode("xq").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos,"
+                    " cval))), s -> s.cval)"
+                ).alias("cq")
+            )
+        )
+    cents = cents.persist()
+    final = assign(cents)
+    csum = cents.select(
+        "cell",
+        F.expr(
+            "aggregate(cq, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("c_sum"),
+    )
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d").cast("bigint").alias("inertia"),
+        )
+        .join(F.broadcast(csum), "cell")
+        .select("cell", "n_members", "inertia", "c_sum")
+    )

@@ -181,3 +181,49 @@ def test_ivf_recall_at_10_on_clustered_corpus(spark):
     got = {r.vec_id for r in ivf_topk(e, probes=2, k=10).collect()}
     recall = len(got & truth) / 10
     assert recall >= 0.9, f"IVF recall@10 {recall} on clustered corpus"
+
+
+def test_kmeans_recovers_planted_clusters(spark, tmp_path):
+    """Lloyd's on 4 planted tight clusters (centers at distinct
+    corners of the 64-dim cube, small deterministic jitter) must
+    assign every member to its plant and keep inertia tiny relative
+    to the between-center distance; seeds are the 4 lowest vec_ids,
+    one per plant, so the recovery is exact."""
+    import os
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    dim, per = 64, 25
+    centers = []
+    for c in range(4):
+        base = [0.0] * dim
+        for j in range(dim):
+            base[j] = 1.0 if (j % 4) == c else -1.0
+        centers.append(base)
+    rows = []
+    vid = 0
+    # vec_ids 0..3 are one seed per plant (the deterministic init)
+    for c in range(4):
+        rows.append({"vec_id": vid, "label": c,
+                     "embedding": centers[c]})
+        vid += 1
+    for c in range(4):
+        for m in range(per - 1):
+            jit = [x + 0.001 * ((m + j) % 7 - 3) for j, x in
+                   enumerate(centers[c])]
+            rows.append({"vec_id": vid, "label": c, "embedding": jit})
+            vid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS FLOAT)) AS embedding",
+        "CAST(label AS INT) AS label"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    out = QUERIES["q_embed_kmeans"](spark, sf).collect()
+    assert sorted(r["cell"] for r in out) == [0, 1, 2, 3]
+    assert all(r["n_members"] == per for r in out)
+    # jitter <= 3e-3/dim = 3000 micro-units -> <= 9e6/dim squared,
+    # x64 dims x25 members ~ 1.4e10; any cross-plant member would add
+    # ~(2e6)^2 x32 = 1.3e14 — a 4-decade gap, so 1e12 cleanly
+    # separates planted recovery from any mis-assignment
+    assert all(r["inertia"] < 1e12 for r in out)
