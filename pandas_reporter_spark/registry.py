@@ -73,13 +73,14 @@ _PRIORITY = (
     # (2) the five r3-stale rows, flagship first. (3) the one query
     # whose in-plan verdict changed this round (the approx weighted
     # median's bound loosened binw/2 -> binw to absorb a one-ulp bin-
-    # edge misclassification; ADVICE r7). (4) 28 of the 29 r4-stale
-    # rows, alphabetical, plus the late-r8 KMV sketch in place of
-    # q_math_funcs (see inline note). (5) 14 of the r5-stale rows,
-    # chosen where r8 work concentrates: the four streaming queries
-    # (bench-floor work may touch their plumbing), the events trio,
-    # deep TPC-H joins, and the dedup/join heavies. After r8 records,
-    # only q_math_funcs is older than r5 and 28 r5 rows remain for r9.
+    # edge misclassification; ADVICE r7). (4) 27 of the 29 r4-stale
+    # rows, alphabetical, plus the two late-r8 operators (KMV sketch,
+    # k-means codebook) in place of q_math_funcs/q_null_funcs (see
+    # inline notes). (5) 14 of the r5-stale rows, chosen where r8
+    # work concentrates: the four streaming queries (bench-floor work
+    # may touch their plumbing), the events trio, deep TPC-H joins,
+    # and the dedup/join heavies. After r8 records, only q_math_funcs
+    # and q_null_funcs are older than r5; 28 r5 rows remain for r9.
     "q_text_bm25",  # slot 1: never officially verified
     "q_tpch_q1",  # flagship, official row stale at r3
     "q_window_rank",
@@ -108,7 +109,10 @@ _PRIORITY = (
     "q_sketch_kmv",
     "q_multimodal_frame_sample",
     "q_multimodal_pack",
-    "q_null_funcs",
+    # late-r8 new operator (k-means codebook training) — same
+    # first-official-row priority as q_sketch_kmv above
+    # (q_null_funcs stays r4-official, rotates in r9)
+    "q_embed_kmeans",
     "q_partition_pruned_scan",
     "q_pipeline_curate",
     "q_sample_stratified",
