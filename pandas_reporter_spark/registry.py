@@ -88,7 +88,8 @@ _PRIORITY = (
     "q_text_token_stats",
     "q_text_fingerprint",
     "q_agg_weighted_median_approx",  # re-prove: verdict bound loosened
-    # (4) the 29 r4-stale rows, alphabetical
+    # (4) the r4-stale rows, alphabetical (27 of 29 — two slots ceded
+    # to the late-r8 operators below)
     "q_array_funcs",
     "q_case_when",
     "q_dedup_cluster",
