@@ -70,6 +70,9 @@ SCALE_QUERIES = [
     # measurable since v3 (perturbed customer names; verbatim name
     # replication inflated distance-<=1 pairs ~100x before)
     "q_dedup_fuzzy",
+    # late-r8 operators (KMV bottom-k, k-means codebook)
+    "q_sketch_kmv",
+    "q_embed_kmeans",
 ]
 
 #: queries whose DuckDB oracle is interpreter-bound (list lambdas) at
