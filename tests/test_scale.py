@@ -348,3 +348,32 @@ def test_pagerank_reuses_persisted_edge_artifact(spark):
     # prints each cached relation's STORED lineage, which includes the
     # original scan — execution replays it at most once per artifact.)
     assert plan.count("InMemoryTableScan") >= 10
+
+
+def test_kmeans_broadcasts_centroids_not_corpus(spark):
+    """Each Lloyd round must broadcast the k x dim centroid relation
+    (KBs) and never the quantized corpus; the corpus side feeds the
+    nested-loop probe as the streamed side."""
+    from pandas_reporter_spark.operators.similarity import q_embed_kmeans
+
+    df = q_embed_kmeans(spark, SF)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # every embeddings scan must sit on the STREAMED side: no
+    # BroadcastExchange may directly wrap an embeddings file scan
+    for frag in p.split("BroadcastExchange")[1:]:
+        head = frag.split("Scan parquet")[0]
+        assert "embeddings.parquet" not in head
+
+
+def test_kmv_ranks_the_dictionary_not_the_corpus(spark):
+    """The bottom-k window must consume the (group, hash) DISTINCT
+    dictionary, not raw orders rows: a HashAggregate (the distinct)
+    must appear below the Window in the plan tree."""
+    from pandas_reporter_spark.operators.sketch import q_sketch_kmv
+
+    df = q_sketch_kmv(spark, SF)
+    p = plan_of(df)
+    assert "Window" in p
+    below_window = p.split("Window", 1)[1]
+    assert "HashAggregate" in below_window
