@@ -1009,7 +1009,8 @@ def q_events_transitions(spark, sf):
       FROM base GROUP BY user_id
     )
     SELECT b.event_id, b.user_id, b.event_type,
-           round(COALESCE(b.value_gapped, m.user_mean), 4) AS value_imputed,
+           CAST(floor(COALESCE(b.value_gapped, m.user_mean) * 10000.0
+                      + 0.5) AS DOUBLE) / 10000.0 AS value_imputed,
            (b.value_gapped IS NULL) AS was_imputed
     FROM base b JOIN m ON b.user_id = m.user_id
     """,
@@ -1048,13 +1049,24 @@ def q_fillna_group(spark, sf):
             F.sum(cents).cast("double") / 100.0 / F.count("value_gapped")
         ).alias("user_mean")
     )
+    # 4-decimal quantization via floor(x·1e4 + .5), NOT round(x, 4):
+    # Spark's round goes through BigDecimal.valueOf (the double's
+    # SHORTEST decimal string — "39.88175" rounds half-up to .8818)
+    # while DuckDB rounds the binary value (39.88174999... → .8817),
+    # so a mean landing near a .xxxx5 boundary hash-diverges (found
+    # at sf0.1, row 'user 11525': one of 600k rows; invisible at
+    # sf0.01). floor of an identical IEEE product is bit-equal in
+    # both engines for every input.
     return base.join(m, "user_id").select(
         "event_id",
         "user_id",
         "event_type",
-        F.round(F.coalesce("value_gapped", "user_mean"), 4).alias(
-            "value_imputed"
-        ),
+        (
+            F.floor(
+                F.coalesce("value_gapped", "user_mean") * 10000.0 + 0.5
+            ).cast("double")
+            / 10000.0
+        ).alias("value_imputed"),
         F.col("value_gapped").isNull().alias("was_imputed"),
     )
 

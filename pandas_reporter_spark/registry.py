@@ -12,6 +12,17 @@ double aggregates must be bit-identical between Spark and DuckDB. Sums
 of doubles are accumulation-order dependent; both engines therefore sum
 exact integer units (round(x·10^s) as BIGINT — see tables.dsum) and
 divide back once.
+
+round() trap (found at sf0.1, round 8): Spark's round(double, s) goes
+through BigDecimal.valueOf — the double's SHORTEST decimal string —
+so a value whose shortest repr terminates in a 5 exactly at position
+s+1 ("39.88175" → .8818 half-up) diverges from DuckDB's numeric
+rounding of the binary value (39.88174999… → .8817). Only values that
+are near-exact short decimals (cents-derived means, prices) can hit
+it; p/q ratios with non-10-smooth q cannot tie. Where a rounded value
+derives from decimal-quantized inputs, use floor(x·10^s + 0.5)/10^s
+with the identical shape in the oracle (q_fillna_group is the
+exemplar) instead of round().
 """
 
 from __future__ import annotations
