@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q_sketch_bloom",
     "q_sketch_kmv",
     "q_embed_kmeans",
+    "q_agg_group_ols",
     "q_similarity_join_shuffled",
     # r7 addition that never got a bench row (VERDICT r7 missing #1)
     "q_text_bm25",

@@ -3511,3 +3511,122 @@ def q_agg_weighted_median_approx(spark, sf):
             ok.cast("long").alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend — exact-integer normal equations
+# ---------------------------------------------------------------------------
+
+
+def _ols_oracle() -> str:
+    """SQL twin of q_agg_group_ols: identical integer sums (HUGEINT
+    where the cross products exceed int64 — the engine's decimal-
+    widening discipline), identical IEEE ratio/quantize shapes."""
+    return """
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 AS xs,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS yc
+      FROM events
+    ),
+    mn AS (SELECT MIN(xs) AS x0 FROM base),
+    c AS (
+      SELECT event_type, xs - x0 AS x, yc AS y
+      FROM base CROSS JOIN mn
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM c GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n, sx, sy,
+             CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
+      FROM s
+    )
+    SELECT event_type, n,
+           CAST(floor(slope * 1000000000.0 + 0.5) AS BIGINT)
+             AS slope_nano,
+           CAST(floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+             AS intercept_cents
+    FROM f
+    """
+
+
+@query("q_agg_group_ols", oracle=_ols_oracle())
+def q_agg_group_ols(spark, sf):
+    """Per-group least-squares trend: slope and intercept of value
+    against event time per event_type — the segment-trend aggregate
+    (drift detection, metric regression over time) neither engine
+    ships grouped and closed-form.
+
+    Normal equations over EXACT integer sums: x = whole seconds since
+    the corpus min (recentring keeps Σx² ≤ ~4e18 inside int64 at
+    bench SFs), y = integer cents. The cross products n·Σxy and
+    Σx·Σy exceed int64, so they widen to decimal(38,0) — the same
+    widening discipline as pagerank's rank math (graph.py) — and the
+    final slope is ONE exact-integer→double conversion per operand
+    and one IEEE divide, written with the identical shape in the
+    oracle, then floor-quantized (nano-units: cents/second slopes
+    are ~1e-4). Slope/intercept are therefore value-hash-checked,
+    not tolerance-checked.
+
+    Plan: one scan → map-side-combined groupBy carrying five integer
+    partial sums; the corpus-min recentring scalar broadcasts. At
+    100 TB the only exchange is n_groups × 5 longs. (A deployment
+    with a multi-year time axis re-scales x to minutes/hours to keep
+    Σx² in range — the unit is a parameter, the discipline is not.)
+
+    Reference parity: none (driver-mandated analytics surface).
+    """
+    configure(spark)
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("xs"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("yc"),
+    )
+    x0 = base.agg(F.min("xs").alias("x0"))
+    c = base.crossJoin(F.broadcast(x0)).select(
+        "event_type",
+        (F.col("xs") - F.col("x0")).alias("x"),
+        F.col("yc").alias("y"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sy").cast(dec)
+    den = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sx").cast(dec)
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.floor(slope * 1000000000.0 + 0.5)
+        .cast("long")
+        .alias("slope_nano"),
+        F.floor(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("intercept_cents"),
+    )

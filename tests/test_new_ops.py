@@ -253,3 +253,39 @@ def test_weighted_median_two_phase_equals_full_sort(spark, tmp_path_factory):
         for r in q_agg_weighted_median(spark, str(tmp)).collect()
     }
     assert out == {"A": exact("A"), "B": exact("B")}
+
+
+def test_group_ols_recovers_planted_trend(spark, tmp_path):
+    """OLS over planted exact lines (2 and 5 cents/second) must
+    recover slope and intercept exactly: integer inputs on an exact
+    line make the normal equations closed-form exact."""
+    import datetime
+    import os
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for g, slope_cents in (("a", 2), ("b", 5)):
+        for i in range(100):
+            rows.append({
+                "event_id": len(rows),
+                "user_id": 1,
+                "event_type": g,
+                "ts": base + datetime.timedelta(seconds=i),
+                # value in currency units: cents = 300 + slope*i
+                "value": (300 + slope_cents * i) / 100.0,
+            })
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    out = {r["event_type"]: r for r in
+           QUERIES["q_agg_group_ols"](spark, sf).collect()}
+    assert out["a"]["n"] == 100 and out["b"]["n"] == 100
+    # slope_nano = cents/second * 1e9
+    assert out["a"]["slope_nano"] == 2_000_000_000
+    assert out["b"]["slope_nano"] == 5_000_000_000
+    assert out["a"]["intercept_cents"] == 300
+    assert out["b"]["intercept_cents"] == 300
