@@ -84,14 +84,18 @@ _PRIORITY = (
     # (2) the five r3-stale rows, flagship first. (3) the one query
     # whose in-plan verdict changed this round (the approx weighted
     # median's bound loosened binw/2 -> binw to absorb a one-ulp bin-
-    # edge misclassification; ADVICE r7). (4) 27 of the 29 r4-stale
-    # rows, alphabetical, plus the two late-r8 operators (KMV sketch,
-    # k-means codebook) in place of q_math_funcs/q_null_funcs (see
-    # inline notes). (5) 14 of the r5-stale rows, chosen where r8
-    # work concentrates: the four streaming queries (bench-floor work
-    # may touch their plumbing), the events trio, deep TPC-H joins,
-    # and the dedup/join heavies. After r8 records, only q_math_funcs
-    # and q_null_funcs are older than r5; 28 r5 rows remain for r9.
+    # edge misclassification; ADVICE r7). (4) 26 of the 29 r4-stale
+    # rows, alphabetical, plus the three late-r8 operators (OLS
+    # trend, KMV sketch, k-means codebook) taking the slots of the
+    # three scalar-pack refreshes q_map_funcs/q_math_funcs/
+    # q_null_funcs (see inline notes — a new operator's FIRST
+    # official row outranks one more staleness refresh; r7's verdict
+    # ranked exactly that as its top gap). (5) 14 of the r5-stale
+    # rows, chosen where r8 work concentrates: the four streaming
+    # queries (bench-floor work may touch their plumbing), the events
+    # trio, deep TPC-H joins, and the dedup/join heavies. After r8
+    # records, only the three displaced scalar packs are older than
+    # r5; 28 r5 rows remain for r9.
     "q_text_bm25",  # slot 1: never officially verified
     "q_tpch_q1",  # flagship, official row stale at r3
     "q_window_rank",
@@ -99,8 +103,8 @@ _PRIORITY = (
     "q_text_token_stats",
     "q_text_fingerprint",
     "q_agg_weighted_median_approx",  # re-prove: verdict bound loosened
-    # (4) the r4-stale rows, alphabetical (27 of 29 — two slots ceded
-    # to the late-r8 operators below)
+    # (4) the r4-stale rows, alphabetical (26 of 29 — three slots
+    # ceded to the late-r8 operators below)
     "q_array_funcs",
     "q_case_when",
     "q_dedup_cluster",
@@ -112,7 +116,9 @@ _PRIORITY = (
     "q_join_salted",
     "q_json_extract",
     "q_json_variant",
-    "q_map_funcs",
+    # late-r8 new operator (grouped OLS trend) — first official row
+    # (q_map_funcs stays r4-official, rotates in r9)
+    "q_agg_group_ols",
     # late-r8 new operator (KMV bottom-k sketch) — first official row
     # takes priority over one more scalar-pack staleness refresh
     # (q_math_funcs stays r4-official, judge-green every round,
