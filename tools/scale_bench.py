@@ -73,14 +73,17 @@ SCALE_QUERIES = [
     # late-r8 operators (KMV bottom-k, k-means codebook)
     "q_sketch_kmv",
     "q_embed_kmeans",
+    # the production hot-bucket guard across the decades
+    "q_dedup_minhash_capped",
 ]
 
 #: queries whose DuckDB oracle is interpreter-bound (list lambdas) at
 #: the high SF — duck recorded at the low SF only
 _SPARK_ONLY_HI = {"q_dedup_minhash"}
 #: ...and whose oracle is quadratic at EVERY SF (O(n²) name self-join,
-#: ~110 s at sf0.1) — duck skipped entirely
-_SPARK_ONLY_ALL = {"q_dedup_fuzzy"}
+#: ~110 s at sf0.1) or the same list-lambda minhash interpreter as
+#: q_dedup_minhash — duck skipped entirely
+_SPARK_ONLY_ALL = {"q_dedup_fuzzy", "q_dedup_minhash_capped"}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
