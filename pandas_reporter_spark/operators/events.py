@@ -293,13 +293,28 @@ def _read_events_stream(spark, sf: str) -> DataFrame:
         # this listing+inference again)
         raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
         _RAW_SCHEMA_CACHE[key] = raw_schema
-    # the file stream source monitors a DIRECTORY; glob-filter to the
-    # events table (on a cluster this is the landing dir new files drop into)
-    s = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
+    # The file stream source monitors a DIRECTORY (on a cluster: the
+    # landing dir new files drop into). Two physical layouts exist:
+    # the driver snapshot is a single FILE at {sf}/events.parquet
+    # (monitor {sf}, glob to that one name), while writer-produced
+    # tables — the make_sfn synthetic trees, any real ingest — are a
+    # DIRECTORY of part files (monitor the directory itself, glob
+    # *.parquet to skip _SUCCESS). Globbing the file name against a
+    # directory layout matches ZERO part files and silently streamed
+    # nothing — caught by the sf1 oracle sweep (round 8).
+    src = os.path.join(sf, "events.parquet")
+    if os.path.isdir(src):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+    else:
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
     return normalize_ts(s).select(*batch.columns)
 
 

@@ -1041,8 +1041,8 @@ def q_text_repetition(spark, sf):
       FROM cnt, tot
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           round(CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
-             AS mean_logprob
+           CAST(floor(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) + 0.5)
+                AS DOUBLE) / 1000000.0 AS mean_logprob
     FROM tok2 JOIN lp USING (token)
     GROUP BY doc_id
     """,
@@ -1061,7 +1061,12 @@ def q_text_logprob(spark, sf):
     join the dictionary and reduce per doc_id. Per-token logprobs are
     quantized to micro-unit longs before summing, so the per-doc mean
     is accumulation-order independent; ln() at 6dp matches DuckDB
-    (same discipline as the green TF-IDF/math-pack queries).
+    (same discipline as the green TF-IDF/math-pack queries). The
+    per-doc mean quantizes with floor(S/n + .5)/1e6, NOT round(·, 6):
+    S/(1e6·n) can terminate exactly at a 7th-decimal 5 when n is
+    10-smooth, and Spark's round (BigDecimal over the shortest repr)
+    then diverges from DuckDB's numeric rounding — found by the sf1
+    sweep (round 8), same trap as q_fillna_group.
 
     Reference parity: none (driver-mandated pipeline surface, SURVEY
     §2.3 text family).
@@ -1088,11 +1093,15 @@ def q_text_logprob(spark, sf):
             .groupBy("doc_id")
             .agg(
                 F.sum("tf").alias("n_tokens"),
-                F.round(
-                    F.sum(F.col("tf") * F.col("lp_micro")).cast("double")
+                (
+                    F.floor(
+                        F.sum(F.col("tf") * F.col("lp_micro")).cast(
+                            "double"
+                        )
+                        / F.sum("tf")
+                        + 0.5
+                    ).cast("double")
                     / 1000000.0
-                    / F.sum("tf"),
-                    6,
                 ).alias("mean_logprob"),
             )
         )
@@ -1116,9 +1125,12 @@ def q_text_logprob(spark, sf):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("lp_micro").cast("double") / 1000000.0 / F.count(F.lit(1)),
-                6,
+            (
+                F.floor(
+                    F.sum("lp_micro").cast("double") / F.count(F.lit(1))
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
             ).alias("mean_logprob"),
         )
     )

@@ -55,8 +55,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata tables are single files; the make_sfn
+        # synthetic trees are multi-file directories — glob those
+        p = f"{sf}/{t}.parquet"
+        glob = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
         )
 
     results = {}
