@@ -3519,9 +3519,11 @@ def q_agg_weighted_median_approx(spark, sf):
 
 
 def _ols_oracle() -> str:
-    """SQL twin of q_agg_group_ols: identical integer sums (HUGEINT
-    where the cross products exceed int64 — the engine's decimal-
-    widening discipline), identical IEEE ratio/quantize shapes."""
+    """SQL twin of q_agg_group_ols: every sum and product widened
+    past int64 (HUGEINT here, decimal(38,0) in the Spark plan — both
+    exact integer arithmetic), identical IEEE ratio/quantize shapes.
+    The products widen BEFORE multiplying so DuckDB cannot raise an
+    out-of-range error where Spark's decimal math proceeds."""
     return """
     WITH base AS (
       SELECT event_type,
@@ -3531,7 +3533,9 @@ def _ols_oracle() -> str:
     ),
     mn AS (SELECT MIN(xs) AS x0 FROM base),
     c AS (
-      SELECT event_type, xs - x0 AS x, yc AS y
+      SELECT event_type,
+             CAST(xs - x0 AS HUGEINT) AS x,
+             CAST(yc AS HUGEINT) AS y
       FROM base CROSS JOIN mn
     ),
     s AS (
@@ -3567,15 +3571,17 @@ def q_agg_group_ols(spark, sf):
     ships grouped and closed-form.
 
     Normal equations over EXACT integer sums: x = whole seconds since
-    the corpus min (recentring keeps Σx² ≤ ~4e18 inside int64 at
-    bench SFs), y = integer cents. The cross products n·Σxy and
-    Σx·Σy exceed int64, so they widen to decimal(38,0) — the same
-    widening discipline as pagerank's rank math (graph.py) — and the
-    final slope is ONE exact-integer→double conversion per operand
-    and one IEEE divide, written with the identical shape in the
-    oracle, then floor-quantized (nano-units: cents/second slopes
-    are ~1e-4). Slope/intercept are therefore value-hash-checked,
-    not tolerance-checked.
+    the corpus min, y = integer cents. ALL four sums (Σx, Σy, Σx²,
+    Σxy) and the n·Σxy / Σx·Σy cross products accumulate as
+    decimal(38,0) — the same widening discipline as pagerank's rank
+    math (graph.py) — because non-ANSI LongType sums wrap silently
+    while DuckDB's SUM(BIGINT) auto-widens to HUGEINT (a corpus with
+    a multi-year axis or 100× rows pushes Σx² past int64). The final
+    slope is ONE exact-integer→double conversion per operand and one
+    IEEE divide, written with the identical shape in the oracle, then
+    floor-quantized (nano-units: cents/second slopes are ~1e-4).
+    Slope/intercept are therefore value-hash-checked, not
+    tolerance-checked.
 
     Plan: one scan → map-side-combined groupBy carrying five integer
     partial sums; the corpus-min recentring scalar broadcasts. At
@@ -3598,14 +3604,22 @@ def q_agg_group_ols(spark, sf):
         (F.col("xs") - F.col("x0")).alias("x"),
         F.col("yc").alias("y"),
     )
+    # Widened accumulation (ADVICE r8, medium): plain LongType sums
+    # wrap silently in non-ANSI Spark while DuckDB's SUM(BIGINT)
+    # auto-widens to HUGEINT — on a corpus whose Σx² exceeds int64
+    # (wider time axis or 100× rows) the engines would silently
+    # diverge. Cast each term to decimal(38,0) BEFORE both the
+    # product and the sum so neither the x·x product nor the
+    # accumulator can wrap; the oracle mirrors with HUGEINT products.
+    dec = "decimal(38,0)"
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
     s = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
     )
-    dec = "decimal(38,0)"
     num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col(
         "sx"
     ).cast(dec) * F.col("sy").cast(dec)

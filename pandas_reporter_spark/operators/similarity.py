@@ -958,6 +958,18 @@ _KM_QUANT = (
     "transform({c}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D"
     " + 0.5D) AS BIGINT))"
 )
+
+#: dim-guarded quantizer (ADVICE r8): the oracle's distance/update SQL
+#: unrolls over a FIXED dim, so a corpus with a different embedding
+#: width must fail loudly in the Spark plan rather than silently
+#: compute over mismatched dimensionality (DuckDB's out-of-range list
+#: index yields NULL, not an error). raise_error is NullType, so the
+#: CASE coerces cleanly to array<bigint>.
+_KM_QUANT_CHECKED = (
+    "CASE WHEN size({c}) = {dim} THEN " + _KM_QUANT + " ELSE"
+    " raise_error(concat('q_embed_kmeans: embedding dim ',"
+    " CAST(size({c}) AS STRING), ' != oracle-unrolled dim {dim}')) END"
+)
 #: squared L2 between two micro-unit arrays — pure int64 (|diff| <=
 #: ~6e6 -> diff^2 <= 3.6e13, x64 dims <= 2.3e15, far under 2^63)
 _KM_D = (
@@ -1073,7 +1085,9 @@ def q_embed_kmeans(spark, sf):
     q = (
         e.select(
             "vec_id",
-            F.expr(_KM_QUANT.format(c="embedding")).alias("xq"),
+            F.expr(
+                _KM_QUANT_CHECKED.format(c="embedding", dim=_KM_DIM)
+            ).alias("xq"),
         )
         .persist()
     )

@@ -78,97 +78,74 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-8 ROTATION. ----
-    # (1) q_text_bm25 — the ONE query of 175 with no official driver
-    # row (added in the final r7 commit; VERDICT r7 'Next round' #2).
-    # (2) the five r3-stale rows, flagship first. (3) the one query
-    # whose in-plan verdict changed this round (the approx weighted
-    # median's bound loosened binw/2 -> binw to absorb a one-ulp bin-
-    # edge misclassification; ADVICE r7). (4) 26 of the 29 r4-stale
-    # rows, alphabetical, plus the three late-r8 operators (OLS
-    # trend, KMV sketch, k-means codebook) taking the slots of the
-    # three scalar-pack refreshes q_map_funcs/q_math_funcs/
-    # q_null_funcs (see inline notes — a new operator's FIRST
-    # official row outranks one more staleness refresh; r7's verdict
-    # ranked exactly that as its top gap). (5) 14 of the r5-stale
-    # rows, chosen where r8 work concentrates: the four streaming
-    # queries (bench-floor work may touch their plumbing), the events
-    # trio, deep TPC-H joins, and the dedup/join heavies. After r8
-    # records, only the three displaced scalar packs are older than
-    # r5; 28 r5 rows remain for r9.
-    "q_text_bm25",  # slot 1: never officially verified
-    "q_tpch_q1",  # flagship, official row stale at r3
-    "q_window_rank",
-    "q_text_tokens",
-    "q_text_token_stats",
-    "q_text_fingerprint",
-    "q_agg_weighted_median_approx",  # re-prove: verdict bound loosened
-    # (4) the r4-stale rows, alphabetical (26 of 29 — three slots
-    # ceded to the late-r8 operators below)
-    "q_array_funcs",
-    "q_case_when",
-    "q_dedup_cluster",
-    "q_dedup_embedding",
-    "q_explode",
-    "q_groupby_mean",
-    "q_groupby_rss",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_json_extract",
-    "q_json_variant",
-    # late-r8 new operator (grouped OLS trend) — first official row
-    # (q_map_funcs stays r4-official, rotates in r9)
-    "q_agg_group_ols",
-    # late-r8 new operator (KMV bottom-k sketch) — first official row
-    # takes priority over one more scalar-pack staleness refresh
-    # (q_math_funcs stays r4-official, judge-green every round,
-    # rotates in r9; the r7 verdict ranked a new operator without an
-    # official row as its top gap)
-    "q_sketch_kmv",
-    "q_multimodal_frame_sample",
-    "q_multimodal_pack",
-    # late-r8 new operator (k-means codebook training) — same
-    # first-official-row priority as q_sketch_kmv above
-    # (q_null_funcs stays r4-official, rotates in r9)
-    "q_embed_kmeans",
-    "q_partition_pruned_scan",
-    "q_pipeline_curate",
-    "q_sample_stratified",
-    "q_similarity_join",
-    "q_similarity_topk",
-    "q_sink_parquet",
-    "q_source_csv_roundtrip",
-    "q_sum_m",
-    "q_text_chunk",
-    "q_text_pack",
-    "q_text_quality",
-    "q_text_redact",
-    "q_varrep_moe",
-    # (5) 14 r5-stale rows where round-8 work concentrates
-    "q_events_stateful",
-    "q_stream_file_sink",
-    "q_stream_stream_join",
-    "q_stream_enrich",
-    # round-8 new operator (bucket-local similarity join) — first
-    # official row; q_events_tumbling stays r5 and rotates in r9
-    "q_similarity_join_shuffled",
-    "q_events_session",
-    # plan changed this round (two-phase exact rework) — re-prove;
-    # q_events_funnel stays r5-official and rotates in r9
-    "q_agg_weighted_median",
-    "q_tpch_q3",
-    # round-8 new operators (portable Bloom membership sketch,
-    # incremental batch-vs-corpus LSH dedup) — first official rows;
-    # q_tpch_q4/q_tpch_q6 stay r5 and rotate in r9
-    "q_sketch_bloom",
-    "q_dedup_minhash_incremental",
-    "q_tpch_q18",
-    "q_dedup_fuzzy",
-    "q_dedup_spans",
-    # round-8 new operator: the production hot-bucket guard as a
-    # verified candidate-set query (takes the 50th slot; q_join_band
-    # stays r5-official and rotates in r9)
-    "q_dedup_minhash_capped",
+    # ---- ROUND-9 ROTATION: retire all pre-r6 staleness in one pass. ----
+    # The VERDICT r8 top item: after r8 the cumulative record holds
+    # exactly 36 rows older than r6 (3 r4-official scalar packs + 33
+    # r5-official rows — the verdict's prose said 31, the recomputed
+    # record says 36; the record wins). 36 + 14 = 50, so this prefix is
+    # fully determined: every pre-r6 row, then 14 r6 rows chosen where
+    # round-9 work concentrates (TPC-H join-layout A/B on q5/q9/q2/q21
+    # per the verdict, plus the LSH/dedup/text paths the occupancy-aware
+    # bucket work and the partition-constant lift touch). After the r9
+    # record: zero rows older than r6, and every remaining r6 row is one
+    # the r9 session left untouched or re-verified locally.
+    # (1) the 3 r4 survivors — oldest first.
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_null_funcs",
+    # (2) all 33 r5-official rows, alphabetical (events batch family,
+    # deep windows, TPC-H q4/q6/q14, band/broadcast/bloom joins,
+    # merge-upsert, heavy-hitters, unpivot, profile, mix-epochs, ...).
+    "q_agg_histogram",
+    "q_agg_mode",
+    "q_agg_stringagg",
+    "q_embed_quantize",
+    "q_events_anomaly",
+    "q_events_funnel",
+    "q_events_late",
+    "q_events_resample",
+    "q_events_retention",
+    "q_events_sliding",
+    "q_events_stream_dedup",
+    "q_events_stream_session",
+    "q_events_transitions",
+    "q_events_tumbling",
+    "q_fillna_group",
+    "q_filter_quantile",
+    "q_join_band",
+    "q_join_bloom_pruned",
+    "q_join_broadcast",
+    "q_layout_sorted_scan",
+    "q_merge_upsert",
+    "q_mix_epochs",
+    "q_profile_table",
+    "q_sketch_heavy_hitters",
+    "q_source_schema_merge",
+    "q_text_repetition",
+    "q_tpch_q14",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_window_ntile",
+    "q_window_rolling",
+    # (3) 14 r6 rows: the four TPC-H joins this round's bucketed-layout
+    # A/B targets, then the similarity/dedup/text queries whose code
+    # paths the occupancy-aware LSH + partition-constant work touches.
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q2",
+    "q_tpch_q21",
+    "q_similarity_ann_lsh",
+    "q_similarity_ivf",
+    "q_dedup_minhash",
+    "q_dedup_incremental",
+    "q_dedup_containment",
+    "q_dedup_simhash",
+    "q_text_kl_divergence",
+    "q_text_langid",
+    "q_text_tfidf",
+    "q_pipeline_pretrain",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
