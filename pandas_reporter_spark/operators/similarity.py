@@ -966,7 +966,11 @@ _KM_QUANT = (
 #: index yields NULL, not an error). raise_error is NullType, so the
 #: CASE coerces cleanly to array<bigint>.
 _KM_QUANT_CHECKED = (
-    "CASE WHEN size({c}) = {dim} THEN " + _KM_QUANT + " ELSE"
+    "CASE WHEN size({c}) = {dim} THEN " + _KM_QUANT
+    + " WHEN {c} IS NULL THEN"
+    " raise_error('q_embed_kmeans: embedding is NULL"
+    " (expected array<float> of dim {dim})')"
+    " ELSE"
     " raise_error(concat('q_embed_kmeans: embedding dim ',"
     " CAST(size({c}) AS STRING), ' != oracle-unrolled dim {dim}')) END"
 )

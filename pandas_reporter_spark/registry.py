@@ -78,74 +78,69 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-9 ROTATION: retire all pre-r6 staleness in one pass. ----
-    # The VERDICT r8 top item: after r8 the cumulative record holds
-    # exactly 36 rows older than r6 (3 r4-official scalar packs + 33
-    # r5-official rows — the verdict's prose said 31, the recomputed
-    # record says 36; the record wins). 36 + 14 = 50, so this prefix is
-    # fully determined: every pre-r6 row, then 14 r6 rows chosen where
-    # round-9 work concentrates (TPC-H join-layout A/B on q5/q9/q2/q21
-    # per the verdict, plus the LSH/dedup/text paths the occupancy-aware
-    # bucket work and the partition-constant lift touch). After the r9
-    # record: zero rows older than r6, and every remaining r6 row is one
-    # the r9 session left untouched or re-verified locally.
-    # (1) the 3 r4 survivors — oldest first.
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_null_funcs",
-    # (2) all 33 r5-official rows, alphabetical (events batch family,
-    # deep windows, TPC-H q4/q6/q14, band/broadcast/bloom joins,
-    # merge-upsert, heavy-hitters, unpivot, profile, mix-epochs, ...).
-    "q_agg_histogram",
-    "q_agg_mode",
-    "q_agg_stringagg",
-    "q_embed_quantize",
-    "q_events_anomaly",
-    "q_events_funnel",
-    "q_events_late",
-    "q_events_resample",
-    "q_events_retention",
-    "q_events_sliding",
-    "q_events_stream_dedup",
-    "q_events_stream_session",
-    "q_events_transitions",
-    "q_events_tumbling",
-    "q_fillna_group",
-    "q_filter_quantile",
-    "q_join_band",
-    "q_join_bloom_pruned",
-    "q_join_broadcast",
-    "q_layout_sorted_scan",
-    "q_merge_upsert",
-    "q_mix_epochs",
-    "q_profile_table",
-    "q_sketch_heavy_hitters",
-    "q_source_schema_merge",
-    "q_text_repetition",
-    "q_tpch_q14",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_unpivot",
-    "q_window_firstlast",
-    "q_window_ntile",
-    "q_window_rolling",
-    # (3) 14 r6 rows: the four TPC-H joins this round's bucketed-layout
-    # A/B targets, then the similarity/dedup/text queries whose code
-    # paths the occupancy-aware LSH + partition-constant work touches.
-    "q_tpch_q5",
-    "q_tpch_q9",
-    "q_tpch_q2",
-    "q_tpch_q21",
-    "q_similarity_ann_lsh",
-    "q_similarity_ivf",
-    "q_dedup_minhash",
-    "q_dedup_incremental",
-    "q_dedup_containment",
-    "q_dedup_simhash",
-    "q_text_kl_divergence",
-    "q_text_langid",
-    "q_text_tfidf",
-    "q_pipeline_pretrain",
+    # ---- ROUND-10 ROTATION. After r9 the cumulative record holds zero
+    # rows older than r6; the stalest cohorts are 33 r6 rows and 49 r7
+    # rows. This prefix: (1) the two ADVICE-r9 queries whose code
+    # changed in r9 AFTER their last official row (decimal widening in
+    # q_agg_group_ols, dim guard in q_embed_kmeans — their r8 rows are
+    # code-stale); (2) all 33 r6-official rows (TPC-H q7..q22 cohort,
+    # multimodal, sources, text deep cuts); (3) 15 r7 rows chosen where
+    # round-10 work lands: the partition-constant lift touches graph/
+    # dedup paths (pagerank, ngram_jaccard, exact, keep_first), the
+    # large-star CC rework sits under dedup, and the remaining slots
+    # re-prove the heaviest r7 relational representatives.
+    "q_agg_group_ols",
+    "q_embed_kmeans",
+    # (2) all 33 r6-official rows, alphabetical.
+    "q_census_workflow",
+    "q_embed_centroids",
+    "q_events_interpolate",
+    "q_mix_temperature",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_pivot",
+    "q_sample",
+    "q_similarity_maxsim",
+    "q_sketch_cms",
+    "q_sketch_quantile",
+    "q_source_cr_bulk",
+    "q_source_cr_pivot",
+    "q_split_train_val",
+    "q_text_chi2",
+    "q_text_decontaminate",
+    "q_text_logprob",
+    "q_text_normalize",
+    "q_text_vocab_overlap",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_udf_pandas",
+    "q_varrep_source",
+    # (3) 15 r7 rows on this round's changed code paths + heavy reps.
+    "q_graph_pagerank",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_exact",
+    "q_dedup_keep_first",
+    "q_join_inner",
+    "q_join_asof",
+    "q_join_range",
+    "q_agg_global",
+    "q_agg_multi",
+    "q_agg_stats",
+    "q_window_running_sum",
+    "q_topk_per_group",
+    "q_sketch_hll",
+    "q_agg_approx_countd",
+    "q_scan_parquet",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
