@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pandas_reporter_spark.registry import query
-from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.session import configure, work_partitions
 from pandas_reporter_spark.tables import load
 
 
@@ -512,10 +512,10 @@ def materialize_minhash(spark, sf, base: str = "/dev/shm") -> None:
         if not os.path.exists(os.path.join(hs_out, "_SUCCESS")):
             with_hashed_shingles(docs).select(
                 "doc_id", "hs"
-            ).repartition(16).write.mode("overwrite").parquet(hs_out)
+            ).repartition(work_partitions(spark, 16)).write.mode("overwrite").parquet(hs_out)
         hs_df = spark.read.parquet(hs_out)
         if not os.path.exists(os.path.join(bd_out, "_SUCCESS")):
-            _band_signatures(hs_df).repartition(16).write.mode(
+            _band_signatures(hs_df).repartition(work_partitions(spark, 16)).write.mode(
                 "overwrite"
             ).parquet(bd_out)
         _MH_ART[key] = (hs_df, spark.read.parquet(bd_out))
@@ -896,22 +896,10 @@ def q_dedup_cluster(spark, sf):
     EDGES; production dedup needs GROUPS — near-duplication is
     transitive in effect (A~B, B~C => keep one of {A,B,C}), so the
     canonical form is one keeper per connected component. Computed by
-    iterative min-label propagation, the Pregel/GraphX pattern on plain
-    DataFrames:
-
-      labels[i+1](n) = min(labels[i](n), min over in-neighbors m of
-                           labels[i](m))
-
-    - Edges materialize ONCE (persist) in both directions; each
-      iteration shuffles only (node, label) pairs — never text.
-    - Convergence via a SUM aggregate, not a join: labels only ever
-      decrease, so total(labels) is strictly monotone until fixpoint —
-      one cheap action per iteration instead of an equality self-join.
-    - Iterations = component diameter. Dup clusters are near-cliques
-      (diameter 2-3); the 500-doc test corpus converges in 5. For
-      adversarial long-path graphs at 100 TB, swap the step for
-      large-star/small-star (Kiveris et al.) — same loop skeleton,
-      O(log n) rounds guaranteed.
+    large-star/small-star alternation (see `connected_components`):
+    O(log n) rounds regardless of component diameter, lineage truncated
+    per round via localCheckpoint — shuffles only (node, node) pairs,
+    never text.
     - Oracle: DuckDB recursive CTE computes min reachable id per node
       — exact transitive closure, feasible at verify scale only.
 
@@ -924,58 +912,126 @@ def q_dedup_cluster(spark, sf):
     return connected_components(nodes, pairs, "doc_a", "doc_b")
 
 
+#: rounds the last connected_components call took to converge —
+#: introspection hook for the O(log n) pin in tests/test_dedup.py
+CC_LAST_ROUNDS = 0
+
+
+def _large_star(E):
+    """Kiveris large-star: every node links its strictly-LARGER
+    neighbors to the min of its closed neighborhood. Input/output
+    edges point down (u > v)."""
+    bid = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = bid.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        bid.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(E):
+    """Kiveris small-star: every node links its smaller neighbors
+    (all of them, in the down-pointing representation) AND itself to
+    the neighborhood min."""
+    m = E.groupBy("u").agg(F.min("v").alias("m"))
+    linked = (
+        E.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = m.select(F.col("u"), F.col("m").alias("v"))
+    return linked.union(self_link).distinct()
+
+
 def connected_components(nodes, pairs, src: str, dst: str):
     """(doc_id, cluster_id): min node id reachable from each node.
 
-    Min-label propagation over persisted bidirectional edges; see
-    q_dedup_cluster for the convergence and 100 TB notes.
-    """
-    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        # the iterative joins are tiny; 8 partitions beats the session
-        # default (fewer empty-task rounds per iteration, measured)
-        .repartition(8, "src")
-        .persist()
-    )
-    edges.count()  # materialize once: iterations must not re-run the pair join
+    Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds
+    REGARDLESS of component diameter, replacing the r5-r9 min-label
+    propagation whose round count equaled the diameter (fine for
+    near-clique dup clusters, pathological for chain graphs; VERDICT
+    r8 item 7). Each round:
 
-    labels = (
-        nodes.select(
-            F.col(nodes.columns[0]).alias("doc_id"),
-            F.col(nodes.columns[0]).alias("cluster_id"),
-        )
-        .repartition(8, "doc_id")
-        .persist()
+      E <- small_star(large_star(E))
+
+    with edges kept in the down-pointing canonical form (u > v).
+    Fixpoint detection: E only shrinks toward the star form where every
+    non-root points at its component root; we compare a (count,
+    xxhash64-sum) checksum across rounds — equal checksum => the edge
+    SET is unchanged (hash-sum collision odds ~2^-64 per round), and a
+    star set is stable under both operators, so unchanged == converged.
+
+    - Per round: 2 shuffles (the two groupBys) + the join back — all on
+      (node, node) pairs, never payload; edge count is bounded by the
+      input pair count and shrinks monotonically in practice.
+    - Labels fall out of the converged star: cluster_id(u) = min direct
+      neighbor (the root), singletons label themselves via the left
+      join. min() (not first()) guards the theoretical pre-fixpoint
+      checksum-collision case — the star root IS the min.
+    - Oracle: DuckDB recursive CTE computes min reachable id per node
+      — exact transitive closure, feasible at verify scale only.
+    """
+    global CC_LAST_ROUNDS
+    # session-derived (VERDICT r8 item 6): floor 8 keeps the measured
+    # local minimum (fewer empty-task rounds per tiny iteration);
+    # defaultParallelism scales the same loop to cluster slot count
+    nparts = work_partitions(nodes.sparkSession, 8)
+    node_col = nodes.columns[0]
+    raw = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
     )
-    prev_total = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(64):  # safety bound; diameter-round convergence
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-            .withColumnRenamed("dst", "doc_id")
+    # localCheckpoint (not persist): each star round references E ~4×,
+    # so un-truncated lineage grows as 4^rounds and OOMs the ANALYZER
+    # before any data moves (hit at 9 rounds on a 256-edge graph).
+    # Checkpointing materializes AND cuts the logical plan per round —
+    # the GraphX/iterative-algorithm posture. On a cluster swap for
+    # reliable checkpoint(dir) for executor-loss recovery.
+    E = (
+        raw.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-        new = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
+        .distinct()
+        .repartition(nparts, "u")
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    prev = checksum(E)
+    CC_LAST_ROUNDS = 0
+    if prev[0] > 0:
+        for _ in range(32):  # safety bound; O(log n) expected
+            CC_LAST_ROUNDS += 1
+            new = (
+                _small_star(_large_star(E))
+                .repartition(nparts, "u")
+                .localCheckpoint(eager=True)
             )
-            .persist()
+            cur = checksum(new)
+            E = new
+            if cur == prev:  # unchanged edge set == star fixpoint
+                break
+            prev = cur
+
+    roots = E.groupBy("u").agg(F.min("v").alias("root"))
+    labels = (
+        nodes.select(F.col(node_col).alias("doc_id"))
+        .join(roots, F.col("doc_id") == F.col("u"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("root", F.col("doc_id")).alias("cluster_id"),
         )
-        total = new.agg(F.sum("cluster_id")).collect()[0][0]
-        labels.unpersist()
-        labels = new
-        if total == prev_total:  # monotone => equal sum == fixpoint
-            break
-        prev_total = total
-    edges.unpersist()
+    )
     return labels
 
 

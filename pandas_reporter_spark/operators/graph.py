@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pandas_reporter_spark.registry import query
-from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.session import configure, work_partitions
 from pandas_reporter_spark.tables import load
 
 #: damping 0.85 as the integer pair 85/100; rank unit = 1e6.
@@ -110,9 +110,9 @@ def materialize_graph(spark, sf, base: str = "/dev/shm") -> None:
     try:
         ej, nodes = _edges_nodes(spark, sf)
         if not os.path.exists(os.path.join(ej_out, "_SUCCESS")):
-            ej.repartition(8).write.mode("overwrite").parquet(ej_out)
+            ej.repartition(work_partitions(spark)).write.mode("overwrite").parquet(ej_out)
         if not os.path.exists(os.path.join(nd_out, "_SUCCESS")):
-            nodes.repartition(8).write.mode("overwrite").parquet(nd_out)
+            nodes.repartition(work_partitions(spark)).write.mode("overwrite").parquet(nd_out)
         _GRAPH_ART[key] = _copartition(
             spark.read.parquet(ej_out),
             spark.read.parquet(nd_out),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
 from pandas_reporter_spark.registry import query
-from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.session import configure, work_partitions
 from pandas_reporter_spark.tables import load
 
 
@@ -225,7 +225,7 @@ def materialize_lsh_signatures(spark, sf, base: str = "/dev/shm") -> None:
     try:
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             e = _load(spark, sf, "embeddings")
-            lsh_signatures(e).repartition(8).write.mode(
+            lsh_signatures(e).repartition(work_partitions(spark)).write.mode(
                 "overwrite"
             ).parquet(out)
         _SIG_ART[key] = spark.read.parquet(out)

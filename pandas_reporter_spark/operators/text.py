@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pandas_reporter_spark.registry import query
-from pandas_reporter_spark.session import configure
+from pandas_reporter_spark.session import configure, work_partitions
 from pandas_reporter_spark.tables import davg, load
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
@@ -93,7 +93,7 @@ def materialize_doc_tokens(spark, sf, base: str = "/dev/shm") -> None:
                 )
                 .groupBy("doc_id", "lang", "source", "token")
                 .agg(F.count(F.lit(1)).alias("tf"))
-                .repartition(16)
+                .repartition(work_partitions(spark, 16))
                 .write.mode("overwrite")
                 .parquet(out)
             )

@@ -75,6 +75,24 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_connected_components_pathological_chain_logn_rounds(spark):
+    # the VERDICT r8 item-7 pin: a 256-node PATH graph (diameter 255)
+    # must converge in O(log n) large/small-star rounds, not O(diameter)
+    # — the failure mode of the retired min-label propagation.
+    import pandas_reporter_spark.operators.dedup as dd
+
+    n = 256
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    labels = connected_components(nodes, pairs, "doc_a", "doc_b").collect()
+    assert all(r["cluster_id"] == 0 for r in labels)
+    assert len(labels) == n
+    # 2*ceil(log2 n) + slack; min-label would need ~255 rounds
+    assert 1 <= dd.CC_LAST_ROUNDS <= 20, dd.CC_LAST_ROUNDS
+
+
 def test_span_dedup_drops_repeated_boilerplate(spark, tmp_path_factory):
     import os
 
