@@ -93,12 +93,61 @@ def q_similarity_topk(spark, sf):
     )
 
 
-#: LSH geometry: 8 hash tables × 8 signed hyperplanes. Candidates are
-#: vectors sharing ANY table's 8-bit bucket with the query —
-#: P(candidate | cosθ) = 1 - (1 - (1 - θ/π)^8)^8 (≈0.9999 at cos 0.99).
-#: At 100 TB the recall/cost dials are _N_TABLES (L) and _N_PLANES (b):
-#: bucket population ~ n/2^b, so b grows with log n to keep buckets flat.
-_N_TABLES, _N_PLANES = 8, 8
+#: LSH geometry: 8 hash tables × b signed hyperplanes, where b is
+#: OCCUPANCY-AWARE (VERDICT r8 item 5): bucket population ~ n/2^b, so
+#: b = clamp(ceil(log2(n / _OCC_TARGET)), _B_LO, _B_HI) holds expected
+#: occupancy ≈ _OCC_TARGET per bucket as the corpus grows — within-
+#: bucket pair volume stays ~flat per decade instead of ~100×.
+#: Candidates are vectors sharing ANY table's b-bit bucket;
+#: P(candidate | cosθ) = 1 - (1 - (1 - θ/π)^b)^L. Recall at a given
+#: cosine is held by L (_N_TABLES) while b tracks corpus size.
+#: The rule is evaluated IDENTICALLY on both engines: Spark derives b
+#: from a cached count(*), and the oracle SQL computes the same
+#: LEAST/GREATEST/ceil/log2 chain from count(*) in-query — same
+#: integer count, same IEEE log2, same b, same buckets.
+#: _B_HI bounds the oracle's unrolled plane VALUES table; a 100 TB
+#: deployment raises it (log2(1e12/8) ≈ 37 planes — still one bigint
+#: signature) without touching the pipeline shape.
+_N_TABLES = 8
+_B_LO, _B_HI = 6, 20
+_OCC_TARGET = 8.0
+#: plane-constant namespace stride: plane identity (table, plane) must
+#: NOT depend on the runtime b, so the splitmix base uses a fixed
+#: stride ≥ _B_HI rather than the live plane count
+_B_STRIDE = 32
+
+
+def lsh_planes_for(n: int) -> int:
+    """Occupancy rule: smallest b with n/2^b <= _OCC_TARGET, clamped.
+
+    Oracle twin (exact):
+    LEAST(20, GREATEST(6, CAST(ceil(log2(GREATEST(n,1)/8.0)) AS INT)))
+    — n is an exact integer in both engines, /8.0 is a power-of-two
+    scale (exact), and libm log2/ceil agree bit-for-bit on identical
+    doubles, so Spark and DuckDB always pick the same b.
+    """
+    import math
+
+    return min(_B_HI, max(_B_LO, math.ceil(math.log2(max(n, 1) / _OCC_TARGET))))
+
+
+#: (session_key, sf) -> derived plane count — one count(*) job per
+#: session/corpus, not per query
+_B_CACHE: dict = {}
+
+
+def corpus_planes(e: DataFrame, spark=None, sf=None) -> int:
+    """b for this corpus, cached per (session, sf) when known."""
+    if spark is not None and sf is not None:
+        from pandas_reporter_spark.tables import _session_key
+
+        key = (_session_key(spark), sf)
+        b = _B_CACHE.get(key)
+        if b is None:
+            b = lsh_planes_for(e.count())
+            _B_CACHE[key] = b
+        return b
+    return lsh_planes_for(e.count())
 
 
 def _mix64(x: int) -> int:
@@ -121,14 +170,19 @@ def plane_signs(table: int, plane: int, dim: int = 64) -> list[float]:
     membership (and therefore the candidate-pair set) is EXACTLY
     reproducible in the oracle, not just approximately.
     """
-    base = (table * _N_PLANES + plane) << 8
+    base = (table * _B_STRIDE + plane) << 8
     return [1.0 if _mix64(base | i) & 1 else -1.0 for i in range(dim)]
 
 
-def lsh_signatures(df: DataFrame) -> DataFrame:
-    """(vec_id, tbl, sig): one 8-bit bucket signature per hash table.
+def lsh_signatures(df: DataFrame, planes: int | None = None) -> DataFrame:
+    """(vec_id, tbl, sig): one b-bit bucket signature per hash table.
 
-    ONE Arrow-batched projection computes all _N_TABLES×_N_PLANES dots
+    `planes=None` derives b from the frame's own count via the
+    occupancy rule (`lsh_planes_for`); corpus-query callers pass the
+    session-cached `corpus_planes(...)` value instead so the count job
+    runs once per (session, sf).
+
+    ONE Arrow-batched projection computes all _N_TABLES×b dots
     per vector and bit-packs sig_t = Σ_p 2^p·[dot_p ≥ 0]; posexplode
     fans out to one row per (vec, tbl). ZERO shuffle, and the
     embedding payload never leaves the scan stage.
@@ -155,12 +209,13 @@ def lsh_signatures(df: DataFrame) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
+    b = planes if planes is not None else lsh_planes_for(df.count())
     signs = np.array(
         [
-            [plane_signs(t, p) for p in range(_N_PLANES)]
+            [plane_signs(t, p) for p in range(b)]
             for t in range(_N_TABLES)
         ]
-    )  # (_N_TABLES, _N_PLANES, dim) of ±1.0
+    )  # (_N_TABLES, b, dim) of ±1.0
 
     @pandas_udf("array<long>")
     def _sigs(col: pd.Series) -> pd.Series:
@@ -170,7 +225,7 @@ def lsh_signatures(df: DataFrame) -> DataFrame:
         n, dim = m.shape
         out = np.zeros((n, _N_TABLES), dtype=np.int64)
         for t in range(_N_TABLES):
-            for p in range(_N_PLANES):
+            for p in range(b):
                 acc = np.zeros(n, dtype=np.float64)
                 s = signs[t, p]
                 for i in range(dim):  # ascending i = oracle's sum order
@@ -218,16 +273,21 @@ def materialize_lsh_signatures(spark, sf, base: str = "/dev/shm") -> None:
         src_tag = int(os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
     except OSError:
         src_tag = 0
-    out = os.path.join(
-        base,
-        f"prs_lshsig_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
-    )
     try:
+        e = _load(spark, sf, "embeddings")
+        # occupancy-aware geometry: b in the path invalidates any
+        # artifact written under a different plane count (r9 and
+        # earlier wrote fixed-8 signatures)
+        b = corpus_planes(e, spark, sf)
+        out = os.path.join(
+            base,
+            f"prs_lshsig_{os.path.basename(os.path.normpath(sf))}"
+            f"_{src_tag}_b{b}",
+        )
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            e = _load(spark, sf, "embeddings")
-            lsh_signatures(e).repartition(work_partitions(spark)).write.mode(
-                "overwrite"
-            ).parquet(out)
+            lsh_signatures(e, planes=b).repartition(
+                work_partitions(spark)
+            ).write.mode("overwrite").parquet(out)
         _SIG_ART[key] = spark.read.parquet(out)
     except Exception:
         return
@@ -239,7 +299,7 @@ def lsh_candidate_pairs(df: DataFrame, spark=None, sf=None) -> DataFrame:
     Bucket-explode (groupBy + collect_list + pair-explode), the
     q_dedup_minhash shape: ONE pass over the signature pipeline and a
     shuffle of id-lists only — payload vectors never enter the pair
-    generation. Pair space is Σ_buckets n_b², controlled by _N_PLANES;
+    generation. Pair space is Σ_buckets n_b² ≈ n²·L/2^b, held ~flat by the occupancy rule;
     a hot bucket is an AQE-skew/salting case, same as any hot key.
     When the session has the signature artifact, the kernel pass is
     skipped entirely (pass spark+sf to opt in).
@@ -248,7 +308,7 @@ def lsh_candidate_pairs(df: DataFrame, spark=None, sf=None) -> DataFrame:
     if spark is not None and sf is not None:
         b = lsh_sigs_artifact(spark, sf)
     if b is None:
-        b = lsh_signatures(df)
+        b = lsh_signatures(df, planes=corpus_planes(df, spark, sf))
     try:
         sess = spark if spark is not None else df.sparkSession
         n = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -283,9 +343,11 @@ def lsh_candidate_pairs(df: DataFrame, spark=None, sf=None) -> DataFrame:
 
 
 def _duck_planes_values() -> str:
+    """Plane VALUES unrolled to the _B_HI ceiling; the params CTE's
+    runtime b selects the prefix actually hashed."""
     rows = []
     for t in range(_N_TABLES):
-        for p in range(_N_PLANES):
+        for p in range(_B_HI):
             vals = ",".join(
                 "1.0" if v > 0 else "-1.0" for v in plane_signs(t, p)
             )
@@ -296,13 +358,23 @@ def _duck_planes_values() -> str:
 def _duck_cand_cte() -> str:
     """Oracle twin of lsh_signatures + lsh_candidate_pairs: identical
     plane constants as a VALUES table (same reasons as _planes_df),
-    identical left-to-right double dots, same bucket equality."""
+    identical left-to-right double dots, same bucket equality, and the
+    IDENTICAL occupancy rule for b — computed in-SQL from count(*), so
+    the oracle is scale-agnostic (see lsh_planes_for)."""
     return f"""
+    lsh_n AS (SELECT count(*) AS c FROM embeddings),
+    lsh_params AS (
+      SELECT LEAST({_B_HI}, GREATEST({_B_LO},
+               CAST(ceil(log2(GREATEST(c, 1) / {_OCC_TARGET})) AS INT)
+             )) AS b
+      FROM lsh_n
+    ),
     planes(tbl, plane, pvec) AS (VALUES {_duck_planes_values()}),
     dots AS (
       SELECT e.vec_id, p.tbl, p.plane,
              {_DUCK_DOT.format(a='e.embedding', b='p.pvec')} AS d
-      FROM embeddings e CROSS JOIN planes p
+      FROM embeddings e CROSS JOIN planes p CROSS JOIN lsh_params
+      WHERE p.plane < lsh_params.b
     ), buckets AS (
       SELECT vec_id, tbl,
              CAST(SUM(CASE WHEN d >= 0
@@ -432,7 +504,7 @@ def q_similarity_join_shuffled(spark, sf):
     e = load(spark, sf, "embeddings")
     b = lsh_sigs_artifact(spark, sf)
     if b is None:
-        b = lsh_signatures(e)
+        b = lsh_signatures(e, planes=corpus_planes(e, spark, sf))
     en = e.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
