@@ -60,6 +60,24 @@ def test_plane_signs_deterministic_and_balanced():
     assert 16 <= sum(1 for v in p if v > 0) <= 48
 
 
+def test_occupancy_rule_matches_oracle_formula():
+    # the Spark-side rule and the oracle's in-SQL LEAST/GREATEST/ceil/
+    # log2 chain must pick the IDENTICAL b for every corpus size —
+    # a divergence silently changes the candidate set on one side only
+    import duckdb
+
+    from pandas_reporter_spark.operators.similarity import lsh_planes_for
+
+    con = duckdb.connect()
+    for n in (0, 1, 7, 8, 63, 64, 200, 2000, 2048, 20000, 200000,
+              2_000_000, 10**9, 10**12):
+        got = con.execute(
+            "SELECT LEAST(20, GREATEST(6, CAST(ceil(log2(GREATEST("
+            f"{n}, 1) / 8.0)) AS INT)))"
+        ).fetchone()[0]
+        assert got == lsh_planes_for(n), (n, got, lsh_planes_for(n))
+
+
 def test_lsh_signatures_shape(spark, planted):
     sigs = lsh_signatures(planted)
     assert sigs.columns == ["vec_id", "tbl", "sig"]
