@@ -160,6 +160,30 @@ def q_events_session(spark, sf):
 #: _read_events_stream
 _RAW_SCHEMA_CACHE: dict = {}
 
+#: recentProgress of the LAST completed streaming run (list of parsed
+#: progress dicts) — introspection for the scale grid and the
+#: state-bound pins: stateOperators[].numRowsTotal / memoryUsedBytes
+#: and durationMs.addBatch per micro-batch. Overwritten per run.
+LAST_PROGRESS: list = []
+
+
+def _capture_progress(q) -> None:
+    import json as _json
+
+    global LAST_PROGRESS
+    out = []
+    try:  # PySpark returns dicts (<=3.x) or StreamingQueryProgress (4.x)
+        for p in q.recentProgress:
+            if isinstance(p, dict):
+                out.append(p)
+            elif isinstance(p, str):
+                out.append(_json.loads(p))
+            else:
+                out.append(_json.loads(p.json))
+    except Exception:  # progress is diagnostics, never a failure path
+        out = []
+    LAST_PROGRESS = out
+
 
 @_contextmanager
 def _bounded_state_parts(spark, n: int = 2):
@@ -238,6 +262,7 @@ def _run_stream(spark, stream_df: DataFrame, output_mode: str) -> DataFrame:
     try:
         q = w.start()
         q.awaitTermination()
+        _capture_progress(q)
     finally:
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
@@ -600,6 +625,7 @@ def q_stream_file_sink(spark, sf):
             .start()
         )
         q.awaitTermination()
+        _capture_progress(q)
     # the WAL is throwaway once the finite run terminated; out_dir must
     # SURVIVE — the returned frame reads it lazily
     import shutil

@@ -144,6 +144,93 @@ def relayout(spark: SparkSession, sf: str, base: str = "/dev/shm") -> None:
         del _LOAD_CACHE[key]
 
 
+#: (session_key, sf) -> {table_name: catalog_table} for tables written
+#: bucketed at rest (see use_bucketed_layout). Consulted by `load`
+#: ahead of the relayout copies.
+_BUCKETED_TABLES: dict = {}
+
+#: fact tables co-bucketed on the orderkey join column
+_BUCKET_SPEC = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def use_bucketed_layout(
+    spark: SparkSession,
+    sf: str,
+    n_buckets: int = 32,
+    base: str = "/dev/shm",
+) -> bool:
+    """Write lineitem/orders co-bucketed (and sorted) on orderkey and
+    redirect subsequent `load` calls to the bucketed catalog tables.
+
+    The at-rest layout lever for the TPC-H join family (VERDICT r8
+    item 4): orders⨝lineitem — and any groupBy on the bucket key —
+    then reads bucket i of each side in task i with NO Exchange on
+    either side, the same property q_join_bucketed demonstrates on a
+    2-column slice, now applied to the full tables so every downstream
+    query on this session benefits. At 100 TB co-bucketing the two
+    fact tables at ingest is the difference between shuffling ~all
+    fact bytes per join and shuffling none; locally it is a one-time
+    write the bench pays in its prime phase (opt-in:
+    SPARK_GRAFT_BUCKETED=1), exactly like `relayout`.
+
+    Sorted buckets additionally let the sort-merge join skip its sort
+    (SortExec sees the required ordering satisfied per bucket file).
+    Returns True when the layout is active for this (session, sf).
+    """
+    key = (_session_key(spark), sf)
+    if key in _BUCKETED_TABLES:
+        return True
+    if not os.path.isdir(base):
+        return False
+    try:
+        src_tag = int(
+            max(
+                os.path.getmtime(os.path.join(sf, f"{n}.parquet"))
+                for n in _BUCKET_SPEC
+                if os.path.exists(os.path.join(sf, f"{n}.parquet"))
+            )
+        )
+    except (OSError, ValueError):
+        src_tag = 0
+    # session-scoped (pid in the tag): bucketing METADATA lives in the
+    # session's in-memory catalog — bare parquet files reused across
+    # sessions would scan fine but lose the no-Exchange property, so
+    # each session pays the one-time write, same policy as
+    # scale.q_join_bucketed
+    import re
+
+    # sanitize: 'sf0.1' would otherwise read as schema.table
+    safe = re.sub(r"[^A-Za-z0-9]+", "_", os.path.basename(os.path.normpath(sf)))
+    tag = f"{safe}_{src_tag}_b{n_buckets}_{os.getpid()}"
+    out = os.path.join(base, f"prs_bucketed_{tag}")
+    names = {}
+    try:
+        for name, bucket_col in _BUCKET_SPEC.items():
+            tbl = f"prs_{name}_atrest_{tag}"
+            path = os.path.join(out, name)
+            if not spark.catalog.tableExists(tbl):
+                # one file per bucket: cluster rows by the bucket hash
+                # before the bucketed write so each bucket is a single
+                # contiguous file, not #tasks fragments
+                (
+                    load(spark, sf, name)
+                    .repartition(n_buckets, F.col(bucket_col))
+                    .write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(n_buckets, bucket_col)
+                    .sortBy(bucket_col)
+                    .option("path", path)
+                    .saveAsTable(tbl)
+                )
+            names[name] = tbl
+        _BUCKETED_TABLES[key] = names
+    except Exception:  # no space / read-only base: originals still work
+        return False
+    for k in [k for k in _LOAD_CACHE if k[1] == sf and k[2] in names]:
+        del _LOAD_CACHE[k]
+    return True
+
+
 def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     """Parquet scan of one driver table (vectorized reader, pushdown-able).
 
@@ -165,6 +252,11 @@ def load(spark: SparkSession, sf: str, name: str) -> DataFrame:
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
+    bucketed = _BUCKETED_TABLES.get((_session_key(spark), sf))
+    if bucketed is not None and name in bucketed:
+        df = spark.table(bucketed[name])
+        _LOAD_CACHE[key] = df
+        return df
     lay = _RELAYOUT_DIRS.get(sf)
     if lay is not None and name in _RELAYOUT_SPLITS:
         dst = os.path.join(lay, name)

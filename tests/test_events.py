@@ -283,3 +283,68 @@ def test_interpolate_linear_between_neighbors(spark, tmp_path_factory):
     assert out[("a", "2023-12-31")] == (None, False)  # before a's span
     assert out[("a", "2024-01-05")] == (None, False)  # after a's span
     assert out[("b", "2024-01-02")][1] is True  # interpolated b day
+
+
+def test_watermark_eviction_bounds_dedup_state(spark, tmp_path_factory):
+    """The 100 TB state claim, pinned (VERDICT r8 item 3): with a
+    30-minute watermark, dropDuplicatesWithinWatermark state is bounded
+    by the keys inside the watermark horizon — NOT by total distinct
+    keys — because batch-end watermark advance evicts expired keys.
+    4 hourly files × 100 unique ids each, one file per micro-batch:
+    un-evicted state would reach 400 rows; the horizon holds ~2 files."""
+    import datetime as dt
+
+    import pandas_reporter_spark.operators.events as ev
+
+    base = tmp_path_factory.mktemp("wmstate")
+    src = str(base / "src")
+    for h in range(4):
+        rows = [
+            (
+                h * 1000 + i,
+                dt.datetime(2024, 1, 1, h, i % 60, 0),
+                i % 50,
+                "a",
+                1.0,
+                "{}",
+            )
+            for i in range(100)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    dd = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("wmstate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    ev._capture_progress(q)
+    assert spark.table("wmstate").count() == 400  # nothing lost
+    state = [
+        op["numRowsTotal"]
+        for p in ev.LAST_PROGRESS
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    assert state, "no state metrics captured"
+    # eviction bound: never more than ~2 files' keys in state at once
+    assert max(state) <= 250, state
+    # and eviction actually ran at least once (state shrank or held
+    # under the cumulative key count by the final batch)
+    assert state[-1] < 400, state

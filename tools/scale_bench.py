@@ -75,7 +75,46 @@ SCALE_QUERIES = [
     "q_embed_kmeans",
     # the production hot-bucket guard across the decades
     "q_dedup_minhash_capped",
+    # streaming family on the grid (VERDICT r8 item 3): per-rep the
+    # full stream runs inside the query callable; state-store size and
+    # per-batch addBatch latency come from events.LAST_PROGRESS and
+    # ride along in the row as stream_* keys
+    "q_events_stateful",
+    "q_stream_enrich",
+    "q_stream_stream_join",
+    "q_events_stream_dedup",
 ]
+
+_STREAMING = {
+    "q_events_stateful",
+    "q_stream_enrich",
+    "q_stream_stream_join",
+    "q_events_stream_dedup",
+    "q_stream_file_sink",
+}
+
+
+def _stream_metrics() -> dict:
+    """Summarize the last stream run's progress: max state rows/bytes,
+    per-batch addBatch, batch count."""
+    from pandas_reporter_spark.operators import events as ev
+
+    rows, mem, add = [], [], []
+    for p in ev.LAST_PROGRESS:
+        for op in p.get("stateOperators", []):
+            if op.get("numRowsTotal") is not None:
+                rows.append(op["numRowsTotal"])
+            if op.get("memoryUsedBytes") is not None:
+                mem.append(op["memoryUsedBytes"])
+        d = p.get("durationMs", {})
+        if "addBatch" in d:
+            add.append(d["addBatch"])
+    return {
+        "stream_batches": len(ev.LAST_PROGRESS),
+        "stream_max_state_rows": max(rows) if rows else None,
+        "stream_max_state_bytes": max(mem) if mem else None,
+        "stream_addbatch_ms": add or None,
+    }
 
 #: queries whose DuckDB oracle is interpreter-bound (list lambdas) at
 #: the high SF — duck recorded at the low SF only
@@ -159,6 +198,8 @@ def main():
                 spark_run(name, sf_dir)
                 best = min(best, time.time() - t0)
             row[f"spark_{label}"] = round(best, 3)
+            if name in _STREAMING:
+                row[f"stream_{label}"] = _stream_metrics()
             if name in _SPARK_ONLY_ALL or (
                 name in _SPARK_ONLY_HI and label != lo
             ):
