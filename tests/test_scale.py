@@ -377,3 +377,44 @@ def test_kmv_ranks_the_dictionary_not_the_corpus(spark):
     assert "Window" in p
     below_window = p.split("Window", 1)[1]
     assert "HashAggregate" in below_window
+
+
+def test_at_rest_bucketed_layout_redirects_and_joins_shuffle_free(spark):
+    """tables.use_bucketed_layout: the full lineitem/orders tables
+    written co-bucketed on orderkey; `load` redirects transparently and
+    an orders⨝lineitem join on the bucket key plans with no Exchange
+    under the join (the q_join_bucketed property, now at-rest for every
+    downstream query)."""
+    from pyspark.sql import functions as F
+
+    from pandas_reporter_spark import tables
+
+    assert tables.use_bucketed_layout(spark, SF, n_buckets=4)
+    li = tables.load(spark, SF, "lineitem")
+    o = tables.load(spark, SF, "orders")
+    j = (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = plan_of(j)
+    assert "Bucketed: true" in p
+    tree = p.split("(1) Scan")[0]
+    below_join = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join
+    # row parity with the raw-parquet join (layout never changes data)
+    key = (tables._session_key(spark), SF)
+    saved = tables._BUCKETED_TABLES.pop(key)
+    for k in [k for k in tables._LOAD_CACHE if k[1] == SF]:
+        del tables._LOAD_CACHE[k]
+    try:
+        li0 = tables.load(spark, SF, "lineitem")
+        o0 = tables.load(spark, SF, "orders")
+        n0 = li0.join(o0, li0.l_orderkey == o0.o_orderkey).count()
+    finally:
+        tables._BUCKETED_TABLES[key] = saved
+        for k in [k for k in tables._LOAD_CACHE if k[1] == SF]:
+            del tables._LOAD_CACHE[k]
+    n1 = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert n0 == n1
