@@ -228,6 +228,18 @@ def main() -> None:
         materialize_wm_stats(spark, sf_dir)
     except Exception:
         pass
+    # Opt-in at-rest co-bucketed fact layout (SCALING.md round-10 A/B:
+    # Q3/Q5/Q18 marginals 4-5× better). OFF by default so headline
+    # numbers stay comparable across rounds; a deployment turns it on.
+    if os.environ.get("SPARK_GRAFT_BUCKETED", "").strip().lower() in (
+        "1", "true", "yes", "on",
+    ):
+        try:
+            from pandas_reporter_spark.tables import use_bucketed_layout
+
+            use_bucketed_layout(spark, sf_dir)
+        except Exception:
+            pass
     for prime in ("q_join_bucketed", "q_partition_pruned_scan"):
         if prime in qs:
             try:

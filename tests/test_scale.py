@@ -389,32 +389,35 @@ def test_at_rest_bucketed_layout_redirects_and_joins_shuffle_free(spark):
 
     from pandas_reporter_spark import tables
 
-    assert tables.use_bucketed_layout(spark, SF, n_buckets=4)
-    li = tables.load(spark, SF, "lineitem")
-    o = tables.load(spark, SF, "orders")
-    j = (
-        li.hint("merge")
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    p = plan_of(j)
-    assert "Bucketed: true" in p
-    tree = p.split("(1) Scan")[0]
-    below_join = tree.split("SortMergeJoin")[1]
-    assert "Exchange" not in below_join
-    # row parity with the raw-parquet join (layout never changes data)
     key = (tables._session_key(spark), SF)
-    saved = tables._BUCKETED_TABLES.pop(key)
-    for k in [k for k in tables._LOAD_CACHE if k[1] == SF]:
-        del tables._LOAD_CACHE[k]
-    try:
-        li0 = tables.load(spark, SF, "lineitem")
-        o0 = tables.load(spark, SF, "orders")
-        n0 = li0.join(o0, li0.l_orderkey == o0.o_orderkey).count()
-    finally:
-        tables._BUCKETED_TABLES[key] = saved
+
+    def _drop_cache():
         for k in [k for k in tables._LOAD_CACHE if k[1] == SF]:
             del tables._LOAD_CACHE[k]
-    n1 = li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+    try:
+        assert tables.use_bucketed_layout(spark, SF, n_buckets=4)
+        li = tables.load(spark, SF, "lineitem")
+        o = tables.load(spark, SF, "orders")
+        j = (
+            li.hint("merge")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan_of(j)
+        assert "Bucketed: true" in p
+        tree = p.split("(1) Scan")[0]
+        below_join = tree.split("SortMergeJoin")[1]
+        assert "Exchange" not in below_join
+        n1 = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        # the redirect is session-global state shared with every other
+        # test on this session — never leak it
+        tables._BUCKETED_TABLES.pop(key, None)
+        _drop_cache()
+    # row parity with the raw-parquet join (layout never changes data)
+    li0 = tables.load(spark, SF, "lineitem")
+    o0 = tables.load(spark, SF, "orders")
+    n0 = li0.join(o0, li0.l_orderkey == o0.o_orderkey).count()
     assert n0 == n1
