@@ -131,23 +131,28 @@ def lsh_planes_for(n: int) -> int:
     return min(_B_HI, max(_B_LO, math.ceil(math.log2(max(n, 1) / _OCC_TARGET))))
 
 
-#: (session_key, sf) -> derived plane count — one count(*) job per
+#: (session_key, sf) -> corpus row count — one count(*) job per
 #: session/corpus, not per query
-_B_CACHE: dict = {}
+_N_CACHE: dict = {}
 
 
-def corpus_planes(e: DataFrame, spark=None, sf=None) -> int:
-    """b for this corpus, cached per (session, sf) when known."""
+def corpus_count(e: DataFrame, spark=None, sf=None) -> int:
+    """Corpus size, cached per (session, sf) when known."""
     if spark is not None and sf is not None:
         from pandas_reporter_spark.tables import _session_key
 
         key = (_session_key(spark), sf)
-        b = _B_CACHE.get(key)
-        if b is None:
-            b = lsh_planes_for(e.count())
-            _B_CACHE[key] = b
-        return b
-    return lsh_planes_for(e.count())
+        n = _N_CACHE.get(key)
+        if n is None:
+            n = e.count()
+            _N_CACHE[key] = n
+        return n
+    return e.count()
+
+
+def corpus_planes(e: DataFrame, spark=None, sf=None) -> int:
+    """b for this corpus via the occupancy rule."""
+    return lsh_planes_for(corpus_count(e, spark, sf))
 
 
 def _mix64(x: int) -> int:
@@ -274,19 +279,25 @@ def materialize_lsh_signatures(spark, sf, base: str = "/dev/shm") -> None:
     except OSError:
         src_tag = 0
     try:
+        from pandas_reporter_spark.session import scaled_partitions
+
         e = _load(spark, sf, "embeddings")
         # occupancy-aware geometry: b in the path invalidates any
         # artifact written under a different plane count (r9 and
         # earlier wrote fixed-8 signatures)
-        b = corpus_planes(e, spark, sf)
+        n = corpus_count(e, spark, sf)
+        b = lsh_planes_for(n)
         out = os.path.join(
             base,
             f"prs_lshsig_{os.path.basename(os.path.normpath(sf))}"
             f"_{src_tag}_b{b}",
         )
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            # size-driven file count: the artifact is n·L rows; slot-
+            # count files cost ~0.25 s/query of read overhead at bench
+            # scale (session.scaled_partitions docstring)
             lsh_signatures(e, planes=b).repartition(
-                work_partitions(spark)
+                scaled_partitions(n * _N_TABLES)
             ).write.mode("overwrite").parquet(out)
         _SIG_ART[key] = spark.read.parquet(out)
     except Exception:

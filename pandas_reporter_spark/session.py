@@ -105,6 +105,28 @@ def work_partitions(spark: SparkSession, floor: int = 8) -> int:
     return max(floor, dp)
 
 
+def scaled_partitions(
+    n_rows: int, rows_per_part: int = 100_000, floor: int = 8
+) -> int:
+    """Partition count for a MATERIALIZED artifact of known row count:
+    ``max(floor, ceil(n_rows / rows_per_part))`` — size-driven, not
+    slot-driven.
+
+    `work_partitions` answers "how wide should this computation run";
+    for a small persisted relation the file count should track DATA
+    SIZE instead: writing a 16k-row signature artifact as
+    defaultParallelism files costs ~0.25 s of per-task/per-file
+    overhead on every downstream read at bench scale (measured,
+    q_similarity_join sf0.1 1.10 → 1.35 s), while at corpus scale the
+    same rule grows the file count linearly with rows and keeps
+    individual files scan-sized. (Round-10 follow-up to the r8 item-6
+    partition-constant lift.)
+    """
+    import math
+
+    return max(floor, math.ceil(max(n_rows, 1) / rows_per_part))
+
+
 def get_session(app_name: str = "pandas_reporter_spark") -> SparkSession:
     """Build (or fetch) the engine's local session.
 
