@@ -1,0 +1,144 @@
+"""Watermark eviction at scale: bounded streaming-dedup state, measured.
+
+The scale grid (docs/SCALE_STREAM_r10.json) shows availableNow
+single-batch runs hold ALL keys in state (10 M rows / 2.35 GB at sf10)
+— the degenerate configuration, since the watermark only advances
+between micro-batches. This tool measures the PRODUCTION configuration
+on the same data: events re-laid-out as time-ordered files (the shape
+a real landing directory has — files arrive in event-time order), file
+admission bounded per batch, a 30-minute watermark. State is then
+bounded by keys-in-horizon regardless of corpus size, which is the
+100 TB claim of SCALING.md §streaming, here as measurement.
+
+Usage: python tools/stream_state_demo.py [sf_dir ...]
+Writes docs/STREAM_STATE_DEMO.json and prints one summary line per sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FILES = 30  # one per day of the synthetic 30-day span
+FILES_PER_TRIGGER = 1
+
+
+def run(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    import pandas_reporter_spark.operators.events as ev
+    from pandas_reporter_spark.tables import load, normalize_ts
+
+    e = load(spark, sf_dir, "events")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{N_FILES}"
+    src = f"/dev/shm/prs_stream_demo_{tag}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        # time-ordered landing files: range-partition by ts; output
+        # part files are range-ordered, and the file stream source
+        # breaks equal-mtime ties by path, so arrival order == event
+        # time order — the property a real ingest has by construction
+        (
+            e.repartitionByRange(N_FILES, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        # the file stream source admits files in MODIFICATION-TIME
+        # order; one write job stamps near-identical mtimes, so
+        # arrival order would be arbitrary and earlier days would be
+        # watermark-dropped as late. Stamp ascending mtimes in range
+        # order — the property real landing files have by arrival.
+        parts = sorted(
+            f for f in os.listdir(src)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base_t = time.time() - 2 * len(parts)
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base_t + 2 * i, base_t + 2 * i))
+    schema = spark.read.parquet(src).schema
+    total = e.count()
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    dd = normalize_ts(s).withWatermark(
+        "ts", "30 minutes"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    out = dd.groupBy().count()  # complete-mode count sink: row parity
+    name = "demo" + uuid.uuid4().hex[:8]
+    ckpt = f"/dev/shm/prs_ckpt_{name}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    t0 = time.time()
+    try:
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        ev._capture_progress(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    wall = time.time() - t0
+    got = spark.table(name).count()
+    state = [
+        op["numRowsTotal"]
+        for p in ev.LAST_PROGRESS
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    mem = [
+        op["memoryUsedBytes"]
+        for p in ev.LAST_PROGRESS
+        for op in p.get("stateOperators", [])
+        if op.get("memoryUsedBytes") is not None
+    ]
+    return {
+        "sf": sf_dir,
+        "total_events": total,
+        "rows_emitted": got,
+        "batches": len(ev.LAST_PROGRESS),
+        "max_state_rows": max(state) if state else None,
+        "final_state_rows": state[-1] if state else None,
+        "max_state_bytes": max(mem) if mem else None,
+        "wall_s": round(wall, 2),
+        "state_bound_ratio": (
+            round(max(state) / total, 4) if state and total else None
+        ),
+    }
+
+
+def main():
+    from pandas_reporter_spark.session import get_session
+
+    sfs = sys.argv[1:] or ["/dev/shm/prs_sf1", "/dev/shm/prs_sf10"]
+    spark = get_session("stream_state_demo")
+    rows = []
+    for sf in sfs:
+        r = run(spark, sf)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "STREAM_STATE_DEMO.json",
+    )
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
