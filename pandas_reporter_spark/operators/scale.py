@@ -104,6 +104,63 @@ def q_join_bucketed(spark, sf):
 
 
 @query(
+    "q_join_bucketed_atrest",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_bucketed_atrest(spark, sf):
+    """The FULL-TABLE at-rest co-bucketed layout as a verified query
+    (round 10): `tables.use_bucketed_layout` writes complete
+    lineitem/orders bucketed+sorted on orderkey and `load` redirects,
+    so the join + status rollup plan with zero Exchange under the join
+    — the layout decision the TPC-H Q3/Q5/Q18 sf10 A/B in SCALING.md
+    measures (3-query marginal 3–10× → 1.73× vs DuckDB). Differs from
+    q_join_bucketed (a 2-column demonstration slice) in that THIS is
+    the ingest-shaped artifact every downstream orderkey join shares.
+
+    The redirect is session-global state, so this query scopes it:
+    the layout builds (or is reused) for plan construction, then the
+    redirect is dropped unless some other caller had already opted
+    in — a later query in the same session must not silently change
+    physical plans because this one ran first. Falls back to the
+    plain scan (identical result, shuffled plan) when no writable
+    base exists — the oracle checks semantics either way.
+    """
+    from pandas_reporter_spark import tables
+
+    configure(spark)
+    key = (tables._session_key(spark), sf)
+    preexisting = key in tables._BUCKETED_TABLES
+    active = tables.use_bucketed_layout(spark, sf, n_buckets=_N_BUCKETS)
+    try:
+        li = load(spark, sf, "lineitem")
+        o = load(spark, sf, "orders")
+        return (
+            li.hint("merge")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                dsum("l_extendedprice").alias("sum_price"),
+            )
+        )
+    finally:
+        if active and not preexisting:
+            tables._BUCKETED_TABLES.pop(key, None)
+            for k in [
+                k
+                for k in tables._LOAD_CACHE
+                if k[1] == sf and k[2] in tables._BUCKET_SPEC
+            ]:
+                del tables._LOAD_CACHE[k]
+
+
+@query(
     "q_join_salted",
     oracle="""
     -- the salted join is semantically the identity join on l_returnflag:

@@ -421,3 +421,26 @@ def test_at_rest_bucketed_layout_redirects_and_joins_shuffle_free(spark):
     o0 = tables.load(spark, SF, "orders")
     n0 = li0.join(o0, li0.l_orderkey == o0.o_orderkey).count()
     assert n0 == n1
+
+
+def test_bucketed_atrest_query_scopes_its_redirect(spark):
+    """q_join_bucketed_atrest must not leave the session-global load
+    redirect behind — a later query's physical plan must not change
+    because this one ran first."""
+    from pandas_reporter_spark import tables
+    from pandas_reporter_spark.operators.scale import q_join_bucketed_atrest
+
+    key = (tables._session_key(spark), SF)
+    assert key not in tables._BUCKETED_TABLES
+    df = q_join_bucketed_atrest(spark, SF)
+    assert key not in tables._BUCKETED_TABLES  # dropped at build time
+    assert df.count() >= 1  # plan still executes after the un-redirect
+
+
+def test_partition_helpers():
+    from pandas_reporter_spark.session import scaled_partitions
+
+    assert scaled_partitions(0) == 8
+    assert scaled_partitions(16_000) == 8
+    assert scaled_partitions(1_600_000) == 16
+    assert scaled_partitions(10**9) == 10_000
