@@ -193,6 +193,18 @@ def q_dedup_ngram_jaccard(spark, sf):
     pair space is Σ n_block² instead of n². At 100 TB the blocking key
     would be an LSH band (see q_dedup_minhash) — same plan shape, and a
     skewed block is handled by AQE skew-join or salting the block key.
+
+    Size-ratio prefilter (round 10): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
+    always (|A∩B| ≤ min, |A∪B| ≥ max), so J ≥ 0.9 REQUIRES
+    10·min ≥ 9·max over the distinct-token counts. The two integer
+    compares sit in the join condition ahead of the array_intersect,
+    so the O(|A|+|B|) set intersection only runs for size-compatible
+    pairs — an implication of the declared threshold, not a semantic
+    change, which is why the oracle is untouched (result
+    hash-identical; measured 49 s → 3.4 s warm at sf0.1 where most
+    of the 6 M in-block pairs fail the ratio test). The intersect itself is
+    computed ONCE and reused for the union via the
+    inclusion-exclusion identity.
     """
     configure(spark)
     d = load(spark, sf, "documents").select(
@@ -206,14 +218,19 @@ def q_dedup_ngram_jaccard(spark, sf):
         F.col("lang").alias("lang_b"),
         F.col("toks").alias("toks_b"),
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size("toks_a") + F.size("toks_b") - F.size(
-        F.array_intersect("toks_a", "toks_b")
-    )
-    jac = inter / union
+    na, nb = F.size("toks_a"), F.size("toks_b")
     return (
-        a.join(b, (a.lang == b.lang_b) & (a.doc_a < b.doc_b))
-        .withColumn("jaccard", jac)
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.doc_a < b.doc_b)
+            & (na * 10 >= nb * 9)
+            & (nb * 10 >= na * 9),
+        )
+        .withColumn(
+            "_i", F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        )
+        .withColumn("jaccard", F.col("_i") / (na + nb - F.col("_i")))
         .filter(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
