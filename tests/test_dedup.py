@@ -211,3 +211,53 @@ def test_hot_bucket_cap_drops_boilerplate_keeps_planted(spark):
     }
     # sanity: without the cap the boilerplate group emits 12·11/2 pairs
     assert sum(1 for a, _ in uncapped if a >= 100) == 66
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property pin for the large-star/small-star CC: on random graphs
+    the labels must equal a pure-Python union-find's min-id components.
+    hypothesis would respawn Spark jobs per example (minutes); a seeded
+    sweep of random graphs covers the same space deterministically."""
+    import random
+
+    def union_find_labels(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min label per component
+        comp_min = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {v: comp_min[find(v)] for v in range(n_nodes)}
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        m = rng.randint(0, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expect = union_find_labels(n, edges)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        if edges:
+            pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        else:
+            pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, pairs, "doc_a", "doc_b"
+            ).collect()
+        }
+        assert got == expect, (trial, n, sorted(edges))
