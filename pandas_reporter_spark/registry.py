@@ -125,7 +125,11 @@ _PRIORITY = (
     "q_tpch_q8",
     "q_udf_pandas",
     "q_varrep_source",
-    # (3) 15 r7 rows on this round's changed code paths + heavy reps.
+    # (3) r7 rows on this round's changed code paths + heavy reps,
+    # trimmed from 15 as the round-10 NEW operators below displace the
+    # stablest relational representatives (each new query needs an
+    # official row this round; the displaced r7 rows rotate back next).
+    "q_graph_triangles",
     "q_graph_pagerank",
     "q_dedup_ngram_jaccard",
     "q_dedup_exact",
@@ -140,7 +144,6 @@ _PRIORITY = (
     "q_topk_per_group",
     "q_sketch_hll",
     "q_agg_approx_countd",
-    "q_scan_parquet",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
