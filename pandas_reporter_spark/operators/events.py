@@ -1247,3 +1247,80 @@ def q_events_interpolate(spark, sf):
             & F.col("nv").isNotNull()
         ).alias("is_interp"),
     )
+
+
+@query(
+    "q_events_scd2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    iv AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS valid_from_us,
+             lead(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+      FROM changes
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us,
+           CAST(valid_to_us IS NULL AS BIGINT) AS is_current
+    FROM iv
+    """,
+)
+def q_events_scd2(spark, sf):
+    """Slowly-changing-dimension type-2 build from a change-event log:
+    collapse each user's consecutive same-type runs into validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    standard warehouse historization shape (Kimball SCD2), and the
+    batch form of a CDC compaction.
+
+    Plan: ONE shuffle. Both window passes (the lag() change detector
+    and the lead() that closes each interval with the next change's
+    timestamp) and the run collapse share the user_id partitioning,
+    so Catalyst plans a single Exchange on user_id followed by two
+    in-partition sorts — at 100 TB this is a by-key repartition of
+    the event log and nothing else; no join, no second shuffle, and
+    the output is change-runs-sized, not events-sized. Ties inside a
+    user's history break on the unique event_id (same determinism
+    discipline as q_events_transitions). Timestamps surface as exact
+    epoch-microsecond BIGINTs: the driver's comparator sees integers,
+    immune to ns-vs-us formatting drift between engines.
+
+    Reference parity: none (driver-mandated events surface).
+    """
+    configure(spark)
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    iv = changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().cast("bigint").alias("is_current"),
+    )
