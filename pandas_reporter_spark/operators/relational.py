@@ -1910,6 +1910,91 @@ def q_agg_stats(spark, sf):
 
 
 @query(
+    "q_agg_skew_kurt",
+    oracle="""
+    -- 3rd/4th-moment extension of q_agg_stats: exact integer-cents
+    -- moment sums in HUGEINT (qc^4 overflows BIGINT past ~60k rows),
+    -- one double cast per sum, identical arithmetic order both engines
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS HUGEINT) AS qc
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(qc) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(qc * qc) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(qc * qc * qc) AS DOUBLE) / 1000000.0 AS sxxx,
+             CAST(SUM(qc * qc * qc * qc) AS DOUBLE) / 100000000.0 AS sxxxx
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(((sxxx / n) - 3.0 * (sx / n) * (sxx / n)
+                  + 2.0 * (sx / n) * (sx / n) * (sx / n))
+                 / (((sxx / n) - (sx / n) * (sx / n))
+                    * sqrt((sxx / n) - (sx / n) * (sx / n))), 6) AS skew_qty,
+           round(((sxxxx / n) - 4.0 * (sx / n) * (sxxx / n)
+                  + 6.0 * (sx / n) * (sx / n) * (sxx / n)
+                  - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+                 / (((sxx / n) - (sx / n) * (sx / n))
+                    * ((sxx / n) - (sx / n) * (sx / n))) - 3.0, 6) AS kurt_qty
+    FROM m
+    """,
+)
+def q_agg_skew_kurt(spark, sf):
+    """Population skewness and excess kurtosis per group — the
+    distribution-shape screens a data-quality pipeline runs per column
+    (heavy-tail detection, symmetric-vs-skewed routing).
+
+    Same discipline as q_agg_stats, extended to 3rd/4th raw moments:
+    exact integer-cents power sums (qc^4 needs 128-bit accumulation —
+    decimal(38,0) here, HUGEINT in the oracle; bare BIGINT wraps past
+    ~60k rows), ONE double cast per finished sum, then Fisher g1 =
+    m3/m2^1.5 and g2 = m4/m2^2 - 3 spelled in the identical operation
+    order on both engines (+,-,*,/ and sqrt are all correctly-rounded
+    IEEE, so identical order => identical bits; no pow()). NOT the
+    skewness/kurtosis built-ins: their float accumulation is
+    partition-order dependent and their bias corrections differ by
+    engine. The moment form is the distributed shape — one map-side-
+    combined aggregation, constant state per group, mergeable across
+    any partitioning.
+    """
+    configure(spark)
+    li = load(spark, sf, "lineitem")
+    qc = (
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("decimal(38,0)")
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.sum(qc).cast("double") / F.lit(100.0)).alias("sx"),
+        (F.sum(qc * qc).cast("double") / F.lit(10000.0)).alias("sxx"),
+        (F.sum(qc * qc * qc).cast("double") / F.lit(1000000.0)).alias("sxxx"),
+        (
+            F.sum(qc * qc * qc * qc).cast("double") / F.lit(100000000.0)
+        ).alias("sxxxx"),
+    )
+    n = F.col("n")
+    mean = F.col("sx") / n
+    m2 = (F.col("sxx") / n) - mean * mean
+    m3 = (F.col("sxxx") / n) - F.lit(3.0) * mean * (F.col("sxx") / n) + F.lit(
+        2.0
+    ) * mean * mean * mean
+    m4 = (
+        (F.col("sxxxx") / n)
+        - F.lit(4.0) * mean * (F.col("sxxx") / n)
+        + F.lit(6.0) * mean * mean * (F.col("sxx") / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_qty"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurt_qty"),
+    )
+
+
+@query(
     "q_agg_stringagg",
     oracle="""
     SELECT lang,
