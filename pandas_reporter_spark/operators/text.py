@@ -1830,3 +1830,151 @@ def q_text_bm25(spark, sf):
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "q_text_url_normalize",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' ||
+             CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&ref=' ||
+             CAST(doc_id % 3 AS VARCHAR) || '&id=' ||
+             CAST(doc_id % 20 AS VARCHAR) ||
+             '#section' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM raw
+    ),
+    hp AS (
+      SELECT doc_id, scheme, path, q,
+             regexp_replace(regexp_extract(hostport, '^([^:]+)', 1),
+                            '^www\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host ||
+             CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                       OR (scheme = 'http' AND port = '80')
+                  THEN '' ELSE ':' || port END ||
+             path ||
+             CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(q, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+                      AND NOT regexp_matches(x, '^ref='))), '&') AS kept
+        FROM hp
+      )
+    )
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+    FROM canon GROUP BY canon_url
+    """,
+)
+def q_text_url_normalize(spark, sf):
+    """Crawl-URL canonicalization + dedup: lowercase scheme/host, strip
+    the www prefix and scheme-default port, drop the fragment, remove
+    tracking parameters (utm_*, ref), SORT the surviving query params,
+    then group by the canonical form — the first dedup pass of every
+    web-crawl pipeline (two raw URLs that differ only in case, param
+    order, or tracking decoration are one document).
+
+    The messy input URL is DERIVED from document columns by an
+    expression shared verbatim with the oracle (the testdata carries
+    no URL column; the operator under test is the canonicalizer, and
+    deriving the fixture in-plan keeps both engines canonicalizing
+    the identical string set). Everything is built-in string/array
+    functions — regexp_extract for the RFC-3986 split, filter +
+    array_sort + array_join for the param normalization — so the
+    whole pass is one narrow codegen stage: zero shuffles until the
+    canonical-key groupBy, which at 100 TB is the same single
+    corpus-keyed exchange as q_dedup_exact. Path case is preserved
+    (paths are case-sensitive; only scheme/host normalize).
+
+    Reference parity: none (driver-mandated text/dedup extension).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("#section"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    parts = raw.select(
+        "doc_id",
+        F.lower(
+            F.regexp_extract("url", r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+        ).alias("scheme"),
+        F.lower(
+            F.regexp_extract(
+                "url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+            )
+        ).alias("hostport"),
+        F.regexp_extract(
+            "url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1
+        ).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("q"),
+    )
+    hp = parts.select(
+        "doc_id",
+        "scheme",
+        "path",
+        "q",
+        F.regexp_replace(
+            F.regexp_extract("hostport", r"^([^:]+)", 1), r"^www\.", ""
+        ).alias("host"),
+        F.regexp_extract("hostport", r":([0-9]+)$", 1).alias("port"),
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("q", "&"),
+                lambda x: (x != "")
+                & ~x.rlike("^utm_")
+                & ~x.rlike("^ref="),
+            )
+        ),
+        "&",
+    )
+    default_port = (F.col("port") == "") | (
+        (F.col("scheme") == "https") & (F.col("port") == "443")
+    ) | ((F.col("scheme") == "http") & (F.col("port") == "80"))
+    canon = hp.withColumn("kept", kept).select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.when(default_port, F.lit("")).otherwise(
+                F.concat(F.lit(":"), F.col("port"))
+            ),
+            F.col("path"),
+            F.when(F.col("kept") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("kept"))
+            ),
+        ).alias("canon_url"),
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )

@@ -132,6 +132,7 @@ _PRIORITY = (
     "q_graph_triangles",
     "q_events_scd2",
     "q_agg_skew_kurt",
+    "q_text_url_normalize",
     "q_graph_pagerank",
     "q_dedup_ngram_jaccard",
     "q_dedup_exact",
@@ -143,7 +144,6 @@ _PRIORITY = (
     "q_agg_multi",
     "q_agg_stats",
     "q_window_running_sum",
-    "q_topk_per_group",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
