@@ -1232,3 +1232,201 @@ def q_embed_kmeans(spark, sf):
         .join(F.broadcast(csum), "cell")
         .select("cell", "n_members", "inertia", "c_sum")
     )
+
+
+#: Product quantization: M subspaces of SUB dims (M·SUB = _KM_DIM),
+#: K centroids per subspace, one Lloyd round from deterministic seeds.
+_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS = 4, 16, 4, 1
+_PQ_QUERY, _PQ_TOPK = 0, 10
+
+#: squared L2 between two SUB-dim micro-unit lists (DuckDB spelling)
+_PQ_DUCK_D = (
+    "CAST(list_sum(list_transform(range({sub}), i ->"
+    " ({x}[i + 1] - {y}[i + 1]) * ({x}[i + 1] - {y}[i + 1])))"
+    " AS BIGINT)"
+)
+
+
+def _pq_oracle() -> str:
+    """SQL twin of q_similarity_pq_adc: identical quantization and
+    subvector split, the identical Lloyd round per (subspace, cell)
+    key, identical encoding argmin and ADC table, unrolled."""
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    d_sc = _PQ_DUCK_D.format(sub=_PQ_SUB, x="s.sq", y="c.cq")
+    d_qc = _PQ_DUCK_D.format(sub=_PQ_SUB, x="qs.sq", y="c.cq")
+    parts = [
+        f"WITH q AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
+        f"sub AS (SELECT vec_id, m, list_transform(range({_PQ_SUB}),"
+        f" i -> xq[m * {_PQ_SUB} + i + 1]) AS sq"
+        f" FROM q CROSS JOIN range({_PQ_M}) t(m))",
+        f"c0 AS (SELECT m, vec_id AS cell, sq AS cq FROM sub"
+        f" WHERE vec_id < {_PQ_K})",
+    ]
+    prev = "c0"
+    for it in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"d{it} AS (SELECT s.vec_id, s.m, s.sq, c.cell, {d_sc} AS d"
+            f" FROM sub s JOIN {prev} c ON s.m = c.m)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, m, sq, cell FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id, m"
+            f" ORDER BY d, cell) AS rn FROM d{it}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{it} AS (SELECT m, cell, i,"
+            f" CAST(floor(CAST(sum(sq[i + 1]) AS DOUBLE) / count(*))"
+            f" AS BIGINT) AS cval"
+            f" FROM a{it} CROSS JOIN range({_PQ_SUB}) t(i)"
+            f" GROUP BY m, cell, i)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT m, cell, list(cval ORDER BY i) AS cq"
+            f" FROM u{it} GROUP BY m, cell)"
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"de AS (SELECT s.vec_id, s.m, c.cell, {d_sc} AS d"
+        f" FROM sub s JOIN {prev} c ON s.m = c.m)"
+    )
+    parts.append(
+        "enc AS (SELECT vec_id, m, cell FROM"
+        " (SELECT *, row_number() OVER (PARTITION BY vec_id, m"
+        " ORDER BY d, cell) AS rn FROM de) WHERE rn = 1)"
+    )
+    parts.append(
+        f"qs AS (SELECT m, sq FROM sub WHERE vec_id = {_PQ_QUERY})"
+    )
+    parts.append(
+        f"adc AS (SELECT c.m, c.cell, {d_qc} AS d"
+        f" FROM {prev} c JOIN qs ON qs.m = c.m)"
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT e.vec_id, CAST(SUM(a.d) AS BIGINT) AS d_adc
+    FROM enc e JOIN adc a ON e.m = a.m AND e.cell = a.cell
+    WHERE e.vec_id <> {_PQ_QUERY}
+    GROUP BY e.vec_id
+    ORDER BY d_adc, vec_id
+    LIMIT {_PQ_TOPK}
+    """
+    )
+
+
+@query("q_similarity_pq_adc", oracle=_pq_oracle())
+def q_similarity_pq_adc(spark, sf):
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011): split each 64-dim embedding into M=4
+    subvectors, LEARN a K=4 codebook per subspace (one Lloyd round
+    from deterministic seeds), encode the corpus as M-byte codes,
+    then answer a query via an ADC lookup table — the memory-bound
+    scale path past IVF: the scored representation is M small ints
+    per vector (here 4, vs 64 floats), so a 100 TB corpus's codes fit
+    in a fraction of the space and the scan is table-lookup-bound,
+    never touching raw vectors after encoding.
+
+    One dataflow trains ALL subspace codebooks: subvectors explode to
+    (vec_id, m, sq) rows and the Lloyd round runs keyed by (m, cell)
+    — assignment is an m-equi-join against the broadcast M·K×SUB
+    codebook (KBs), argmin one min(struct) map-side combine, the
+    update a (m, cell, pos) rollup. Scoring joins the M-row-per-
+    vector code table against the broadcast 16-entry ADC table and
+    map-side-sums — zero corpus-keyed shuffles beyond the final
+    groupBy(vec_id), and the result is TakeOrdered(k). Everything is
+    integer-exact (micro-unit quantization, int64 squared-L2,
+    (d, cell) tie-break, floor-mean update), so the LEARNED codebooks,
+    the codes, and the ADC scores all value-hash-match the unrolled
+    SQL twin — the same proof discipline as q_embed_kmeans.
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    quant = _KM_QUANT_CHECKED.format(c="embedding", dim=_KM_DIM).replace(
+        "q_embed_kmeans", "q_similarity_pq_adc"
+    )
+    q = e.select("vec_id", F.expr(quant).alias("xq"))
+    sub = (
+        q.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), m -> struct(m AS m,"
+                    f" slice(xq, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sq))"
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.sq")
+        .persist()
+    )
+    d_expr = (
+        "aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    cents = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cell"), F.col("sq").alias("cq")
+    )
+
+    def assign(cframe):
+        d = sub.join(F.broadcast(cframe), "m").select(
+            "vec_id", "m", "sq", "cell", F.expr(d_expr).alias("d")
+        )
+        return (
+            d.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d", "cell", "sq")).alias("a"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("a.cell").alias("cell"),
+                F.col("a.d").alias("d"),
+                F.col("a.sq").alias("sq"),
+            )
+        )
+
+    for _ in range(_PQ_ITERS):
+        assigned = assign(cents)
+        cents = (
+            assigned.select(
+                "m", "cell", F.posexplode("sq").alias("pos", "x")
+            )
+            .groupBy("m", "cell", "pos")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .groupBy("m", "cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos,"
+                    " cval))), s -> s.cval)"
+                ).alias("cq")
+            )
+        )
+    cents = cents.persist()
+    enc = assign(cents).select("vec_id", "m", "cell")
+    qs = sub.filter(F.col("vec_id") == _PQ_QUERY).select(
+        "m", F.col("sq").alias("qsq")
+    )
+    adc = (
+        cents.join(F.broadcast(qs), "m")
+        .select(
+            "m",
+            "cell",
+            F.expr(
+                d_expr.replace("zip_with(sq, cq", "zip_with(qsq, cq")
+            ).alias("d"),
+        )
+    )
+    return (
+        enc.filter(F.col("vec_id") != _PQ_QUERY)
+        .join(F.broadcast(adc), ["m", "cell"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("d_adc"))
+        .orderBy("d_adc", "vec_id")
+        .limit(_PQ_TOPK)
+    )

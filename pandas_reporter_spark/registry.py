@@ -133,6 +133,7 @@ _PRIORITY = (
     "q_events_scd2",
     "q_agg_skew_kurt",
     "q_text_url_normalize",
+    "q_similarity_pq_adc",
     "q_graph_pagerank",
     "q_dedup_ngram_jaccard",
     "q_dedup_exact",
@@ -143,7 +144,6 @@ _PRIORITY = (
     "q_agg_global",
     "q_agg_multi",
     "q_agg_stats",
-    "q_window_running_sum",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

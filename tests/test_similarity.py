@@ -245,3 +245,35 @@ def test_kmeans_recovers_planted_clusters(spark, tmp_path):
     # ~(2e6)^2 x32 = 1.3e14 — a 4-decade gap, so 1e12 cleanly
     # separates planted recovery from any mis-assignment
     assert all(r["inertia"] < 1e12 for r in out)
+
+
+def test_pq_adc_fidelity_median_rank(spark):
+    """PQ-ADC fidelity pin: the ADC top-10's MEDIAN exact-L2 rank must
+    land in the top quartile of the corpus (random ranking would put
+    it at the 50th percentile; measured ~8th percentile at sf0.01
+    with the K=4/M=4 codebooks). Pins that the learned codebooks and
+    the ADC table order vectors by genuine proximity, without
+    demanding exact-top-k agreement a 4-cell-per-subspace quantizer
+    cannot give."""
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("no driver testdata")
+    got = [r.vec_id for r in QUERIES["q_similarity_pq_adc"](spark, sf).collect()]
+    assert len(got) == 10
+    rows = (
+        spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [round(x * 1e6 + 0.5) // 1 for x in r.embedding] for r in rows}
+    qv = vecs[0]
+    d = {
+        vid: sum((a - b) * (a - b) for a, b in zip(v, qv))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    ranked = sorted(d, key=lambda vid: (d[vid], vid))
+    pos = {vid: i for i, vid in enumerate(ranked)}
+    pcts = sorted(pos[v] / len(ranked) for v in got)
+    median = pcts[len(pcts) // 2]
+    assert median <= 0.25, f"ADC median exact-rank percentile {median}"
