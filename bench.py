@@ -111,6 +111,14 @@ BENCH_QUERIES = [
     # r7 addition that never got a bench row (VERDICT r7 missing #1)
     "q_text_bm25",
     "q_dedup_minhash_incremental",
+    # round-10 additions: degree-ordered triangle listing, SCD-2
+    # historization (one exchange), 128-bit moment skew/kurtosis,
+    # crawl-URL canonicalization, PQ codebooks + ADC scoring
+    "q_graph_triangles",
+    "q_events_scd2",
+    "q_agg_skew_kurt",
+    "q_text_url_normalize",
+    "q_similarity_pq_adc",
 ]
 
 

@@ -1978,3 +1978,71 @@ def q_text_url_normalize(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("rep_doc_id"),
     )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT d.source, t.tok
+      FROM documents d,
+           unnest(string_split(lower(d.text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM c GROUP BY source)
+    SELECT c.source, any_value(tot.t) AS n_tokens,
+           any_value(tot.vocab) AS vocab,
+           CAST(SUM(CAST(round(CAST(c.c AS DOUBLE) / tot.t
+                 * ln(CAST(tot.t AS DOUBLE) / c.c) * 1000000000.0, 0)
+                 AS BIGINT)) AS BIGINT) AS entropy_nano
+    FROM c JOIN tot ON c.source = tot.source
+    GROUP BY c.source
+    """,
+)
+def q_agg_entropy(spark, sf):
+    """Per-source Shannon token entropy H = Σ p·ln(1/p) — the
+    vocabulary-diversity screen a curation pipeline runs per domain
+    (boilerplate and template farms score low; organic text high),
+    alongside the repetition and quality signals.
+
+    Same float discipline as q_text_logprob/q_text_kl_divergence:
+    each token's p·ln(1/p) term quantizes to nano-units BEFORE the
+    sum, so the aggregation is integer-exact and accumulation-order
+    independent — the engine-portable way to sum logs (a raw double
+    Σ would drift per partition count). Shape: one corpus tokenize →
+    (source, token) dictionary rollup (map-side combined) → the
+    entropy sum over the dictionary, which is vocab-sized, not
+    corpus-sized. At 100 TB the only corpus-scale exchange is the
+    dictionary combine, the same bound as q_text_tfidf.
+
+    Reference parity: none (driver-mandated text surface).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("vocab")
+    )
+    term = F.round(
+        F.col("c").cast("double")
+        / F.col("t")
+        * F.log(F.col("t").cast("double") / F.col("c"))
+        * F.lit(1000000000.0),
+        0,
+    ).cast("bigint")
+    return (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.first("t").alias("n_tokens"),
+            F.first("vocab").alias("vocab"),
+            F.sum(term).cast("bigint").alias("entropy_nano"),
+        )
+    )

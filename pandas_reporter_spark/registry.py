@@ -134,6 +134,7 @@ _PRIORITY = (
     "q_agg_skew_kurt",
     "q_text_url_normalize",
     "q_similarity_pq_adc",
+    "q_agg_entropy",
     "q_graph_pagerank",
     "q_dedup_ngram_jaccard",
     "q_dedup_exact",
@@ -143,7 +144,6 @@ _PRIORITY = (
     "q_join_range",
     "q_agg_global",
     "q_agg_multi",
-    "q_agg_stats",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
