@@ -371,6 +371,17 @@ def q_graph_triangles(spark, sf):
         )
         .distinct()
     )
+    per_node = triangle_counts(spark, und)
+    return per_node.orderBy(F.col("n_triangles").desc(), "node").limit(20)
+
+
+def triangle_counts(spark, und):
+    """Per-node triangle counts for a DISTINCT undirected edge list
+    (u, v) with u < v, u != v — the reusable core of
+    q_graph_triangles (see its docstring for the algorithm and scale
+    rationale). Returns (node, n_triangles), unordered; property-swept
+    against an itertools brute-force oracle on random graphs in
+    tests/test_graph.py."""
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
@@ -410,11 +421,10 @@ def q_graph_triangles(spark, sf):
             F.col("b.dst").alias("tw"),
         )
     )
-    per_node = (
+    return (
         tri.select(
             F.explode(F.array("tu", "tv", "tw")).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return per_node.orderBy(F.col("n_triangles").desc(), "node").limit(20)

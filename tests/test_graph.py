@@ -114,3 +114,67 @@ def test_pagerank_tolerates_short_and_empty_docs(spark, tmp_path_factory):
     got = _ranks(spark, d)
     # only the 3-token doc contributes edges: nodes a, b, c
     assert set(got) == {"a", "b", "c"}
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by direct adjacency intersection."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    counts = defaultdict(int)
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in sorted(adj[u]):
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    counts[u] += 1
+                    counts[v] += 1
+                    counts[w] += 1
+    return dict(counts)
+
+
+def test_triangle_counts_property_sweep(spark):
+    """triangle_counts vs a brute-force adjacency-intersection oracle
+    on seeded random graphs: dense, sparse, a triangle-free star, a
+    complete graph (C(n-1,2) per node), and a chain (zero triangles).
+    Same sweep discipline as the connected-components union-find
+    oracle."""
+    from pandas_reporter_spark.operators.graph import triangle_counts
+
+    def mix(x):
+        x = (x ^ (x >> 33)) * 0xFF51AFD7ED558CCD % (1 << 64)
+        x = (x ^ (x >> 33)) * 0xC4CEB9FE1A85EC53 % (1 << 64)
+        return x ^ (x >> 33)
+
+    cases = []
+    for seed, n, denom in ((1, 14, 3), (2, 22, 6), (3, 30, 14)):
+        edges = sorted(
+            (f"n{i:02d}", f"n{j:02d}")
+            for i in range(n)
+            for j in range(i + 1, n)
+            if mix(seed * 1_000_003 + i * n + j) % denom == 0
+        )
+        cases.append(edges)
+    cases.append([("hub", f"leaf{i}") for i in range(9)])  # star: 0 tris
+    cases.append(
+        [
+            (f"k{i}", f"k{j}")
+            for i in range(7)
+            for j in range(i + 1, 7)
+        ]
+    )  # K7: C(6,2)=15 per node
+    cases.append([(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)])
+    for edges in cases:
+        if not edges:
+            continue
+        und = spark.createDataFrame(edges, "u string, v string")
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_counts(spark, und).collect()
+        }
+        assert got == _brute_triangles(edges), f"mismatch on {len(edges)} edges"

@@ -83,6 +83,13 @@ SCALE_QUERIES = [
     "q_stream_enrich",
     "q_stream_stream_join",
     "q_events_stream_dedup",
+    # round-10 operators
+    "q_graph_triangles",
+    "q_events_scd2",
+    "q_agg_skew_kurt",
+    "q_text_url_normalize",
+    "q_similarity_pq_adc",
+    "q_agg_entropy",
 ]
 
 _STREAMING = {
