@@ -444,3 +444,54 @@ def test_partition_helpers():
     assert scaled_partitions(16_000) == 8
     assert scaled_partitions(1_600_000) == 16
     assert scaled_partitions(10**9) == 10_000
+
+
+def test_scd2_single_exchange_single_sort(spark):
+    """q_events_scd2's contract: the change detector, run collapse,
+    and interval close all share the user_id partitioning, so the
+    WHOLE plan carries exactly one Exchange and one Sort — at 100 TB
+    it's one by-key repartition of the event log and nothing else."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = (
+        QUERIES["q_events_scd2"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1, p
+    assert p.count("Sort ") == 1, p
+
+
+def test_url_normalize_single_exchange(spark):
+    """q_text_url_normalize's contract: canonicalization is one narrow
+    codegen stage; the only Exchange is the canonical-key groupBy."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = (
+        QUERIES["q_text_url_normalize"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1, p
+
+
+def test_pq_adc_scoring_broadcasts_lookup_table(spark):
+    """q_similarity_pq_adc's contract: the ADC score join is a
+    BROADCAST of the M*K-entry lookup table (KBs at any corpus
+    scale) — the encoded corpus is never shuffled for scoring, and
+    the result is a TakeOrdered, not a global sort."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    p = (
+        QUERIES["q_similarity_pq_adc"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in p, p
+    assert "TakeOrderedAndProject" in p, p
