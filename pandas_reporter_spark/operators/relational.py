@@ -1947,31 +1947,72 @@ def q_agg_skew_kurt(spark, sf):
     (heavy-tail detection, symmetric-vs-skewed routing).
 
     Same discipline as q_agg_stats, extended to 3rd/4th raw moments:
-    exact integer-cents power sums (qc^4 needs 128-bit accumulation —
-    decimal(38,0) here, HUGEINT in the oracle; bare BIGINT wraps past
-    ~60k rows), ONE double cast per finished sum, then Fisher g1 =
-    m3/m2^1.5 and g2 = m4/m2^2 - 3 spelled in the identical operation
-    order on both engines (+,-,*,/ and sqrt are all correctly-rounded
-    IEEE, so identical order => identical bits; no pow()). NOT the
+    exact integer-cents power sums (qc^4 needs 128-bit totals — bare
+    BIGINT wraps past ~60k rows; HUGEINT in the oracle), ONE double
+    cast per finished sum, then Fisher g1 = m3/m2^1.5 and g2 =
+    m4/m2^2 - 3 spelled in the identical operation order on both
+    engines (+,-,*,/ and sqrt are all correctly-rounded IEEE, so
+    identical order => identical bits; no pow()). NOT the
     skewness/kurtosis built-ins: their float accumulation is
     partition-order dependent and their bias corrections differ by
-    engine. The moment form is the distributed shape — one map-side-
-    combined aggregation, constant state per group, mergeable across
-    any partitioning.
+    engine.
+
+    128-bit at int64 speed — the widening combiner: running the whole
+    aggregation in decimal(38,0) put Decimal128 adds on every row
+    (sf10 A/B: 1.8-2.2 s vs DuckDB's 0.28). Instead level 1 groups by
+    (key, spark_partition_id()) — purely map-side, zero shuffle — and
+    accumulates int64: qc, qc2 directly (products of cents-quantities
+    are int64-safe per element, qc^4 <= 6.8e14 < 2^50), qc3/qc4 as
+    div/mod hi:lo channel pairs so per-bucket sums stay in range for
+    any partition under ~2.7e11 rows (a >20 TB split — no sane
+    maxPartitionBytes produces one). Level 2 merges the 3 x nparts
+    partial rows with decimal(38,0) sums and recombines hi*S + lo —
+    128-bit arithmetic touches thousands of rows, not billions.
+    Totals are exact integers either way, so the result is
+    partition-count invariant and the oracle keeps its simple
+    HUGEINT form (values provably equal). sf10: 0.36 s, at the
+    scan+count floor.
     """
     configure(spark)
     li = load(spark, sf, "lineitem")
-    qc = (
-        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
-        .cast("decimal(38,0)")
+    s3, s4 = 1 << 18, 1 << 25
+    qc = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
     )
-    m = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        (F.sum(qc).cast("double") / F.lit(100.0)).alias("sx"),
-        (F.sum(qc * qc).cast("double") / F.lit(10000.0)).alias("sxx"),
-        (F.sum(qc * qc * qc).cast("double") / F.lit(1000000.0)).alias("sxxx"),
+    li3 = (
+        li.select(
+            "l_returnflag",
+            F.spark_partition_id().alias("b"),
+            qc.alias("qc"),
+        )
+        .withColumn("qc2", F.col("qc") * F.col("qc"))
+        .withColumn("qc3", F.col("qc2") * F.col("qc"))
+        .withColumn("qc4", F.col("qc2") * F.col("qc2"))
+    )
+    part = li3.groupBy("l_returnflag", "b").agg(
+        F.count("*").alias("pn"),
+        F.sum("qc").alias("s1"),
+        F.sum("qc2").alias("s2"),
+        F.sum(F.expr(f"qc3 div {s3}")).alias("h3"),
+        F.sum(F.expr(f"qc3 % {s3}")).alias("l3"),
+        F.sum(F.expr(f"qc4 div {s4}")).alias("h4"),
+        F.sum(F.expr(f"qc4 % {s4}")).alias("l4"),
+    )
+
+    def dec(c):
+        return F.sum(F.col(c).cast("decimal(38,0)"))
+
+    m = part.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        (dec("s1").cast("double") / F.lit(100.0)).alias("sx"),
+        (dec("s2").cast("double") / F.lit(10000.0)).alias("sxx"),
         (
-            F.sum(qc * qc * qc * qc).cast("double") / F.lit(100000000.0)
+            (dec("h3") * F.lit(s3) + dec("l3")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("sxxx"),
+        (
+            (dec("h4") * F.lit(s4) + dec("l4")).cast("double")
+            / F.lit(100000000.0)
         ).alias("sxxxx"),
     )
     n = F.col("n")
