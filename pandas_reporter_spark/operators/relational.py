@@ -1881,18 +1881,49 @@ def q_agg_stats(spark, sf):
     (tables.dsum rationale). The moment form is also the distributed-
     friendly shape: one map-side-combined aggregation, constant state
     per group.
+
+    Overflow headroom at the design point (round-10 rework, same
+    widening combiner as q_agg_skew_kurt): a bare int64 Σqc² wraps
+    silently past ~3.5e11 rows per group — INSIDE a 100 TB lineitem.
+    Level 1 groups by (key, spark_partition_id()) — map-side only —
+    and sums int64 (safe per PARTITION: a scan split holds millions
+    of rows, not 3.5e11); level 2 merges the per-partition partials
+    with decimal(38,0) sums. Exact integers either way, so results
+    are partition-invariant and the oracle keeps its one-level
+    HUGEINT shape; sf10 cost is at the scan floor.
     """
     configure(spark)
     li = load(spark, sf, "lineitem")
     q = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
     d = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
-    m = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        (F.sum(q).cast("double") / F.lit(100.0)).alias("sx"),
-        (F.sum(q * q).cast("double") / F.lit(10000.0)).alias("sxx"),
-        (F.sum(d).cast("double") / F.lit(100.0)).alias("sy"),
-        (F.sum(d * d).cast("double") / F.lit(10000.0)).alias("syy"),
-        (F.sum(q * d).cast("double") / F.lit(10000.0)).alias("sxy"),
+    part = (
+        li.select(
+            "l_returnflag",
+            F.spark_partition_id().alias("b"),
+            q.alias("qc"),
+            d.alias("dc"),
+        )
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum("qc").alias("p_sx"),
+            F.sum(F.col("qc") * F.col("qc")).alias("p_sxx"),
+            F.sum("dc").alias("p_sy"),
+            F.sum(F.col("dc") * F.col("dc")).alias("p_syy"),
+            F.sum(F.col("qc") * F.col("dc")).alias("p_sxy"),
+        )
+    )
+
+    def dec(c):
+        return F.sum(F.col(c).cast("decimal(38,0)"))
+
+    m = part.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        (dec("p_sx").cast("double") / F.lit(100.0)).alias("sx"),
+        (dec("p_sxx").cast("double") / F.lit(10000.0)).alias("sxx"),
+        (dec("p_sy").cast("double") / F.lit(100.0)).alias("sy"),
+        (dec("p_syy").cast("double") / F.lit(10000.0)).alias("syy"),
+        (dec("p_sxy").cast("double") / F.lit(10000.0)).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")

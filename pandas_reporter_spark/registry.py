@@ -143,7 +143,8 @@ _PRIORITY = (
     "q_join_asof",
     "q_join_range",
     "q_agg_global",
-    "q_agg_multi",
+    # r10 code rework (widening combiner) — official row must re-cover
+    "q_agg_stats",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
