@@ -1324,3 +1324,53 @@ def q_events_scd2(spark, sf):
         "valid_to_us",
         F.col("valid_to_us").isNull().cast("bigint").alias("is_current"),
     )
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY win_start
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT win_start, event_type, n, rk FROM r WHERE rk <= 3
+    """,
+)
+def q_stream_topk(spark, sf):
+    """Streaming top-k: the 3 busiest event types per hourly window —
+    the trending/leaderboard shape.
+
+    The state-bearing half (windowed counts per (window, type)) runs
+    in the REAL micro-batch engine — per-window per-type running
+    counts are incremental state, same as q_events_tumbling's
+    streaming twin. The RANKING half is a batch window pass over the
+    sink table: top-k is not an incremental append-mode operator
+    (a late event can reorder a whole window), and production
+    deployments rank in foreachBatch or the serving layer — exactly
+    this split. Rank work is windows × types sized, trivially small
+    at any corpus scale; ties break on event_type so the emitted
+    leaderboard is deterministic.
+    """
+    configure(spark)
+    s = _read_events_stream(spark, sf)
+    agg = s.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    with _bounded_state_parts(spark):
+        counts = _run_stream(spark, agg, "complete")
+    win = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counts.select(
+            F.col("w.start").alias("win_start"), "event_type", "n"
+        )
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+    )

@@ -135,13 +135,13 @@ _PRIORITY = (
     "q_text_url_normalize",
     "q_similarity_pq_adc",
     "q_agg_entropy",
+    "q_stream_topk",
     "q_graph_pagerank",
     "q_dedup_ngram_jaccard",
     "q_dedup_exact",
     "q_dedup_keep_first",
     "q_join_inner",
     "q_join_asof",
-    "q_join_range",
     "q_agg_global",
     # r10 code rework (widening combiner) — official row must re-cover
     "q_agg_stats",
