@@ -1920,35 +1920,40 @@ def q_text_url_normalize(spark, sf):
         (F.col("doc_id") % 5).cast("string"),
     )
     raw = d.select("doc_id", url.alias("url"))
-    parts = raw.select(
-        "doc_id",
-        F.lower(
-            F.regexp_extract("url", r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
-        ).alias("scheme"),
-        F.lower(
-            F.regexp_extract(
-                "url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
-            )
-        ).alias("hostport"),
-        F.regexp_extract(
-            "url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1
-        ).alias("path"),
-        F.regexp_extract("url", r"\?([^#]*)", 1).alias("q"),
+    canon = raw.select("doc_id", canonicalize_url("url").alias("canon_url"))
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep_doc_id"),
     )
-    hp = parts.select(
-        "doc_id",
-        "scheme",
-        "path",
-        "q",
-        F.regexp_replace(
-            F.regexp_extract("hostport", r"^([^:]+)", 1), r"^www\.", ""
-        ).alias("host"),
-        F.regexp_extract("hostport", r":([0-9]+)$", 1).alias("port"),
+
+
+def canonicalize_url(col):
+    """Column-in, Column-out URL canonicalizer — the reusable core of
+    q_text_url_normalize (see its docstring): lowercase scheme/host,
+    strip a leading www. and the scheme-default port, drop the
+    fragment, remove utm_*/ref tracking params, sort the survivors.
+    Pure built-in expressions (one codegen stage, no UDF);
+    edge-case behavior (portless, query-less, http:80, fragment-only)
+    unit-pinned in tests/test_text.py."""
+    url = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     )
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    path = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1
+    )
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, r"^([^:]+)", 1), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     kept = F.array_join(
         F.array_sort(
             F.filter(
-                F.split("q", "&"),
+                F.split(q, "&"),
                 lambda x: (x != "")
                 & ~x.rlike("^utm_")
                 & ~x.rlike("^ref="),
@@ -1956,27 +1961,18 @@ def q_text_url_normalize(spark, sf):
         ),
         "&",
     )
-    default_port = (F.col("port") == "") | (
-        (F.col("scheme") == "https") & (F.col("port") == "443")
-    ) | ((F.col("scheme") == "http") & (F.col("port") == "80"))
-    canon = hp.withColumn("kept", kept).select(
-        "doc_id",
-        F.concat(
-            F.col("scheme"),
-            F.lit("://"),
-            F.col("host"),
-            F.when(default_port, F.lit("")).otherwise(
-                F.concat(F.lit(":"), F.col("port"))
-            ),
-            F.col("path"),
-            F.when(F.col("kept") == "", F.lit("")).otherwise(
-                F.concat(F.lit("?"), F.col("kept"))
-            ),
-        ).alias("canon_url"),
+    default_port = (
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
     )
-    return canon.groupBy("canon_url").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("rep_doc_id"),
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
 
 

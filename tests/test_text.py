@@ -126,3 +126,25 @@ def test_doc_token_tf_artifact_is_result_invariant(spark, tmp_path):
             assert got == base[q], f"{q} diverged on the artifact path"
     finally:
         T._TF_ART.pop(key, None)
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """URL canonicalizer edge pins beyond the oracle's derived fixture:
+    portless, query-less, http with default :80 vs non-default port,
+    fragment-only decoration, tracking-only query, and param sorting."""
+    from pandas_reporter_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://WWW.Site.org/Path/Case", "https://site.org/Path/Case"),
+        ("https://site.org/p#frag", "https://site.org/p"),
+        ("https://site.org/p?utm_campaign=x&ref=y", "https://site.org/p"),
+        ("https://site.org/p?b=2&a=1&utm_s=z", "https://site.org/p?a=1&b=2"),
+        ("ftp://Host.net:21/f?x=1", "ftp://host.net:21/f?x=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
