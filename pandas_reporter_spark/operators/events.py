@@ -1296,7 +1296,15 @@ def q_events_scd2(spark, sf):
     Reference parity: none (driver-mandated events surface).
     """
     configure(spark)
-    e = load(spark, sf, "events")
+    return scd2_intervals(load(spark, sf, "events"))
+
+
+def scd2_intervals(e: DataFrame) -> DataFrame:
+    """Reusable SCD-2 core of q_events_scd2 (see its docstring): takes
+    any (user_id, event_type, ts, event_id) frame, returns validity
+    intervals. Property-swept against a driver-side brute force on
+    adversarial logs (single-event users, all-same-type runs, equal
+    timestamps tie-broken by event_id) in tests/test_events.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.select(

@@ -348,3 +348,71 @@ def test_watermark_eviction_bounds_dedup_state(spark, tmp_path_factory):
     # and eviction actually ran at least once (state shrank or held
     # under the cumulative key count by the final batch)
     assert state[-1] < 400, state
+
+
+def test_scd2_property_sweep(spark):
+    """scd2_intervals vs a driver-side brute force on adversarial logs:
+    seeded random histories plus single-event users, all-one-type runs
+    (one open-ended interval), and equal timestamps where only the
+    event_id tie-break defines the sequence."""
+    import datetime
+
+    from pandas_reporter_spark.operators.events import scd2_intervals
+
+    def mix(x):
+        x = (x ^ (x >> 33)) * 0xFF51AFD7ED558CCD % (1 << 64)
+        return (x ^ (x >> 29)) % (1 << 63)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid in range(1, 13):
+        n = [1, 1, 2, 5, 9, 17][uid % 6] + (uid % 3)
+        for k in range(n):
+            if uid % 4 == 0:
+                t = base  # all-equal timestamps: event_id breaks ties
+            else:
+                t = base + datetime.timedelta(
+                    minutes=int(mix(uid * 1000 + k) % 10_000)
+                )
+            typ = (
+                "only"
+                if uid % 5 == 0  # all-same-type: one open interval
+                else f"t{mix(eid * 7 + uid) % 3}"
+            )
+            rows.append((uid, typ, t, eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    key = lambda t: tuple(-1 if v is None else v for v in t)
+    got = sorted(
+        (tuple(r) for r in scd2_intervals(df).collect()), key=key
+    )
+
+    def brute():
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for uid, typ, t, e in rows:
+            by_user[uid].append((t, e, typ))
+        out = []
+        for uid, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for t, e, typ in evs:
+                if not runs or runs[-1][1] != typ:
+                    us = int(
+                        t.replace(
+                            tzinfo=datetime.timezone.utc
+                        ).timestamp()
+                        * 1_000_000
+                    )
+                    runs.append((us, typ))
+            for i, (us, typ) in enumerate(runs):
+                nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+                out.append(
+                    (uid, typ, us, nxt, 1 if nxt is None else 0)
+                )
+        return sorted(out, key=key)
+
+    assert got == brute()
