@@ -130,6 +130,11 @@ _SPARK_ONLY_HI = {"q_dedup_minhash"}
 #: ~110 s at sf0.1) or the same list-lambda minhash interpreter as
 #: q_dedup_minhash — duck skipped entirely
 _SPARK_ONLY_ALL = {"q_dedup_fuzzy", "q_dedup_minhash_capped"}
+#: ...and whose oracle exhausts host memory at the TOP label only:
+#: the triangles oracle materializes the 267M-row bigram unnest plus
+#: the wedge join inside one DuckDB query — 64 GB RSS and an
+#: oom-kill at sf100 (observed round 10), while sf10 runs in 31 s.
+_DUCK_OOM_TOP = {"q_graph_triangles"}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -209,7 +214,7 @@ def main():
                 row[f"stream_{label}"] = _stream_metrics()
             if name in _SPARK_ONLY_ALL or (
                 name in _SPARK_ONLY_HI and label != lo
-            ):
+            ) or (name in _DUCK_OOM_TOP and label == hi):
                 row[f"duck_{label}"] = None
                 continue
             # duckdb: fresh connection per sf, warm once, min-of-N
