@@ -574,6 +574,44 @@ def _band_signatures(d):
     )
 
 
+#: (session_key, sf) -> documents row count, for the size-driven width
+_MH_N_CACHE: dict = {}
+
+
+def _mh_width(docs, spark=None, sf=None) -> int:
+    """Size-driven width for the candidate explosion and the Jaccard
+    payload joins. The fixed session width (32 locally) is correct at
+    bench scale but caps the verify join at 32 in-process slots: the
+    perturbed synthesis produces ~5 LSH candidate pairs per document
+    (9.2 M pairs at 2 M docs, sf10 grid), so at sf100 each slot holds
+    ~3 M pairs x2 shingle arrays — the single-JVM heap OOM observed
+    round 10. 250k pairs per task bounds the payload-join footprint;
+    the count is one cached metadata-cheap job per (session, sf), and
+    bare frames (tests, ad-hoc callers) keep the session width.
+    On a cluster this is exactly "more reduce slots for more data" —
+    the same rule scaled_partitions applies to artifacts."""
+    try:
+        n = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError, AttributeError):
+        n = 32
+    if spark is None or sf is None:
+        return n
+    from pandas_reporter_spark.session import scaled_partitions
+    from pandas_reporter_spark.tables import _session_key
+
+    key = (_session_key(spark), sf)
+    n_docs = _MH_N_CACHE.get(key)
+    if n_docs is None:
+        try:
+            n_docs = docs.count()
+        except Exception:
+            return n
+        _MH_N_CACHE[key] = n_docs
+    return max(n, scaled_partitions(n_docs * 5, 250_000))
+
+
 def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
                             bucket_cap: int | None = None):
     """(hashed-shingle DF, candidate-pair DF) — the shared front of the
@@ -597,12 +635,7 @@ def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
         )
         d = d.persist(StorageLevel.MEMORY_AND_DISK)
         bands = _band_signatures(d)
-    try:
-        n = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError, AttributeError):
-        n = 32
+    n = _mh_width(docs, spark=spark, sf=sf)
     # null signatures mark empty shingle sets (docs under 3 tokens) —
     # the oracle's `WHERE len(hs) > 0` twin. Filtering here also keeps
     # the all-empty-docs mega-bucket out of the pair explosion (its
@@ -693,9 +726,25 @@ def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8,
     # across independent column expressions, and array_intersect is the
     # expensive half of the verify
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    # Size-driven width on each payload join, applied ONLY when the
+    # corpus demands more than the session width (the join key changes
+    # doc_a -> doc_b, so each join needs its own clustering): at 32
+    # slots every candidate pair's two shingle arrays share one JVM —
+    # the round-10 sf100 OOM (see _mh_width). At bench scale the
+    # session width suffices and the planner's own choice (broadcast
+    # of the small shingle sides) is strictly better — forcing the
+    # repartition there cost +36% (measured sf0.1 A/B, 1.07->1.45 s).
+    nw = _mh_width(docs, spark=spark, sf=sf)
+    try:
+        ns = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError, AttributeError):
+        ns = 32
+    left = cand if nw <= ns else cand.repartition(nw, "doc_a")
+    j1 = left.join(sha, "doc_a")
+    if nw > ns:
+        j1 = j1.repartition(nw, "doc_b")
     return (
-        cand.join(sha, "doc_a")
-        .join(shb, "doc_b")
+        j1.join(shb, "doc_b")
         .withColumn("_isz", inter)
         .withColumn(
             "jaccard",
