@@ -139,8 +139,11 @@ _PRIORITY = (
     "q_graph_pagerank",
     "q_dedup_ngram_jaccard",
     "q_dedup_exact",
-    "q_dedup_keep_first",
-    "q_join_inner",
+    # late-r10 code change (size-driven _mh_width in the candidate/
+    # payload stages) — official rows must re-cover the changed core,
+    # displacing q_dedup_keep_first / q_join_inner (stable r7 rows)
+    "q_dedup_minhash",
+    "q_dedup_minhash_capped",
     "q_join_asof",
     "q_agg_global",
     # r10 code rework (widening combiner) — official row must re-cover
