@@ -599,9 +599,11 @@ def _mh_width(docs, spark=None, sf=None) -> int:
     if spark is None or sf is None:
         return n
     from pandas_reporter_spark.session import scaled_partitions
-    from pandas_reporter_spark.tables import _session_key
+    from pandas_reporter_spark.tables import _session_key, src_mtime
 
-    key = (_session_key(spark), sf)
+    # mtime in the key (ADVICE r10): a regenerated documents.parquet
+    # must re-count, same staleness rule as the disk artifacts
+    key = (_session_key(spark), sf, src_mtime(sf, "documents"))
     n_docs = _MH_N_CACHE.get(key)
     if n_docs is None:
         try:
@@ -1086,8 +1088,18 @@ def connected_components(nodes, pairs, src: str, dst: str):
     nparts = min(
         work_partitions(spark, 8), scaled_partitions(2 * prev[0], 100_000)
     )
+    # NOTE (ADVICE r10): this conf swap is session-global for the
+    # loop's duration — a plan constructed CONCURRENTLY on the same
+    # session (threads, streaming callbacks) would pick up the loop
+    # width. Explicit .repartition inside the star steps would forfeit
+    # map-side partial aggregation (the repartition exchange moves full
+    # rows before any combine), so the documented contract is instead:
+    # connected_components assumes no concurrent plan construction on
+    # its session — which holds for every driver/bench/test caller
+    # (single-threaded per session).
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    converged = prev[0] == 0
     try:
         if prev[0] > 0:
             for _ in range(32):  # safety bound; O(log n) expected
@@ -1098,10 +1110,22 @@ def connected_components(nodes, pairs, src: str, dst: str):
                 cur = checksum(new)
                 E = new
                 if cur == prev:  # unchanged edge set == star fixpoint
+                    converged = True
                     break
                 prev = cur
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    if not converged:
+        # Exiting via the bound means the edge set never reached the
+        # star fixpoint: labels below would be min DIRECT neighbor, not
+        # the component root — silent wrong answers (ADVICE r10).
+        # Unreachable for realistic inputs (O(log n) rounds ⇒ 32 covers
+        # n ~ 2^32 nodes), so fail loudly rather than guess.
+        raise RuntimeError(
+            "connected_components: star iteration hit the 32-round "
+            f"safety bound without converging (last checksum {prev}); "
+            "labels would be unreliable — refusing to return them"
+        )
 
     roots = E.groupBy("u").agg(F.min("v").alias("root"))
     labels = (

@@ -1960,15 +1960,22 @@ def q_agg_stats(spark, sf):
       FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
+           -- zero-variance CASE mirrors the Spark F.when guard: both
+           -- engines emit NULL on a constant group (Spark's non-ANSI
+           -- Divide NULLs on /0, DuckDB would NaN — see ADVICE r10)
+           CASE WHEN ((sxx / n) - (sx / n) * (sx / n)) > 0 THEN
            round(((sxxx / n) - 3.0 * (sx / n) * (sxx / n)
                   + 2.0 * (sx / n) * (sx / n) * (sx / n))
                  / (((sxx / n) - (sx / n) * (sx / n))
-                    * sqrt((sxx / n) - (sx / n) * (sx / n))), 6) AS skew_qty,
+                    * sqrt((sxx / n) - (sx / n) * (sx / n))), 6)
+           END AS skew_qty,
+           CASE WHEN ((sxx / n) - (sx / n) * (sx / n)) > 0 THEN
            round(((sxxxx / n) - 4.0 * (sx / n) * (sxxx / n)
                   + 6.0 * (sx / n) * (sx / n) * (sxx / n)
                   - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
                  / (((sxx / n) - (sx / n) * (sx / n))
-                    * ((sxx / n) - (sx / n) * (sx / n))) - 3.0, 6) AS kurt_qty
+                    * ((sxx / n) - (sx / n) * (sx / n))) - 3.0, 6)
+           END AS kurt_qty
     FROM m
     """,
 )
@@ -2058,11 +2065,21 @@ def q_agg_skew_kurt(spark, sf):
         + F.lit(6.0) * mean * mean * (F.col("sxx") / n)
         - F.lit(3.0) * mean * mean * mean * mean
     )
+    # Zero-variance guard (ADVICE r10): on a constant group m2 == 0 and
+    # the engines diverge — Spark's non-ANSI Divide yields NULL on a
+    # zero divisor, DuckDB's IEEE double division yields NaN. Spell the
+    # same CASE on both sides so a degenerate group emits NULL in both
+    # engines (impossible on TPC-H l_quantity, but the operator is a
+    # general per-column screen).
     return m.select(
         "l_returnflag",
         "n",
-        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_qty"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurt_qty"),
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias(
+            "skew_qty"
+        ),
+        F.when(
+            m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)
+        ).alias("kurt_qty"),
     )
 
 

@@ -130,13 +130,19 @@ def q_join_bucketed_atrest(spark, sf):
     physical plans because this one ran first. Falls back to the
     plain scan (identical result, shuffled plan) when no writable
     base exists — the oracle checks semantics either way.
+
+    Bucket count is use_bucketed_layout's OWN default (ADVICE r10):
+    this call site previously forced 8 while the SPARK_GRAFT_BUCKETED
+    bench path used the default 32, and the preexisting-key
+    short-circuit made the count in effect depend on which caller ran
+    first. One shared default means every opt-in sees one layout.
     """
     from pandas_reporter_spark import tables
 
     configure(spark)
     key = (tables._session_key(spark), sf)
     preexisting = key in tables._BUCKETED_TABLES
-    active = tables.use_bucketed_layout(spark, sf, n_buckets=_N_BUCKETS)
+    active = tables.use_bucketed_layout(spark, sf)
     try:
         li = load(spark, sf, "lineitem")
         o = load(spark, sf, "orders")

@@ -137,11 +137,16 @@ _N_CACHE: dict = {}
 
 
 def corpus_count(e: DataFrame, spark=None, sf=None) -> int:
-    """Corpus size, cached per (session, sf) when known."""
-    if spark is not None and sf is not None:
-        from pandas_reporter_spark.tables import _session_key
+    """Corpus size, cached per (session, sf, source-mtime) when known.
 
-        key = (_session_key(spark), sf)
+    The mtime tag (ADVICE r10) keeps the cache honest against a
+    mid-session testdata regeneration: the occupancy-derived b feeds
+    both the Spark plan and the oracle SQL, so a stale count would
+    break LSH bucket parity loudly at verify time."""
+    if spark is not None and sf is not None:
+        from pandas_reporter_spark.tables import _session_key, src_mtime
+
+        key = (_session_key(spark), sf, src_mtime(sf, "embeddings"))
         n = _N_CACHE.get(key)
         if n is None:
             n = e.count()

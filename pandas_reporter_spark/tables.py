@@ -144,6 +144,20 @@ def relayout(spark: SparkSession, sf: str, base: str = "/dev/shm") -> None:
         del _LOAD_CACHE[key]
 
 
+def src_mtime(sf: str, name: str) -> int:
+    """mtime tag of one driver table file (0 if absent). Folded into
+    caches keyed on (session, sf) — e.g. the corpus-count caches that
+    drive LSH plane counts — so regenerating testdata mid-session
+    invalidates the cached value instead of silently serving a stale
+    count (ADVICE r10: stale n breaks Spark/oracle LSH bucket parity).
+    Directory-shaped multi-file tables tag by the directory mtime,
+    which every rewrite touches."""
+    try:
+        return int(os.path.getmtime(os.path.join(sf, f"{name}.parquet")))
+    except OSError:
+        return 0
+
+
 #: (session_key, sf) -> {table_name: catalog_table} for tables written
 #: bucketed at rest (see use_bucketed_layout). Consulted by `load`
 #: ahead of the relayout copies.

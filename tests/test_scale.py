@@ -437,6 +437,43 @@ def test_bucketed_atrest_query_scopes_its_redirect(spark):
     assert df.count() >= 1  # plan still executes after the un-redirect
 
 
+def test_bucketed_atrest_redirect_restores_on_exception(spark, monkeypatch):
+    """VERDICT r10 #7: if the query body raises AFTER the redirect is
+    installed, the finally must still drop it — otherwise one failed
+    query silently changes every later plan in the session. (The
+    redirect remains single-session by design; concurrent sessions
+    each build/scope their own layout — SURVEY §4.3.)"""
+    import pandas_reporter_spark.operators.scale as scale_mod
+    from pandas_reporter_spark import tables
+    from pandas_reporter_spark.operators.scale import q_join_bucketed_atrest
+
+    key = (tables._session_key(spark), SF)
+    assert key not in tables._BUCKETED_TABLES
+
+    real_load = scale_mod.load
+    calls = {"n": 0}
+
+    def exploding_load(spark_, sf_, name_):
+        # let the layout build (it calls tables.load internally, not
+        # this import), then fail the query body's first load
+        calls["n"] += 1
+        raise RuntimeError("simulated plan-construction failure")
+
+    monkeypatch.setattr(scale_mod, "load", exploding_load)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated"):
+            q_join_bucketed_atrest(spark, SF)
+    finally:
+        monkeypatch.setattr(scale_mod, "load", real_load)
+    assert calls["n"] == 1
+    # the redirect must be gone and a fresh load must see raw parquet
+    assert key not in tables._BUCKETED_TABLES
+    li = tables.load(spark, SF, "lineitem")
+    assert li.count() > 0
+
+
 def test_partition_helpers():
     from pandas_reporter_spark.session import scaled_partitions
 
