@@ -78,76 +78,72 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-10 ROTATION. After r9 the cumulative record holds zero
-    # rows older than r6; the stalest cohorts are 33 r6 rows and 49 r7
-    # rows. This prefix: (1) the two ADVICE-r9 queries whose code
-    # changed in r9 AFTER their last official row (decimal widening in
-    # q_agg_group_ols, dim guard in q_embed_kmeans — their r8 rows are
-    # code-stale); (2) all 33 r6-official rows (TPC-H q7..q22 cohort,
-    # multimodal, sources, text deep cuts); (3) 15 r7 rows chosen where
-    # round-10 work lands: the partition-constant lift touches graph/
-    # dedup paths (pagerank, ngram_jaccard, exact, keep_first), the
-    # large-star CC rework sits under dedup, and the remaining slots
-    # re-prove the heaviest r7 relational representatives.
-    "q_agg_group_ols",
-    "q_embed_kmeans",
-    # (2) all 33 r6-official rows, alphabetical.
-    "q_census_workflow",
-    "q_embed_centroids",
-    "q_events_interpolate",
-    "q_mix_temperature",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_pivot",
-    "q_sample",
-    "q_similarity_maxsim",
-    "q_sketch_cms",
-    "q_sketch_quantile",
-    "q_source_cr_bulk",
-    "q_source_cr_pivot",
-    "q_split_train_val",
-    "q_text_chi2",
-    "q_text_decontaminate",
-    "q_text_logprob",
-    "q_text_normalize",
-    "q_text_vocab_overlap",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q22",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_udf_pandas",
-    "q_varrep_source",
-    # (3) r7 rows on this round's changed code paths + heavy reps,
-    # trimmed from 15 as the round-10 NEW operators below displace the
-    # stablest relational representatives (each new query needs an
-    # official row this round; the displaced r7 rows rotate back next).
-    "q_graph_triangles",
-    "q_events_scd2",
+    # ---- ROUND-11 ROTATION (VERDICT r10 #1). The cumulative record
+    # after r10 holds vintages 50xR10 / 49xR9 / 47xR8 / 43xR7 plus ONE
+    # query with no driver record ever (q_join_bucketed_atrest, added
+    # late in r10 after the prefix was fixed; judge-verified only).
+    # This prefix retires BOTH tails at once: (1) the never-recorded
+    # query leads; (2) all 43 r7-vintage rows (the relational/moe/
+    # sketch representatives that anchored rounds 2-7) re-record;
+    # (3) the 6 remaining slots re-prove queries whose CODE changed in
+    # round 11 after their last official row (skew/kurt zero-variance
+    # guard, CC convergence raise + minhash width-cache key, the
+    # url-normalize fusion, PQ-ADC size-driven dials, the stdlib PNG
+    # decoder) — official rows must re-cover changed cores. After this
+    # round every one of the 190 queries has a record no older than r8.
+    # (1) the only never-recorded query
+    "q_join_bucketed_atrest",
+    # (2) all 43 r7-official rows, alphabetical
+    "q_agg_approx_countd",
+    "q_agg_distinct",
+    "q_agg_group_sum",
+    "q_agg_multi",
+    "q_agg_percentile",
+    "q_cube",
+    "q_date_funcs",
+    "q_dedup_keep_first",
+    "q_embed_stats",
+    "q_except",
+    "q_fillna",
+    "q_filter",
+    "q_filter_compound",
+    "q_grouping_sets",
+    "q_having",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_limit",
+    "q_product_moe",
+    "q_project",
+    "q_project_arith",
+    "q_project_margin_carry",
+    "q_proportion_moe",
+    "q_ratio_moe",
+    "q_rollup",
+    "q_rse",
+    "q_scan_parquet",
+    "q_sketch_hll",
+    "q_sort",
+    "q_str_funcs",
+    "q_str_substr",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_window_lag_lead",
+    "q_window_running_sum",
+    # (3) round-11 code-touched paths
     "q_agg_skew_kurt",
+    "q_dedup_cluster",
+    "q_dedup_minhash",
     "q_text_url_normalize",
     "q_similarity_pq_adc",
-    "q_agg_entropy",
-    "q_stream_topk",
-    "q_graph_pagerank",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_exact",
-    # late-r10 code change (size-driven _mh_width in the candidate/
-    # payload stages) — official rows must re-cover the changed core,
-    # displacing q_dedup_keep_first / q_join_inner (stable r7 rows)
-    "q_dedup_minhash",
-    "q_dedup_minhash_capped",
-    "q_join_asof",
-    "q_agg_global",
-    # r10 code rework (widening combiner) — official row must re-cover
-    "q_agg_stats",
+    "q_multimodal_features",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
