@@ -428,3 +428,36 @@ def triangle_counts(spark, und):
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def triangle_total_lex(spark, und):
+    """Total triangle count by an INDEPENDENT enumeration path:
+    lexicographic orientation (src = name-smaller endpoint — the input
+    already has u < v, so the edge list IS the orientation) with
+    name-ordered wedges, no degree computation at all.
+
+    Exists for the sf100 self-consistency check (VERDICT r10 item 6):
+    the DuckDB oracle cannot run at sf100 (single-process OOM on the
+    267 M-row unnest), so the Spark result is checked against a second
+    Spark plan that shares no orientation logic with
+    ``triangle_counts`` — 3 * this total must equal the sum of the
+    per-node counts, and the per-node output must be invariant to
+    shuffle width. Unlike the degree-ordered path this one is NOT
+    skew-bounded (a celebrity node's out-adjacency is its full
+    name-larger neighborhood), so it is a verification tool, not the
+    production operator.
+    """
+    a, b, c = und.alias("a"), und.alias("b"), und.alias("c")
+    tri = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+        )
+        .join(
+            c,
+            (F.col("c.u") == F.col("a.v"))
+            & (F.col("c.v") == F.col("b.v")),
+            "left_semi",
+        )
+    )
+    return tri.count()

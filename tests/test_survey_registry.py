@@ -31,6 +31,19 @@ def test_priority_prefix_is_valid():
     assert list(QUERIES)[:50] == list(_PRIORITY)
 
 
+def test_survey_claimed_count_matches_registry():
+    """VERDICT r10 item 8: the prose count ("N registered queries") must
+    equal len(QUERIES) so the headline arithmetic can't drift as rounds
+    add operators. Every such phrase in SURVEY.md is checked."""
+    load_all()
+    claims = [int(m) for m in re.findall(r"(\d+) registered queries", SURVEY.read_text())]
+    assert claims, "SURVEY.md no longer states the registered-query count"
+    for c in claims:
+        assert c == len(QUERIES), (
+            f"SURVEY.md claims {c} registered queries; registry has {len(QUERIES)}"
+        )
+
+
 def test_every_query_is_oracled():
     """182/182 oracled is a verdict headline — keep it true by construction."""
     load_all()
