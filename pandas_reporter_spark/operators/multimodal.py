@@ -1,14 +1,17 @@
 """Multimodal-column operators (SURVEY §2.3): binary payloads + typed
 metadata, decode/feature-extract/frame-sample plumbing.
 
-The container has no image/audio codecs (and the driver tables have no
-media), so — per the brief — the DECODE step is stubbed: a clearly
-marked NotImplementedError for real codecs, plus a deterministic fake
-used by the registered queries. Everything Spark-side is real and
-tested: binary columns, metadata structs, Arrow-batched mapInPandas
-with explicit output schema, per-partition batch shaping, and the
-oracle-checkable parts (lengths, hashes, magic sniff) run as JVM
-expressions.
+The container has no codec LIBRARIES (and the driver tables have no
+media), but since r11 the decode step is real for PNG and GIF: a pure
+stdlib header parser (struct + zlib.crc32, `parse_image_header`)
+reads true dimensions off real bytes, exercised end-to-end by
+q_multimodal_features on PNGs built in-flight by `make_png`. Formats
+beyond those two still need PIL (import-probed; clearly-marked
+NotImplementedError without it) with a deterministic fake as the last
+tier. Everything Spark-side is real and tested: binary columns,
+metadata structs, Arrow-batched mapInPandas with explicit output
+schema, per-partition batch shaping, and the oracle-checkable parts
+(lengths, hashes, magic sniff) run as JVM expressions.
 
 Media bytes are synthesized from `documents.text` (utf-8) so the
 pipeline is reproducible on the driver tables; with real data the
@@ -28,8 +31,72 @@ from pandas_reporter_spark.tables import load
 #: Output schema of the feature extractor — explicit, never inferred.
 _FEATURE_SCHEMA = (
     "doc_id long, n_bytes int, first_byte int, byte_sum_mod long, "
-    "n_batch_rows int"
+    "png_w int, png_h int, png_mode string, n_batch_rows int"
 )
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> PIL-style mode letters (public PNG spec, table
+#: 11.4; the suffix carries bit depth so the string is lossless).
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A minimal VALID grayscale PNG (8-bit, zero pixels), pure
+    struct+zlib — signature, IHDR, one IDAT of filter-0 zero
+    scanlines, IEND, all CRCs correct. Any standards-conforming
+    decoder accepts the output; tests feed it to PIL when that is
+    importable. Exists so the decode path can be exercised on REAL
+    byte-format payloads inside this codec-less container
+    (VERDICT r10 item 4)."""
+    import struct  # noqa: PLC0415 — worker-side
+    import zlib  # noqa: PLC0415 — worker-side
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        data = tag + payload
+        return (
+            struct.pack(">I", len(payload))
+            + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes(width)) * height
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_image_header(data: bytes):
+    """(width, height, mode) parsed from real image bytes with ONLY the
+    stdlib — PNG via the IHDR chunk (big-endian fields, CRC VERIFIED
+    with zlib.crc32 so truncated/corrupt headers fail loudly) and GIF
+    via the 87a/89a logical-screen descriptor (little-endian). Returns
+    None when the payload carries neither magic, so callers can fall
+    through to an optional codec or the deterministic fake. This is
+    the real-decode tier of decode_dims: no PIL needed for the two
+    formats whose headers are trivially parseable from the public
+    specs."""
+    import struct  # noqa: PLC0415 — worker-side
+    import zlib  # noqa: PLC0415 — worker-side
+
+    if data[:8] == _PNG_MAGIC and len(data) >= 33:
+        length, tag = struct.unpack(">I4s", data[8:16])
+        if tag != b"IHDR" or length != 13:
+            raise ValueError("PNG signature without a leading IHDR chunk")
+        w, h, bit_depth, color_type = struct.unpack(">IIBB", data[16:26])
+        (crc,) = struct.unpack(">I", data[29:33])
+        if crc != zlib.crc32(data[12:29]) & 0xFFFFFFFF:
+            raise ValueError("PNG IHDR CRC mismatch")
+        mode = _PNG_MODES.get(color_type, f"ct{color_type}")
+        return w, h, f"png/{mode};{bit_depth}"
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h, "gif"
+    return None
 
 
 def _probe_pil():
@@ -65,12 +132,20 @@ def decode_image(data: bytes):
 
 
 def decode_dims(data: bytes) -> tuple[int, int, int, str]:
-    """(n_bytes, width, height, mode) — REAL decode when a codec is
-    present, the deterministic fake otherwise, same schema either way,
-    so a mapInPandas pipeline built on this upgrades itself in a
-    codec-equipped environment with no code change. The fake derives
-    width/height from the byte arithmetic (stable, engine-checkable);
-    the real path reads them off the decoded image."""
+    """(n_bytes, width, height, mode), three tiers (r10 item 4 moved
+    PNG/GIF from tier 2 to tier 1 so REAL byte-format decode runs in
+    this codec-less container):
+
+    1. stdlib header parse for PNG/GIF (`parse_image_header` — real
+       bytes, real spec, CRC-checked, no dependencies);
+    2. PIL for any other format, when importable;
+    3. the deterministic fake (byte arithmetic) otherwise — same
+       schema, so a pipeline built on this upgrades itself in a
+       codec-equipped environment with no code change."""
+    hdr = parse_image_header(data)
+    if hdr is not None:
+        w, h, mode = hdr
+        return len(data), int(w), int(h), mode
     pil = _probe_pil()
     if pil is None:
         n_bytes, first, ssum = fake_decode_features(data)
@@ -157,19 +232,38 @@ def media_features(spark, sf):
     tests/test_multimodal.py."""
     configure(spark)
     d = load(spark, sf, "documents")
-    media = with_media(d).select("doc_id", "media")
+    # payload inline (same expression with_media uses) — selecting
+    # n_chars alongside instead of joining back avoids a self-join
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("media"), "n_chars"
+    )
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd  # worker-side
 
         for pdf in batches:
             feats = [fake_decode_features(b) for b in pdf["media"]]
+            # Real byte-format leg: build a valid PNG per row (dims
+            # derived from row fields, bounded small) and run it
+            # through the production decoder — tier-1 stdlib IHDR
+            # parse, CRC checked. Build (struct.pack) and parse
+            # (struct.unpack + crc32) are independent code paths, and
+            # the oracle recomputes the expected dims analytically.
+            dims = [
+                decode_dims(
+                    make_png(int(nc) % 64 + 1, int(did) % 48 + 1)
+                )
+                for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [f[0] for f in feats],
                     "first_byte": [f[1] for f in feats],
                     "byte_sum_mod": [f[2] for f in feats],
+                    "png_w": [w for _, w, _, _ in dims],
+                    "png_h": [h for _, _, h, _ in dims],
+                    "png_mode": [m for _, _, _, m in dims],
                     "n_batch_rows": len(pdf),
                 }
             )
@@ -193,7 +287,13 @@ def media_features(spark, sf):
            CAST(COALESCE(list_aggregate(
                   list_transform(range(1, length(text) + 1),
                                  i -> ord(substring(text, i, 1))),
-                  'sum'), 0) % 997 AS BIGINT) AS byte_sum_mod
+                  'sum'), 0) % 997 AS BIGINT) AS byte_sum_mod,
+           -- the PNG leg round-trips make_png -> parse_image_header
+           -- (real IHDR bytes, CRC-checked); the expected dims are the
+           -- same row-field arithmetic the builder used
+           CAST(n_chars % 64 + 1 AS INTEGER) AS png_w,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS png_h,
+           'png/L;8' AS png_mode
     FROM documents
     """,
 )
@@ -208,9 +308,16 @@ def q_multimodal_features(spark, sf):
     by doc_id if needed). The Arrow batch shape itself is pinned by
     tests via media_features' n_batch_rows column (execution-
     dependent, so excluded from the hash-checked projection).
+
+    Since r11 the batch also carries a REAL byte-format decode
+    (VERDICT r10 item 4): a valid PNG is built per row (pure
+    struct+zlib) and parsed back by the production decoder's stdlib
+    IHDR tier — width/height/mode are value-checked against the
+    oracle's analytical replay of the expected dims.
     """
     return media_features(spark, sf).select(
-        "doc_id", "n_bytes", "first_byte", "byte_sum_mod"
+        "doc_id", "n_bytes", "first_byte", "byte_sum_mod",
+        "png_w", "png_h", "png_mode",
     )
 
 
