@@ -1934,7 +1934,75 @@ def canonicalize_url(col):
     fragment, remove utm_*/ref tracking params, sort the survivors.
     Pure built-in expressions (one codegen stage, no UDF);
     edge-case behavior (portless, query-less, http:80, fragment-only)
-    unit-pinned in tests/test_text.py."""
+    unit-pinned in tests/test_text.py.
+
+    r11 rework (VERDICT r10 item 5), measured at sf100 with an
+    interleaved same-session variant grid (docs/URLNORM_SF100_r11.json):
+    the r10 body evaluated seven java.util.regex patterns per row PLUS
+    two rlikes per query param. The per-param rlikes and the host/port
+    regexes convert profitably to literal `startswith` /
+    `substring_index` intrinsics (2.40 -> 2.02 s at sf100, canon
+    marginal over the fixture+groupBy floor 1.69 -> 1.31 s). The four
+    STRUCTURAL regexes (scheme/hostport/path/query split) do NOT: two
+    full string-intrinsic rewrites measured SLOWER than the all-regex
+    body (2.56/2.65 vs 2.40 s — deep substring chains under `when`
+    guards defeat codegen subexpression elimination, so the chains
+    re-evaluate per use while an anchored regex scans once). Kept:
+    anchored regexes for structure, intrinsics for the tails.
+    Byte-equivalence with the r10 regex body is property-swept in
+    tests/test_text.py (`_canonicalize_url_regex` kept as the
+    reference), and the oracle SQL is unchanged — same hashes."""
+    url = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    path = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1
+    )
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    host0 = F.substring_index(hostport, ":", 1)
+    host = F.when(
+        host0.startswith("www."),
+        host0.substr(F.lit(5), F.length(host0)),
+    ).otherwise(host0)
+    port_tail = F.substring_index(hostport, ":", -1)
+    port = F.when(
+        hostport.contains(":") & port_tail.rlike("^[0-9]+$"), port_tail
+    ).otherwise(F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: (x != "")
+                & ~x.startswith("utm_")
+                & ~x.startswith("ref="),
+            )
+        ),
+        "&",
+    )
+    default_port = (
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+def _canonicalize_url_regex(col):
+    """The r10 all-regex canonicalizer, kept as the equivalence
+    reference for the fused body above (property-swept in
+    tests/test_text.py; also the A-arm of docs/URLNORM_SF100_r11's
+    same-session A/B). Not used by any registered query."""
     url = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(
         F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)

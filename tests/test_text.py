@@ -148,3 +148,49 @@ def test_canonicalize_url_edge_cases(spark):
         r.c for r in df.select(canonicalize_url("url").alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_fused_equals_regex_reference(spark):
+    """The r11 string-intrinsic canonicalizer must be byte-equivalent
+    to the r10 all-regex body on an adversarial URL sweep: missing
+    scheme, empty hostport, port-less, non-numeric port, multi-colon
+    hosts, fragment-before-query, tracking-only queries, empty params,
+    and the registered query's derived fixture shape."""
+    from pandas_reporter_spark.operators.text import (
+        _canonicalize_url_regex,
+        canonicalize_url,
+    )
+
+    urls = [
+        "HTTPS://WWW.S1.Example.COM:443/Docs/7?utm_source=feed&ref=1&id=3#s2",
+        "http://example.com:80/a",
+        "http://example.com:8080/a",
+        "https://WWW.Site.org/Path/Case",
+        "https://site.org/p#frag",
+        "https://site.org/p#frag?notaquery=1",
+        "https://site.org/p?utm_campaign=x&ref=y",
+        "https://site.org/p?b=2&a=1&utm_s=z",
+        "https://site.org/p?b=2&&a=1",
+        "ftp://Host.net:21/f?x=1",
+        "no-scheme-at-all",
+        "1http://bad.scheme/x",
+        "https:///path-no-host",
+        "https://?q=1",
+        "https://site.org",
+        "https://site.org?a=1",
+        "https://site.org:notaport/x",
+        "https://a:b:443/x",
+        "https://:443/x",
+        "https://site.org:/x",
+        "https://www.www.site.org/x",
+        "HTTPS://WWW.X.COM:443",
+        "http://h/p?ref=1&refx=2&utm=3&utm_=4",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonicalize_url("url").alias("fused"),
+        _canonicalize_url_regex("url").alias("ref"),
+    ).collect()
+    for u, r in zip(urls, rows):
+        assert r.fused == r.ref, f"divergence on {u!r}: {r.fused!r} != {r.ref!r}"
