@@ -218,17 +218,64 @@ def q_tpch_q1(spark, sf):
 def q_tpch_q3(spark, sf):
     """TPC-H-Q3-style shipping-priority: the canonical 3-table
     join-ordering shape (dim filter → fact join → fact join → agg →
-    top-k). Catalyst's decisions here ARE the 100 TB story: the
-    segment filter prunes customer BEFORE the join (predicate
-    pushdown), the filtered customer side broadcasts under the 64 MB
-    threshold, orders⨝lineitem shuffles on orderkey with both date
-    filters pushed to the scans, the revenue agg combines map-side on
-    the join's own orderkey partitioning (no extra exchange), and the
-    top-10 compiles to TakeOrderedAndProject — no global sort. At 100
-    TB only the orderkey shuffle moves real data, exactly as a
-    warehouse would plan it (adapted from the public TPC-H spec, Q3;
-    o_shippriority is not in the driver tables, o_orderpriority
-    stands in)."""
+    top-k), with the r11 pre-aggregation-below-the-join rewrite
+    (VERDICT r10 item 2 — the Q18 trick applied here): the revenue
+    sum groups lineitem by l_orderkey BEFORE any join, so the fact
+    table collapses to ≤1 row per order (3 narrow columns) before it
+    meets orders, instead of shuffling full-width lineitem rows into
+    the join and aggregating after. Legal because orderkey is unique
+    in orders and custkey unique in customer — the join fans nothing
+    out, so per-order revenue is identical computed before or after
+    (equality property-checked against the retained r10 shape in
+    tests/test_tpch_rewrite.py and A/B'd at sf100 in
+    docs/BUCKETED_SF100_r11.json).
+
+    Plan at scale: the segment filter prunes customer at the scan and
+    the pruned (c_custkey) side broadcasts or shuffle-joins by size;
+    the groupBy and the orders join share ONE orderkey clustering —
+    on the co-bucketed at-rest layout both are bucket-local (zero
+    Exchange on the fact side), and on the stock layout the single
+    orderkey exchange moves pre-aggregated 3-column rows, not raw
+    lineitem. Top-10 compiles to TakeOrderedAndProject (adapted from
+    the public TPC-H spec, Q3; o_shippriority is not in the driver
+    tables, o_orderpriority stands in)."""
+    configure(spark)
+    c = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    liagg = li.groupBy("l_orderkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .alias("revenue")
+    )
+    # SHUFFLE_HASH build sides, not sort-merge: the pre-agg's hash
+    # output has no sort order, so SMJ would re-sort the LARGEST
+    # relation in the plan (measured +2.4 s at sf10 bucketed); the
+    # hash join streams liagg in place (bucket-local on the at-rest
+    # layout — zero Exchange) and builds the smaller filtered sides.
+    # Under AQE (the production posture) the customer build is
+    # runtime-demoted to broadcast; the hint only pins the
+    # no-sort strategy, not the data movement.
+    return (
+        liagg.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.hint("shuffle_hash"), F.col("c_custkey") == F.col("o_custkey"))
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+def _q_tpch_q3_r10(spark, sf):
+    """The r10 aggregate-above-the-join Q3 shape, retained as the
+    equality reference and A-arm for the r11 rewrite's A/B
+    (docs/BUCKETED_SF100_r11.json). Not registered."""
     configure(spark)
     c = load(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -337,7 +384,91 @@ def q_tpch_q5(spark, sf):
     final 5-row nation rollup is map-side combined. Catalyst's join
     reordering + AQE pick broadcast for every dim side — the classic
     star-schema execution a warehouse lives on (adapted from the
-    public TPC-H spec, Q5)."""
+    public TPC-H spec, Q5).
+
+    r11 rewrite (VERDICT r10 item 2): revenue pre-aggregates below
+    the fact-fact join in exact integer units. lineitem first
+    broadcast-joins the pre-joined Asian-supplier dim (20% survival),
+    then groups by (l_orderkey, s_nationkey, n_name) — a clustering
+    the orderkey bucketing/partitioning already satisfies (subset
+    rule), so on the at-rest layout the groupBy AND the orders join
+    are bucket-local. The custkey leg joins orders⨝customer FIRST
+    (the two small sides after the date filter), then meets the
+    pre-agg on orderkey, carrying the c_nationkey = s_nationkey
+    correlation as the join's second conjunct. Exactness: the
+    pre-agg keeps dsum's 10^-4 units as BIGINT and the final
+    nation rollup sums those longs before ONE division — bit-equal
+    to dsum over the unjoined rows (equality property-checked in
+    tests/test_tpch_rewrite.py; A/B in docs/BUCKETED_SF100_r11.json)."""
+    configure(spark)
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    # the three dim legs collapse into ONE pre-joined broadcast (the
+    # dim-on-dim joins are broadcast-local inside the build) — one
+    # broadcast build job against the fact instead of three, and the
+    # region filter prunes the build to Asian suppliers before it
+    # ships (r6 A/B: 0.76s → 0.63s, identical results)
+    dim = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey")
+    )
+    # per-(order, supplier-nation) revenue in exact 10^-4 units —
+    # BIGINT so the nation rollup can re-sum without losing dsum's
+    # bit-stability (divide once, at the end). The group key is
+    # EXACTLY the downstream join key set: a superset (e.g. carrying
+    # n_name here) would hash-partition on three columns, which does
+    # NOT satisfy the two-column join clustering, forcing a second
+    # full exchange of this — the largest — side. n_name resolves
+    # after the final 5-row rollup via a broadcast instead.
+    pre = (
+        li.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_orderkey", "s_nationkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * F.lit(1e4)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_units")
+        )
+    )
+    oc = c.join(o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        pre.join(
+            # SHUFFLE_HASH: pre's hash-agg output is unsorted, so SMJ
+            # would sort the fact-sized side; hash-building the small
+            # oc leg streams pre in place (bucket-local at rest)
+            oc.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            (F.sum("rev_units").cast("double") / F.lit(1e4)).alias("revenue")
+        )
+        .join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("n_name", "revenue")
+    )
+
+
+def _q_tpch_q5_r10(spark, sf):
+    """The r10 aggregate-above-the-joins Q5 shape, retained as the
+    equality reference and A-arm for the r11 rewrite's A/B
+    (docs/BUCKETED_SF100_r11.json). Not registered."""
     configure(spark)
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders").filter(
@@ -348,11 +479,6 @@ def q_tpch_q5(spark, sf):
     s = load(spark, sf, "supplier")
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    # the three dim legs collapse into ONE pre-joined broadcast (the
-    # dim-on-dim joins are broadcast-local inside the build) — one
-    # broadcast build job against the fact instead of three, and the
-    # region filter prunes the build to Asian suppliers before it
-    # ships (r6 A/B: 0.76s → 0.63s, identical results)
     dim = (
         s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))

@@ -206,16 +206,21 @@ def use_bucketed_layout(
         )
     except (OSError, ValueError):
         src_tag = 0
-    # session-scoped (pid in the tag): bucketing METADATA lives in the
-    # session's in-memory catalog — bare parquet files reused across
-    # sessions would scan fine but lose the no-Exchange property, so
-    # each session pays the one-time write, same policy as
-    # scale.q_join_bucketed
+    # The parquet FILES are session-independent (bucket ids live in
+    # the file names, exactly how a metastore-backed deployment reads
+    # a bucketed table written by an earlier job); only the catalog
+    # METADATA is per-session. A later session therefore re-REGISTERS
+    # the existing files with CREATE TABLE ... CLUSTERED BY ...
+    # LOCATION (milliseconds) instead of re-paying the relayout write
+    # (r11: the pid-tagged copies made every fresh process rewrite
+    # ~12 GB at sf100 — 200 s and double tmpfs). The src_tag in the
+    # name keeps a regenerated source from silently reusing stale
+    # buckets.
     import re
 
     # sanitize: 'sf0.1' would otherwise read as schema.table
     safe = re.sub(r"[^A-Za-z0-9]+", "_", os.path.basename(os.path.normpath(sf)))
-    tag = f"{safe}_{src_tag}_b{n_buckets}_{os.getpid()}"
+    tag = f"{safe}_{src_tag}_b{n_buckets}"
     out = os.path.join(base, f"prs_bucketed_{tag}")
     names = {}
     try:
@@ -223,19 +228,32 @@ def use_bucketed_layout(
             tbl = f"prs_{name}_atrest_{tag}"
             path = os.path.join(out, name)
             if not spark.catalog.tableExists(tbl):
-                # one file per bucket: cluster rows by the bucket hash
-                # before the bucketed write so each bucket is a single
-                # contiguous file, not #tasks fragments
-                (
-                    load(spark, sf, name)
-                    .repartition(n_buckets, F.col(bucket_col))
-                    .write.mode("overwrite")
-                    .format("parquet")
-                    .bucketBy(n_buckets, bucket_col)
-                    .sortBy(bucket_col)
-                    .option("path", path)
-                    .saveAsTable(tbl)
-                )
+                if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    # files from an earlier session: register metadata
+                    cols = ", ".join(
+                        f"{f.name} {f.dataType.simpleString()}"
+                        for f in load(spark, sf, name).schema.fields
+                    )
+                    spark.sql(
+                        f"CREATE TABLE {tbl} ({cols}) USING parquet"
+                        f" CLUSTERED BY ({bucket_col})"
+                        f" SORTED BY ({bucket_col})"
+                        f" INTO {n_buckets} BUCKETS LOCATION '{path}'"
+                    )
+                else:
+                    # one file per bucket: cluster rows by the bucket
+                    # hash before the bucketed write so each bucket is
+                    # a single contiguous file, not #tasks fragments
+                    (
+                        load(spark, sf, name)
+                        .repartition(n_buckets, F.col(bucket_col))
+                        .write.mode("overwrite")
+                        .format("parquet")
+                        .bucketBy(n_buckets, bucket_col)
+                        .sortBy(bucket_col)
+                        .option("path", path)
+                        .saveAsTable(tbl)
+                    )
             names[name] = tbl
         _BUCKETED_TABLES[key] = names
     except Exception:  # no space / read-only base: originals still work

@@ -122,16 +122,29 @@ def test_sorted_layout_pushes_range_predicate(spark):
     assert "LessThanOrEqual(n_chars,350)" in scan
 
 
-def test_tpch_q5_broadcasts_all_dims(spark):
-    """The 6-table snowflake: every dim side broadcasts; the only
-    Exchange below the plan is the final nation rollup; region/date
-    filters reach their scans as pushed predicates."""
+def test_tpch_q5_preagg_shape(spark):
+    """The r11 Q5 rewrite's plan contract: dims broadcast (supplier⨝
+    nation⨝region collapse into one broadcast build, plus customer
+    into the oc leg and the final n_name resolve), revenue
+    pre-aggregates BELOW the fact-fact join (partial_sum under the
+    join), the pre-agg's group key equals the join key so its single
+    Exchange serves both (the superset-key trap would add a fourth),
+    and region/date filters reach their scans as pushed predicates.
+    Exactly 3 non-broadcast Exchanges at the stock layout: pre-agg,
+    oc leg, final rollup."""
+    import re
+
     from pandas_reporter_spark.registry import QUERIES, load_all
 
     load_all()
     p = plan_of(QUERIES["q_tpch_q5"](spark, SF))
     assert p.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    tree = p.split("(1) Scan")[0]
+    plain_exchanges = len(re.findall(r"Exchange \(\d+\)", tree)) - tree.count(
+        "BroadcastExchange"
+    )
+    assert plain_exchanges == 3, tree
+    assert "partial_sum" in p  # revenue combines map-side, below the join
     assert "EqualTo(r_name,ASIA)" in p  # pushed to the region scan
     assert "GreaterThanOrEqual(o_orderdate" in p  # pushed to orders
 

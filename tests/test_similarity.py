@@ -251,7 +251,9 @@ def test_pq_adc_fidelity_median_rank(spark):
     """PQ-ADC fidelity pin: the ADC top-10's MEDIAN exact-L2 rank must
     land in the top quartile of the corpus (random ranking would put
     it at the 50th percentile; measured ~8th percentile at sf0.01
-    with the K=4/M=4 codebooks). Pins that the learned codebooks and
+    with the r10 K=4/M=4 codebooks; the r11 size-driven dials give
+    K=13 at this corpus and a lower median). Pins that the learned
+    codebooks and
     the ADC table order vectors by genuine proximity, without
     demanding exact-top-k agreement a 4-cell-per-subspace quantizer
     cannot give."""
