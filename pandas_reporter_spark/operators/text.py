@@ -2110,3 +2110,184 @@ def q_agg_entropy(spark, sf):
             F.sum(term).cast("bigint").alias("entropy_nano"),
         )
     )
+
+
+@query(
+    "q_pipeline_dsir",
+    oracle="""
+    -- DSIR importance weights over a 256-bucket hashed-unigram
+    -- feature space: w_b = ln p_target(b) - ln p_raw(b) with add-one
+    -- smoothing, quantized to nano-units per BUCKET (256 values)
+    -- before any corpus-scale sum, so doc scores are integer-exact
+    -- int64 sums in both engines.
+    WITH tok AS (
+      SELECT d.doc_id, d.source,
+             CAST(concat('0x', substring(md5(t.tok), 1, 15)) AS BIGINT)
+               % 256 AS b
+      FROM documents d,
+           unnest(string_split(lower(d.text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    prof AS (
+      SELECT b,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM prof),
+    w AS (
+      SELECT prof.b,
+             CAST(round((ln(CAST(prof.ct AS DOUBLE) + 1.0)
+                       - ln(CAST(tot.tt AS DOUBLE) + 256.0)
+                       - ln(CAST(prof.cr AS DOUBLE) + 1.0)
+                       + ln(CAST(tot.tr AS DOUBLE) + 256.0))
+                  * 1000000000.0, 0) AS BIGINT) AS w_nano
+      FROM prof, tot
+    )
+    SELECT tok.doc_id, any_value(tok.source) AS source,
+           CAST(SUM(w.w_nano) AS BIGINT) AS score_nano
+    FROM tok JOIN w ON tok.b = w.b
+    GROUP BY tok.doc_id
+    ORDER BY score_nano DESC, tok.doc_id
+    LIMIT 100
+    """,
+)
+def q_pipeline_dsir(spark, sf):
+    """DSIR-style data selection (importance resampling over hashed
+    n-gram features — public method: Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of its tokens under a TARGET
+    domain profile vs the RAW corpus profile, in a 256-bucket hashed
+    feature space; the top-weighted documents are the ones a pipeline
+    resamples into the training mix. Here source='src0' stands in as
+    the target domain; unigrams stand in for DSIR's hashed bigrams
+    (same dataflow, one fewer shingle join).
+
+    Scale shape — the whole method is two scan-speed passes and one
+    broadcast, nothing corpus-sized ever shuffles raw:
+      1. profile pass: tokenize → bucket(md5-portable hash % 256) →
+         ONE conditional groupBy(256 groups, map-side combined) builds
+         BOTH profiles (target via CASE, raw via COUNT) in one
+         dataflow;
+      2. the 256-row weight table — each bucket's ln-ratio quantized
+         to nano-units BEFORE any doc sum, the same integer-exact log
+         discipline as q_agg_entropy/q_text_logprob — broadcasts back
+         onto the token stream;
+      3. score pass: per-doc int64 SUM (map-side partial collapses to
+         one row per doc before the only exchange), then a top-100
+         TakeOrderedAndProject.
+    At 100 TB the exchanges move per-doc partial sums and a 256-row
+    table; doubling the corpus doubles scan work only. Smoothing
+    (+1/+256) keeps unseen-bucket weights finite for any split of the
+    corpus.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tok = tok.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+            .cast("long")
+            % 256
+        ).alias("b"),
+    )
+    prof = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = prof.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    w = prof.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(F.col("ct").cast("double") + 1.0)
+                - F.log(F.col("tt").cast("double") + 256.0)
+                - F.log(F.col("cr").cast("double") + 1.0)
+                + F.log(F.col("tr").cast("double") + 256.0)
+            )
+            * F.lit(1000000000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("w_nano"),
+    )
+    return (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum("w_nano").cast("bigint").alias("score_nano"),
+        )
+        .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_pipeline_shard",
+    oracle="""
+    -- deterministic 16-way shard assignment by portable doc_id hash:
+    -- per-shard row counts, char volume, id range, and an
+    -- order-insensitive membership checksum
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT h % 16 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(h % 1000003) AS BIGINT) AS member_checksum
+    FROM s GROUP BY h % 16
+    """,
+)
+def q_pipeline_shard(spark, sf):
+    """Deterministic training-shard assignment — the 'global shuffle'
+    step that turns a curated corpus into N stable shards for the
+    trainer (each worker streams its own shard; epoch order comes
+    from shard-local shuffling, so assignment must be reproducible
+    across engine versions, retries, and input re-partitioning).
+
+    shard = portable-md5-hash(doc_id) % 16: content-independent,
+    engine-portable (the same 60-bit md5-prefix hash the dedup family
+    uses, NOT Spark's xxhash64, so any system can recompute the
+    placement), and stable under corpus re-sharding — none of which
+    hold for round-robin or monotonically_increasing_id. The returned
+    per-shard profile (row count, char volume, id range, membership
+    checksum) is the balance-and-parity audit a pipeline logs per
+    snapshot; the checksum makes assignment drift LOUD cross-engine.
+
+    Scale shape: one scan → one 16-group aggregate, fully map-side
+    combined — the only exchange carries 16 rows per task. The
+    production write is the same plan with
+    `.repartition(16, shard).write.partitionBy(shard)` at the sink
+    (q_sink_parquet covers the sink half); hash sharding keeps every
+    shard within ~sqrt-law balance of the mean at any corpus size, so
+    no shard becomes the straggler at 100 TB.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    s = d.select("doc_id", "n_chars", h.alias("h"))
+    return s.groupBy((F.col("h") % 16).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(F.col("h") % 1000003).cast("bigint").alias("member_checksum"),
+    )
