@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "q_agg_skew_kurt",
     "q_text_url_normalize",
     "q_similarity_pq_adc",
+    # round-11 additions: DSIR importance weighting (two scan-speed
+    # token passes + broadcast weight table), deterministic 16-way
+    # shard assignment (one map-side-combined aggregate)
+    "q_pipeline_dsir",
+    "q_pipeline_shard",
 ]
 
 

@@ -21,7 +21,14 @@ from pyspark.sql.window import Window as W
 
 from pandas_reporter_spark.registry import query
 from pandas_reporter_spark.session import configure
-from pandas_reporter_spark.tables import davg, dsum, load, oracle_davg, oracle_dsum
+from pandas_reporter_spark.tables import (
+    bucketed_active,
+    davg,
+    dsum,
+    load,
+    oracle_davg,
+    oracle_dsum,
+)
 
 # ---------------------------------------------------------------------------
 # scans / projection / filter / limit
@@ -254,8 +261,6 @@ def q_tpch_q3(spark, sf):
     map-side partial agg would otherwise have collapsed first, so it
     is gated on `bucketed_active`."""
     configure(spark)
-    from pandas_reporter_spark.tables import bucketed_active
-
     c = load(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -434,8 +439,6 @@ def q_tpch_q5(spark, sf):
     as Q3: there the semi would exchange raw lineitem rows the
     map-side partial agg would otherwise collapse first."""
     configure(spark)
-    from pandas_reporter_spark.tables import bucketed_active
-
     c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))

@@ -8,6 +8,14 @@ Recall here is single-query (the registered shapes score the fixed
 query vec_id=0) — a smoke-level fidelity number; the per-method
 planted-neighbor recall pins live in tests/test_similarity.py.
 
+Because the synthetic corpus is near-isotropic (cosine margins between
+rank 10 and rank 1000 are within noise of each other), strict
+recall@10 under-reads every quantizer; the robust companion metric is
+median_exact_rank_pctile — the median EXACT-cosine rank percentile of
+the method's returned top-10 (0 = the method returns true nearest
+vectors, 0.5 = indistinguishable from random). Same measure as the
+PQ fidelity pin in tests/test_similarity.py.
+
 Usage: python tools/ann_recall_grid.py out.json label=dir [...]
 """
 
@@ -62,10 +70,56 @@ def main():
             tops[name] = set(ids[:10])
             row[name] = {"sec": round(sec, 3), "top10": sorted(ids[:10])}
         exact = tops["q_similarity_topk"]
+        # exact-cosine rank percentile of each method's returned ids:
+        # one scored scan per SF, then one conditional-count agg per
+        # method (corpus passes, not collects — works at any SF)
+        import pyspark.sql.functions as F
+
+        from pandas_reporter_spark.operators.similarity import cosine
+        from pandas_reporter_spark.tables import load as _load
+
+        e = _load(spark, sf_dir, "embeddings")
+        n_corpus = e.count() - 1
+        q = e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        scored = (
+            e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qv")).alias("c"),
+            )
+            .persist()
+        )
         for name in METHODS[1:]:
+            ids = sorted(tops[name])
+            got = {
+                r["vec_id"]: r["c"]
+                for r in scored.filter(F.col("vec_id").isin(ids)).collect()
+            }
+            counts = scored.agg(
+                *[
+                    F.sum(
+                        F.when(
+                            (F.col("c") > got[i])
+                            | ((F.col("c") == got[i]) & (F.col("vec_id") < i)),
+                            1,
+                        ).otherwise(0)
+                    ).alias(f"r{i}")
+                    for i in ids
+                    if i in got
+                ]
+            ).collect()[0]
+            pct = sorted(v / n_corpus for v in counts)
+            med = pct[len(pct) // 2] if pct else None
             row[name]["recall_at_10"] = round(
                 len(tops[name] & exact) / max(1, len(exact)), 2
             )
+            row[name]["median_exact_rank_pctile"] = (
+                round(med, 4) if med is not None else None
+            )
+        scored.unpersist()
         # PQ encode throughput, isolated: train once, then time ONLY
         # the kernel pass over the full n*M subvector frame
         sub, k_cells, train_n = S._pq_sub(spark, sf_dir)
