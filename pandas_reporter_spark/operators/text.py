@@ -2184,24 +2184,47 @@ def q_pipeline_dsir(spark, sf):
     Reference parity: none (driver-mandated pipeline surface).
     """
     configure(spark)
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    tok = tok.select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
-            .cast("long")
-            % 256
-        ).alias("b"),
-    )
+    art = doc_token_tf(spark, sf)
+    if art is not None:
+        # the shared tokenize artifact carries (doc, token, tf): the
+        # same integer sums weighted by tf — bit-equal scores with
+        # one row per DISTINCT token per doc instead of one per
+        # occurrence
+        tok = art.filter(F.col("token") != "").select(
+            "doc_id",
+            "source",
+            "tf",
+            (
+                F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+                .cast("long")
+                % 256
+            ).alias("b"),
+        )
+    else:
+        d = load(spark, sf, "documents")
+        tok = (
+            d.select(
+                "doc_id",
+                "source",
+                F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+            .select(
+                "doc_id",
+                "source",
+                F.lit(1).alias("tf"),
+                (
+                    F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+                    .cast("long")
+                    % 256
+                ).alias("b"),
+            )
+        )
     prof = tok.groupBy("b").agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("tf")).otherwise(0)
+        ).alias("ct"),
+        F.sum("tf").alias("cr"),
     )
     tot = prof.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     w = prof.crossJoin(F.broadcast(tot)).select(
@@ -2224,7 +2247,9 @@ def q_pipeline_dsir(spark, sf):
         .groupBy("doc_id")
         .agg(
             F.first("source").alias("source"),
-            F.sum("w_nano").cast("bigint").alias("score_nano"),
+            F.sum(F.col("tf") * F.col("w_nano"))
+            .cast("bigint")
+            .alias("score_nano"),
         )
         .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
         .limit(100)

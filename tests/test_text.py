@@ -109,6 +109,7 @@ def test_doc_token_tf_artifact_is_result_invariant(spark, tmp_path):
         "q_text_logprob",
         "q_text_kl_divergence",
         "q_sketch_heavy_hitters",
+        "q_pipeline_dsir",
     )
     from pandas_reporter_spark.registry import QUERIES
 
