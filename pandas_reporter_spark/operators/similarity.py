@@ -710,12 +710,11 @@ def q_similarity_ivf(spark, sf):
     return ivf_topk(e)
 
 
-def ivf_topk(e, query_vec_id: int = 0, probes: int = 2, k: int = 10):
-    """IVF probe over any (vec_id, label, embedding) frame — the body
-    of q_similarity_ivf, reusable for the planted-neighbor recall pin
-    (tests/test_similarity.py)."""
-    # per-label mean vector: explode dims -> exact micro-unit mean ->
-    # re-assemble in dim order
+def ivf_probe_cells(e, query_vec_id: int = 0, probes: int = 2):
+    """(probe_cells, qv): the IVF coarse front — exact-integer
+    label-mean centroids and the top-`probes` cells by centroid/query
+    cosine — shared by q_similarity_ivf and the IVF-PQ composition
+    (r11)."""
     dims = e.select(
         "label",
         F.posexplode(F.col("embedding")).alias("dim", "v"),
@@ -745,7 +744,6 @@ def ivf_topk(e, query_vec_id: int = 0, probes: int = 2, k: int = 10):
         e.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qv"))
     )
-    # rank cells by centroid-vs-query cosine, keep the probe cells
     cell_rank = (
         cent.crossJoin(F.broadcast(qv))
         .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("ccos"))
@@ -753,6 +751,14 @@ def ivf_topk(e, query_vec_id: int = 0, probes: int = 2, k: int = 10):
         .limit(probes)
         .select("cell")
     )
+    return cell_rank, qv
+
+
+def ivf_topk(e, query_vec_id: int = 0, probes: int = 2, k: int = 10):
+    """IVF probe over any (vec_id, label, embedding) frame — the body
+    of q_similarity_ivf, reusable for the planted-neighbor recall pin
+    (tests/test_similarity.py)."""
+    cell_rank, qv = ivf_probe_cells(e, query_vec_id, probes)
     cos = cosine(F.col("embedding"), F.col("qv"))
     return (
         e.join(F.broadcast(cell_rank), e.label == F.col("cell"))
