@@ -141,8 +141,19 @@ def decode_dims(data: bytes) -> tuple[int, int, int, str]:
     2. PIL for any other format, when importable;
     3. the deterministic fake (byte arithmetic) otherwise — same
        schema, so a pipeline built on this upgrades itself in a
-       codec-equipped environment with no code change."""
-    hdr = parse_image_header(data)
+       codec-equipped environment with no code change.
+
+    Corrupt-payload policy (ADVICE r11): a payload carrying the PNG
+    magic but a malformed/truncated IHDR or a CRC mismatch makes
+    `parse_image_header` raise; here that ValueError DEGRADES to the
+    next tier instead of propagating — at corpus scale one corrupt
+    record must not abort the whole mapInPandas task. The mode string
+    for such rows is the fallback tier's ('stub' in this container),
+    so corrupt records remain countable downstream."""
+    try:
+        hdr = parse_image_header(data)
+    except ValueError:
+        hdr = None  # corrupt magic-bearing payload: degrade, don't abort
     if hdr is not None:
         w, h, mode = hdr
         return len(data), int(w), int(h), mode

@@ -416,7 +416,9 @@ def q_tpch_q5(spark, sf):
     r11 rewrite (VERDICT r10 item 2): revenue pre-aggregates below
     the fact-fact join in exact integer units. lineitem first
     broadcast-joins the pre-joined Asian-supplier dim (20% survival),
-    then groups by (l_orderkey, s_nationkey, n_name) — a clustering
+    then groups by (l_orderkey, s_nationkey) — n_name is deliberately
+    left out so the group key equals the join key set (the inline
+    comment below has the superset-key rationale) — a clustering
     the orderkey bucketing/partitioning already satisfies (subset
     rule), so on the at-rest layout the groupBy AND the orders join
     are bucket-local. The custkey leg joins orders⨝customer FIRST

@@ -1312,7 +1312,11 @@ def _pq_oracle() -> str:
         f" i -> xq[m * {_PQ_SUB} + i + 1]) AS sq"
         f" FROM q CROSS JOIN range({_PQ_M}) t(m))",
         "subt AS (SELECT * FROM sub WHERE vec_id < (SELECT t FROM kv))",
-        "c0 AS (SELECT m, vec_id AS cell, sq AS cq FROM sub"
+        # seeds draw from subt (the training sample), NOT sub: when
+        # k > train_n with non-dense vec_ids, sub would hand the SQL
+        # side an extra seed the Python side (which seeds from the
+        # collected training prefix) lacks (ADVICE r11)
+        "c0 AS (SELECT m, vec_id AS cell, sq AS cq FROM subt"
         " WHERE vec_id < (SELECT k FROM kv))",
     ]
     prev = "c0"

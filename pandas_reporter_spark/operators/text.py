@@ -2136,11 +2136,15 @@ def q_agg_entropy(spark, sf):
     ),
     tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM prof),
     w AS (
+      -- ONE fused ln of the ratio product, not four ln terms: the
+      -- multiplies/divides are IEEE-exact on exact count operands, so
+      -- the only engine-divergent op left is a single ln call (ADVICE
+      -- r11 halved the compound-ulp surface near .5 nano boundaries)
       SELECT prof.b,
-             CAST(round((ln(CAST(prof.ct AS DOUBLE) + 1.0)
-                       - ln(CAST(tot.tt AS DOUBLE) + 256.0)
-                       - ln(CAST(prof.cr AS DOUBLE) + 1.0)
-                       + ln(CAST(tot.tr AS DOUBLE) + 256.0))
+             CAST(round(ln(((CAST(prof.ct AS DOUBLE) + 1.0)
+                          * (CAST(tot.tr AS DOUBLE) + 256.0))
+                         / ((CAST(tot.tt AS DOUBLE) + 256.0)
+                          * (CAST(prof.cr AS DOUBLE) + 1.0)))
                   * 1000000000.0, 0) AS BIGINT) AS w_nano
       FROM prof, tot
     )
@@ -2227,14 +2231,22 @@ def q_pipeline_dsir(spark, sf):
         F.sum("tf").alias("cr"),
     )
     tot = prof.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    # ONE fused ln of the ratio product (ADVICE r11): multiplies and
+    # divides of exact count operands are IEEE-exact, so the engines
+    # can only diverge on the single ln call — not four compounding
+    # ones. Shape mirrors the oracle's w CTE operand-for-operand.
     w = prof.crossJoin(F.broadcast(tot)).select(
         "b",
         F.round(
-            (
-                F.log(F.col("ct").cast("double") + 1.0)
-                - F.log(F.col("tt").cast("double") + 256.0)
-                - F.log(F.col("cr").cast("double") + 1.0)
-                + F.log(F.col("tr").cast("double") + 256.0)
+            F.log(
+                (
+                    (F.col("ct").cast("double") + 1.0)
+                    * (F.col("tr").cast("double") + 256.0)
+                )
+                / (
+                    (F.col("tt").cast("double") + 256.0)
+                    * (F.col("cr").cast("double") + 1.0)
+                )
             )
             * F.lit(1000000000.0),
             0,

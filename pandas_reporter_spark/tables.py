@@ -245,19 +245,19 @@ def use_bucketed_layout(
             tbl = f"prs_{name}_atrest_{tag}"
             path = os.path.join(out, name)
             if not spark.catalog.tableExists(tbl):
-                if os.path.exists(os.path.join(path, "_SUCCESS")):
-                    # files from an earlier session: register metadata
-                    cols = ", ".join(
-                        f"{f.name} {f.dataType.simpleString()}"
-                        for f in load(spark, sf, name).schema.fields
-                    )
-                    spark.sql(
-                        f"CREATE TABLE {tbl} ({cols}) USING parquet"
-                        f" CLUSTERED BY ({bucket_col})"
-                        f" SORTED BY ({bucket_col})"
-                        f" INTO {n_buckets} BUCKETS LOCATION '{path}'"
-                    )
-                else:
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    # The directory is SHARED across processes (the
+                    # whole point of dropping the pid from the tag in
+                    # r11) but two fresh processes can race here, both
+                    # seeing a missing _SUCCESS (ADVICE r11, medium).
+                    # Commit protocol: build into a process-unique
+                    # dir, then atomically os.rename into place — a
+                    # complete, _SUCCESS-bearing file set appears at
+                    # `path` in one step or not at all; the loser's
+                    # rename fails (ENOTEMPTY/EEXIST) and it registers
+                    # over the winner's files instead.
+                    build_tbl = f"{tbl}_build_{os.getpid()}"
+                    build_path = f"{path}.build-{os.getpid()}"
                     # one file per bucket: cluster rows by the bucket
                     # hash before the bucketed write so each bucket is
                     # a single contiguous file, not #tasks fragments
@@ -268,9 +268,33 @@ def use_bucketed_layout(
                         .format("parquet")
                         .bucketBy(n_buckets, bucket_col)
                         .sortBy(bucket_col)
-                        .option("path", path)
-                        .saveAsTable(tbl)
+                        .option("path", build_path)
+                        .saveAsTable(build_tbl)
                     )
+                    # external table: DROP leaves the files in place
+                    spark.sql(f"DROP TABLE {build_tbl}")
+                    try:
+                        os.rename(build_path, path)
+                    except OSError:
+                        import shutil
+
+                        shutil.rmtree(build_path, ignore_errors=True)
+                        if not os.path.exists(
+                            os.path.join(path, "_SUCCESS")
+                        ):
+                            raise  # not a lost race: surface it
+                # register metadata over the committed files (this
+                # process's rename or a concurrent winner's)
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in load(spark, sf, name).schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet"
+                    f" CLUSTERED BY ({bucket_col})"
+                    f" SORTED BY ({bucket_col})"
+                    f" INTO {n_buckets} BUCKETS LOCATION '{path}'"
+                )
             names[name] = tbl
         _BUCKETED_TABLES[key] = names
         spark.conf.set(
