@@ -2164,8 +2164,10 @@ def q_pipeline_dsir(spark, sf):
     domain profile vs the RAW corpus profile, in a 256-bucket hashed
     feature space; the top-weighted documents are the ones a pipeline
     resamples into the training mix. Here source='src0' stands in as
-    the target domain; unigrams stand in for DSIR's hashed bigrams
-    (same dataflow, one fewer shingle join).
+    the target domain; this form uses unigram features so it can ride
+    the shared (doc, token, tf) tokenize artifact —
+    q_pipeline_dsir_bigram (below) runs the same dataflow over the
+    paper's actual hashed-bigram feature space.
 
     Scale shape — the whole method is two scan-speed passes and one
     broadcast, nothing corpus-sized ever shuffles raw:
@@ -2327,4 +2329,147 @@ def q_pipeline_shard(spark, sf):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
         F.sum(F.col("h") % 1000003).cast("bigint").alias("member_checksum"),
+    )
+
+
+@query(
+    "q_pipeline_dsir_bigram",
+    oracle="""
+    -- DSIR importance weights over HASHED BIGRAMS (the actual Xie et
+    -- al. 2023 feature space; q_pipeline_dsir's unigram form is the
+    -- one-shingle-shorter stand-in): adjacent non-empty token pairs,
+    -- 256-bucket portable hash, fused-ln ratio weights quantized to
+    -- nano-units per bucket, integer-exact per-doc int64 sums.
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(u.bg), 1, 15)) AS BIGINT)
+               % 256 AS b
+      FROM toks, UNNEST(list_transform(range(1, len(t)), i ->
+        t[i] || ' ' || t[i+1])) AS u(bg)
+    ),
+    prof AS (
+      SELECT b,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM bg GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM prof),
+    w AS (
+      SELECT prof.b,
+             CAST(round(ln(((CAST(prof.ct AS DOUBLE) + 1.0)
+                          * (CAST(tot.tr AS DOUBLE) + 256.0))
+                         / ((CAST(tot.tt AS DOUBLE) + 256.0)
+                          * (CAST(prof.cr AS DOUBLE) + 1.0)))
+                  * 1000000000.0, 0) AS BIGINT) AS w_nano
+      FROM prof, tot
+    )
+    SELECT bg.doc_id, any_value(bg.source) AS source,
+           CAST(SUM(w.w_nano) AS BIGINT) AS score_nano
+    FROM bg JOIN w ON bg.b = w.b
+    GROUP BY bg.doc_id
+    ORDER BY score_nano DESC, bg.doc_id
+    LIMIT 100
+    """,
+)
+def q_pipeline_dsir_bigram(spark, sf):
+    """DSIR data selection over HASHED BIGRAMS — the feature space the
+    published method actually uses (Xie et al. 2023 §3: hashed n-gram
+    features, n=2, bucketed by hash). q_pipeline_dsir keeps the
+    unigram form (it can ride the shared (doc, token, tf) tokenize
+    artifact); this query pays one extra shingle construction for the
+    real feature space — bigrams need token ADJACENCY, which the
+    tf-collapsed artifact cannot carry, so it always tokenizes from
+    raw text (the same trade q_text_repetition makes for its shingle
+    pairs).
+
+    Dataflow is identical to the unigram form and inherits its whole
+    scale argument: bigram construction is a scan-stage HOF over the
+    per-doc token array (zero shuffle — pairs never leave the
+    document row before hashing down to a 60-bit-derived bucket id);
+    ONE conditional 256-group profile pass builds both target and raw
+    profiles map-side combined; the 256-row fused-ln weight table
+    (nano-quantized per bucket BEFORE any doc sum — the q_agg_entropy
+    integer-log discipline) broadcasts onto the bigram stream; per-doc
+    int64 partial sums collapse before the only exchange; top-100 via
+    TakeOrderedAndProject. At 100 TB: scan work doubles with the
+    corpus, exchanges move per-doc partials and 256 rows.
+
+    Reference parity: none (driver-mandated pipeline surface;
+    VERDICT r11 item 5).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    t = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != ""
+    )
+    docs = d.select("doc_id", "source", t.alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    )
+    bigram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at("t", i.cast("int")),
+        F.element_at("t", (i + 1).cast("int")),
+    )
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), F.col("n") - 1),
+                    bigram_at,
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10)
+            .cast("long")
+            % 256
+        ).alias("b"),
+    )
+    prof = bg.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("source") == "src0", 1).otherwise(0)
+        ).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = prof.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    w = prof.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                (
+                    (F.col("ct").cast("double") + 1.0)
+                    * (F.col("tr").cast("double") + 256.0)
+                )
+                / (
+                    (F.col("tt").cast("double") + 256.0)
+                    * (F.col("cr").cast("double") + 1.0)
+                )
+            )
+            * F.lit(1000000000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("w_nano"),
+    )
+    return (
+        bg.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum("w_nano").cast("bigint").alias("score_nano"),
+        )
+        .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
+        .limit(100)
     )

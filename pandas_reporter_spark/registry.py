@@ -78,72 +78,76 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-11 ROTATION (VERDICT r10 #1). The cumulative record
-    # after r10 holds vintages 50xR10 / 49xR9 / 47xR8 / 43xR7 plus ONE
-    # query with no driver record ever (q_join_bucketed_atrest, added
-    # late in r10 after the prefix was fixed; judge-verified only).
-    # This prefix retires BOTH tails at once: (1) the never-recorded
-    # query leads; (2) all 43 r7-vintage rows (the relational/moe/
-    # sketch representatives that anchored rounds 2-7) re-record;
-    # (3) the 6 remaining slots re-prove queries whose CODE changed in
-    # round 11 after their last official row (skew/kurt zero-variance
-    # guard, CC convergence raise + minhash width-cache key, the
-    # url-normalize fusion, PQ-ADC size-driven dials, the stdlib PNG
-    # decoder) — official rows must re-cover changed cores. After this
-    # round every one of the 190 queries has a record no older than r8.
-    # (1) the only never-recorded query
-    "q_join_bucketed_atrest",
-    # (2) all 43 r7-official rows, alphabetical
-    "q_agg_approx_countd",
-    "q_agg_distinct",
-    "q_agg_group_sum",
-    "q_agg_multi",
-    "q_agg_percentile",
-    "q_cube",
-    "q_date_funcs",
-    "q_dedup_keep_first",
-    "q_embed_stats",
-    "q_except",
-    "q_fillna",
-    "q_filter",
-    "q_filter_compound",
-    "q_grouping_sets",
-    "q_having",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_range",
-    "q_join_right",
-    "q_join_semi",
-    "q_limit",
-    "q_product_moe",
-    "q_project",
-    "q_project_arith",
-    "q_project_margin_carry",
-    "q_proportion_moe",
-    "q_ratio_moe",
-    "q_rollup",
-    "q_rse",
-    "q_scan_parquet",
-    "q_sketch_hll",
-    "q_sort",
-    "q_str_funcs",
-    "q_str_substr",
-    "q_topk",
-    "q_topk_per_group",
-    "q_union_all",
-    "q_window_lag_lead",
-    "q_window_running_sum",
-    # (3) round-11 code-touched paths
-    "q_agg_skew_kurt",
-    "q_dedup_cluster",
-    "q_dedup_minhash",
-    "q_text_url_normalize",
-    "q_similarity_pq_adc",
-    "q_multimodal_features",
+    # ---- ROUND-12 ROTATION (VERDICT r11 item 1). After r11 the
+    # cumulative record holds vintages 50xR11 / 45xR10 / 49xR9 / 46xR8
+    # plus TWO queries with no driver record ever (q_pipeline_dsir /
+    # q_pipeline_shard, registered after the r11 prefix was spent).
+    # This prefix: (1) first-ever records for those two plus the two
+    # NEW round-12 queries (q_dedup_substring — CDC exact substring
+    # dedup, VERDICT item 4; q_pipeline_dsir_bigram — the paper's
+    # hashed-bigram feature space, VERDICT item 5); (2) re-records the
+    # TPC-H trio whose r8/r9 official rows predate the r11
+    # pre-agg/sort-agg/semi-filter rewrite (judge-verified green, but
+    # the driver record is the standard); (3) spends the remaining 43
+    # slots on the r8-vintage cohort — everything except q_varrep_moe,
+    # which the r11 judge re-verified at sf0.01 and therefore has the
+    # freshest effective coverage of the cohort (it rotates in r13).
+    # After this round nothing in the cumulative record is older than
+    # r9 except that one judge-covered row.
+    # (1) never-recorded: the r11 late additions + the r12 additions
+    "q_pipeline_dsir",
+    "q_pipeline_shard",
+    "q_dedup_substring",
+    "q_pipeline_dsir_bigram",
+    # (2) official rows must re-cover the r11 rewrite
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    # (3) the r8-vintage cohort, alphabetical (43 of 46; q_tpch_q3/q18
+    # already above, q_varrep_moe deferred to r13 as judge-covered)
+    "q_agg_weighted_median",
+    "q_agg_weighted_median_approx",
+    "q_array_funcs",
+    "q_case_when",
+    "q_dedup_embedding",
+    "q_dedup_fuzzy",
+    "q_dedup_minhash_incremental",
+    "q_dedup_spans",
+    "q_events_session",
+    "q_events_stateful",
+    "q_explode",
+    "q_groupby_mean",
+    "q_groupby_rss",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_json_extract",
+    "q_json_variant",
+    "q_multimodal_frame_sample",
+    "q_multimodal_pack",
+    "q_partition_pruned_scan",
+    "q_pipeline_curate",
+    "q_sample_stratified",
+    "q_similarity_join",
+    "q_similarity_join_shuffled",
+    "q_similarity_topk",
+    "q_sink_parquet",
+    "q_sketch_bloom",
+    "q_sketch_kmv",
+    "q_source_csv_roundtrip",
+    "q_stream_enrich",
+    "q_stream_file_sink",
+    "q_stream_stream_join",
+    "q_sum_m",
+    "q_text_bm25",
+    "q_text_chunk",
+    "q_text_fingerprint",
+    "q_text_pack",
+    "q_text_quality",
+    "q_text_redact",
+    "q_text_token_stats",
+    "q_text_tokens",
+    "q_tpch_q1",
+    "q_window_rank",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

@@ -261,3 +261,52 @@ def test_connected_components_matches_union_find_property(spark):
             ).collect()
         }
         assert got == expect, (trial, n, sorted(edges))
+
+
+def test_cdc_substring_planted_overlap_recall(spark):
+    """Recall pin for q_dedup_substring's CDC core: a long substring
+    planted at DIFFERENT offsets inside otherwise-different documents
+    must be detected through its interior chunks — the exact case the
+    fixed-stride grid (q_dedup_spans) cannot align."""
+    import random
+
+    from pandas_reporter_spark.operators.dedup import (
+        _CDC_MIN_TOKENS,
+        cdc_chunks,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab) for _ in range(120))
+    pre_a = " ".join(rng.choice(vocab) for _ in range(3))
+    pre_b = " ".join(rng.choice(vocab) for _ in range(47))
+    post = " ".join(rng.choice(vocab) for _ in range(20))
+    unrelated = " ".join(rng.choice(vocab) for _ in range(150))
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": f"{pre_a} {shared} {post}"},
+            {"doc_id": 2, "text": f"{pre_b} {shared}"},
+            {"doc_id": 3, "text": unrelated},
+        ]
+    )
+    from pyspark.sql import functions as F
+
+    chunks = cdc_chunks(docs).filter(
+        F.col("n_toks") >= _CDC_MIN_TOKENS
+    )
+    rows = chunks.collect()
+    c1 = {r["chunk"] for r in rows if r["doc_id"] == 1}
+    c2 = {r["chunk"] for r in rows if r["doc_id"] == 2}
+    c3 = {r["chunk"] for r in rows if r["doc_id"] == 3}
+    common = c1 & c2
+    # the planted substring's interior chunks collide across the two
+    # different offsets (3 vs 47 tokens of leading context)
+    assert common, "planted 120-token overlap produced no shared chunk"
+    # every shared chunk really is part of the planted text
+    for ch in common:
+        assert ch in shared
+    # the unrelated document shares nothing with either
+    assert not (c3 & (c1 | c2))
+    # and the shared chunks cover a substantial fraction of the overlap
+    covered = sum(len(ch.split(" ")) for ch in common)
+    assert covered >= 60, covered
