@@ -545,3 +545,45 @@ def test_pq_adc_scoring_broadcasts_lookup_table(spark):
     )
     assert "BroadcastExchange" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_bucketed_confs_do_not_change_foreign_plans(spark):
+    """VERDICT r11 item 6 — the use_bucketed_layout conf contract:
+    activation sets two session-wide planner confs
+    (legacy.bucketedTableScan.outputOrdering, replaceHashWithSortAgg).
+    Both must be (a) actually set after activation and (b) inert for
+    queries OUTSIDE the bucketed layout: a groupBy on a non-bucketed
+    table has no satisfied child ordering, so replaceHashWithSortAgg
+    must not fire — the aggregate still plans as HashAggregate, not a
+    sort-injecting SortAggregate."""
+    from pyspark.sql import functions as F
+
+    from pandas_reporter_spark import tables
+
+    key = (tables._session_key(spark), SF)
+    try:
+        assert tables.use_bucketed_layout(spark, SF, n_buckets=4)
+        assert (
+            spark.conf.get(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering"
+            )
+            == "true"
+        )
+        assert (
+            spark.conf.get("spark.sql.execution.replaceHashWithSortAgg")
+            == "true"
+        )
+        # a non-bucketed table's aggregate in the SAME session: the
+        # plan must be the ordinary hash aggregate, unchanged by the
+        # layout's confs
+        c = tables.load(spark, SF, "customer")
+        agg = c.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        p = plan_of(agg)
+        assert "HashAggregate" in p
+        assert "SortAggregate" not in p
+    finally:
+        tables._BUCKETED_TABLES.pop(key, None)
+        for k in [k for k in tables._LOAD_CACHE if k[1] == SF]:
+            del tables._LOAD_CACHE[k]

