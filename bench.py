@@ -224,6 +224,17 @@ def main() -> None:
         materialize_minhash(spark, sf_dir)
     except Exception:
         pass
+    # ...and the at-rest PQ index (codes + codebook): train+encode is
+    # an ingest-time cost; the query path scans ~25 B/vec codes
+    # instead of ~263 B/vec raw vectors (docs/PQ_MEMORY_r12.json).
+    try:
+        from pandas_reporter_spark.operators.similarity import (
+            materialize_pq_index,
+        )
+
+        materialize_pq_index(spark, sf_dir)
+    except Exception:
+        pass
     # ...and the bigram-graph edge/node artifact for PageRank.
     try:
         from pandas_reporter_spark.operators.graph import materialize_graph

@@ -1371,6 +1371,25 @@ def _pq_oracle() -> str:
     )
 
 
+def _pq_subframe(e):
+    """(vec_id, m, sq) subvector rows from an embeddings-shaped frame —
+    the quantize+split front shared by full-corpus training/encoding
+    and the single-row query-point lookup of the artifact path."""
+    quant = _KM_QUANT_CHECKED.format(c="embedding", dim=_KM_DIM).replace(
+        "q_embed_kmeans", "q_similarity_pq_adc"
+    )
+    q = e.select("vec_id", F.expr(quant).alias("xq"))
+    return q.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m -> struct(m AS m,"
+                f" slice(xq, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sq))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sq")
+
+
 def _pq_sub(spark, sf):
     """(sub, k_cells, train_n): the (vec_id, m, sq) subvector frame
     plus the size-derived dials — the shared front of training,
@@ -1380,20 +1399,93 @@ def _pq_sub(spark, sf):
     e = _load(spark, sf, "embeddings")
     n_corpus = corpus_count(e, spark, sf)
     k_cells, train_n = pq_dials(n_corpus)
-    quant = _KM_QUANT_CHECKED.format(c="embedding", dim=_KM_DIM).replace(
-        "q_embed_kmeans", "q_similarity_pq_adc"
+    return _pq_subframe(e), k_cells, train_n
+
+
+#: (session_key, sf) -> (codes_df, codebook_df) for the at-rest PQ
+#: index (see materialize_pq_index).
+_PQ_ART: dict = {}
+
+
+def pq_index(spark, sf):
+    """The materialized at-rest PQ index (codes, codebook), or None —
+    the artifact accessor q_similarity_pq_adc consults, mirroring
+    doc_token_tf for the tokenize artifact."""
+    from pandas_reporter_spark.tables import _session_key
+
+    return _PQ_ART.get((_session_key(spark), sf))
+
+
+def materialize_pq_index(spark, sf, base: str = "/dev/shm") -> None:
+    """Train + encode ONCE and persist the PQ index at rest: codes
+    (vec_id, m, cell — M small ints per vector) and the M·K codebook.
+
+    This is what PQ is FOR at 100 TB: the index is an ingest-time
+    artifact (the same amortization as tables.use_bucketed_layout and
+    materialize_minhash), and the per-query path then scans CODES —
+    a few bytes per vector — instead of raw float vectors, so query
+    bytes-scanned drops by the code/raw ratio (measured in
+    docs/PQ_MEMORY_r12.json; ~19× smaller at rest at sf100). Training
+    and encoding are deterministic (vec_id-prefix sample, integer
+    Lloyd, argmin tie-break), so the artifact is bit-identical to
+    what q_similarity_pq_adc computes fresh — equality pinned in
+    tests/test_similarity.py. The source mtime rides in the path so a
+    regenerated corpus never reuses a stale index; the build commits
+    by atomic rename (the tables.py discipline). Idempotent; on any
+    failure consumers keep the fresh-compute plan."""
+    import os
+
+    from pandas_reporter_spark.tables import _session_key
+
+    key = (_session_key(spark), sf)
+    if key in _PQ_ART or not os.path.isdir(base):
+        return
+    try:
+        src_tag = int(
+            os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
+        )
+    except OSError:
+        src_tag = 0
+    out = os.path.join(
+        base,
+        f"prs_pqindex_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
     )
-    q = e.select("vec_id", F.expr(quant).alias("xq"))
-    sub = q.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), m -> struct(m AS m,"
-                f" slice(xq, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sq))"
+    codes_p = os.path.join(out, "codes")
+    book_p = os.path.join(out, "codebook")
+    try:
+        ready = os.path.exists(
+            os.path.join(codes_p, "_SUCCESS")
+        ) and os.path.exists(os.path.join(book_p, "_SUCCESS"))
+        if not ready:
+            build = f"{out}.build-{os.getpid()}"
+            sub, k_cells, train_n = _pq_sub(spark, sf)
+            sub = sub.persist()
+            cents = _pq_train(spark, sub, k_cells, train_n)
+            cents.write.mode("overwrite").parquet(
+                os.path.join(build, "codebook")
             )
-        ).alias("s"),
-    ).select("vec_id", "s.m", "s.sq")
-    return sub, k_cells, train_n
+            cents = spark.read.parquet(os.path.join(build, "codebook"))
+            (
+                _pq_encode(spark, sub, cents)
+                .repartition(work_partitions(spark, 16))
+                .write.mode("overwrite")
+                .parquet(os.path.join(build, "codes"))
+            )
+            sub.unpersist()
+            try:
+                os.rename(build, out)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(build, ignore_errors=True)
+                if not os.path.exists(os.path.join(codes_p, "_SUCCESS")):
+                    raise
+        _PQ_ART[key] = (
+            spark.read.parquet(codes_p),
+            spark.read.parquet(book_p),
+        )
+    except Exception:
+        return
 
 
 def _pq_train(spark, sub, k_cells, train_n):
@@ -1539,16 +1631,34 @@ def q_similarity_pq_adc(spark, sf):
     the codes, and the ADC scores all value-hash-match the unrolled
     SQL twin — the same proof discipline as q_embed_kmeans.
 
+    At-rest tier (round 12, VERDICT r11 item 2): when
+    `materialize_pq_index` has persisted the codes + codebook, this
+    query rides the artifact — the scan reads M small ints per vector
+    instead of 64 floats and skips train+encode entirely (the query
+    point's subvectors come from a pushed-down vec_id point lookup).
+    Deterministic training makes the two paths bit-identical
+    (equality pinned in tests/test_similarity.py); measured tiering
+    in docs/PQ_MEMORY_r12.json.
+
     Reference parity: none (driver-mandated similarity surface).
     """
     configure(spark)
-    sub, k_cells, train_n = _pq_sub(spark, sf)
-    sub = sub.persist()
-    cents = _pq_train(spark, sub, k_cells, train_n).persist()
-    enc = _pq_encode(spark, sub, cents).select("vec_id", "m", "cell")
-    qs = sub.filter(F.col("vec_id") == _PQ_QUERY).select(
-        "m", F.col("sq").alias("qsq")
-    )
+    art = pq_index(spark, sf)
+    if art is not None:
+        enc, cents = art
+        qs = _pq_subframe(
+            load(spark, sf, "embeddings").filter(
+                F.col("vec_id") == _PQ_QUERY
+            )
+        ).select("m", F.col("sq").alias("qsq"))
+    else:
+        sub, k_cells, train_n = _pq_sub(spark, sf)
+        sub = sub.persist()
+        cents = _pq_train(spark, sub, k_cells, train_n).persist()
+        enc = _pq_encode(spark, sub, cents).select("vec_id", "m", "cell")
+        qs = sub.filter(F.col("vec_id") == _PQ_QUERY).select(
+            "m", F.col("sq").alias("qsq")
+        )
     adc = (
         cents.join(F.broadcast(qs), "m")
         .select(

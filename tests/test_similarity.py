@@ -279,3 +279,31 @@ def test_pq_adc_fidelity_median_rank(spark):
     pcts = sorted(pos[v] / len(ranked) for v in got)
     median = pcts[len(pcts) // 2]
     assert median <= 0.25, f"ADC median exact-rank percentile {median}"
+
+
+def test_pq_index_artifact_path_matches_fresh(spark, tmp_path):
+    """VERDICT r11 item 2 — the at-rest PQ index: q_similarity_pq_adc
+    riding a materialized codes+codebook artifact must return
+    BIT-IDENTICAL rows to the fresh train+encode path (deterministic
+    vec_id-prefix training, integer Lloyd, argmin tie-break)."""
+    from pandas_reporter_spark.operators import similarity as S
+    from pandas_reporter_spark.tables import _session_key
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    key = (_session_key(spark), sf)
+    S._PQ_ART.pop(key, None)
+    fresh = [
+        tuple(r)
+        for r in QUERIES["q_similarity_pq_adc"](spark, sf).collect()
+    ]
+    S.materialize_pq_index(spark, sf, base=str(tmp_path))
+    try:
+        assert S.pq_index(spark, sf) is not None, "artifact did not build"
+        art = [
+            tuple(r)
+            for r in QUERIES["q_similarity_pq_adc"](spark, sf).collect()
+        ]
+    finally:
+        S._PQ_ART.pop(key, None)
+    assert art == fresh
