@@ -1419,27 +1419,35 @@ def cdc_chunks(docs, id_col: str = "doc_id", text_col: str = "text"):
                || [n] AS ext
       FROM hashed
     ),
-    chunks AS (
-      SELECT doc_id, md5(u.chunk) AS chunk_md5,
-             CAST(len(string_split(u.chunk, ' ')) AS BIGINT) AS n_toks
-      FROM bounded, UNNEST(list_transform(range(1, len(ext)), j ->
-        array_to_string(t[ext[j]+1:ext[j+1]], ' '))) AS u(chunk)
-    ),
+    -- per-doc chunk counts come straight from the extents array: a
+    -- PURE MAP over the scan (no explode, no doc_id exchange);
+    -- n_toks of a chunk IS the extent diff
     perdoc AS (
-      SELECT doc_id, COUNT(*) AS n_chunks,
-             SUM(CASE WHEN n_toks >= {_CDC_MIN_TOKENS} THEN 1 ELSE 0 END)
+      SELECT doc_id,
+             CAST(len(ext) - 1 AS BIGINT) AS n_chunks,
+             CAST(len(list_filter(range(1, len(ext)), j ->
+               ext[j+1] - ext[j] >= {_CDC_MIN_TOKENS})) AS BIGINT)
                AS n_long
-      FROM chunks GROUP BY doc_id
+      FROM bounded
+    ),
+    -- only the >= min-token chunks ever materialize as rows, and
+    -- they carry md5 digests + counts, never text
+    longch AS (
+      SELECT doc_id,
+             md5(array_to_string(t[ext[j.j]+1:ext[j.j+1]], ' '))
+               AS chunk_md5,
+             ext[j.j+1] - ext[j.j] AS n_toks
+      FROM bounded, UNNEST(range(1, len(ext))) AS j(j)
+      WHERE ext[j.j+1] - ext[j.j] >= {_CDC_MIN_TOKENS}
     ),
     dup AS (
-      SELECT chunk_md5 FROM chunks WHERE n_toks >= {_CDC_MIN_TOKENS}
+      SELECT chunk_md5 FROM longch
       GROUP BY chunk_md5 HAVING MIN(doc_id) <> MAX(doc_id)
     ),
     dupdoc AS (
       SELECT c.doc_id, COUNT(*) AS n_dup_chunks,
              SUM(c.n_toks) AS dup_toks
-      FROM chunks c JOIN dup USING (chunk_md5)
-      WHERE c.n_toks >= {_CDC_MIN_TOKENS}
+      FROM longch c JOIN dup USING (chunk_md5)
       GROUP BY c.doc_id
     )
     SELECT p.doc_id,
@@ -1473,9 +1481,13 @@ def q_dedup_substring(spark, sf):
 
     Scale shape: chunking is pure scan-stage HOFs inside each
     document row — zero shuffle, no window over the corpus (the
-    per-doc token arrays never leave their partition). Chunks shuffle
-    as md5 DIGESTS + token counts, never as text. Duplicate detection
-    is groupBy(chunk_md5).agg(min,max doc) — map-side combined, so a
+    per-doc token arrays never leave their partition). The per-doc
+    chunk counts are a PURE MAP over the extents array (a chunk's
+    token count IS the extent diff — no explode, no doc_id exchange
+    for the base stats). Only chunks of ≥ _CDC_MIN_TOKENS tokens ever
+    materialize as rows, and they shuffle as md5 DIGESTS + counts,
+    never as text. Duplicate detection is
+    groupBy(chunk_md5).agg(min,max doc) — map-side combined, so a
     boilerplate chunk appearing a billion times collapses to one row
     per input partition before the exchange (the window form would
     move every occurrence of the hottest chunk to one reducer). The
@@ -1489,18 +1501,44 @@ def q_dedup_substring(spark, sf):
     Reference parity: none (driver-mandated LLM-pipeline surface;
     VERDICT r11 item 4)."""
     configure(spark)
-    docs = load(spark, sf, "documents")
-    chunks = cdc_chunks(docs).select(
-        "doc_id", F.md5("chunk").alias("chunk_md5"), "n_toks"
-    )
-    long_chunks = chunks.filter(F.col("n_toks") >= _CDC_MIN_TOKENS)
-    perdoc = chunks.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(
-            F.when(F.col("n_toks") >= _CDC_MIN_TOKENS, 1).otherwise(0)
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t").cast("long"))
+    hs, ext = cdc_extents(F.col("t"), "n")
+    bounded = docs.withColumn("hs", hs).withColumn("ext", ext)
+    js = F.sequence(F.lit(1).cast("long"), F.size("ext") - 1)
+    diff_at = lambda j: F.element_at(  # noqa: E731
+        "ext", (j + 1).cast("int")
+    ) - F.element_at("ext", j.cast("int"))
+    perdoc = bounded.select(
+        "doc_id",
+        (F.size("ext") - 1).cast("long").alias("n_chunks"),
+        F.size(
+            F.filter(js, lambda j: diff_at(j) >= _CDC_MIN_TOKENS)
         )
         .cast("long")
         .alias("n_long"),
+    )
+    long_chunks = (
+        bounded.select("doc_id", "t", "ext", F.explode(js).alias("j"))
+        .filter(diff_at(F.col("j")) >= _CDC_MIN_TOKENS)
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "t",
+                        (
+                            F.element_at("ext", F.col("j").cast("int"))
+                            + 1
+                        ).cast("int"),
+                        diff_at(F.col("j")).cast("int"),
+                    ),
+                )
+            ).alias("chunk_md5"),
+            diff_at(F.col("j")).alias("n_toks"),
+        )
     )
     dup = (
         long_chunks.groupBy("chunk_md5")
