@@ -235,6 +235,16 @@ def main() -> None:
         materialize_pq_index(spark, sf_dir)
     except Exception:
         pass
+    # ...and the at-rest IVF index (centroids + cell-partitioned
+    # corpus): the probe becomes a static partition-pruned scan.
+    try:
+        from pandas_reporter_spark.operators.similarity import (
+            materialize_ivf_index,
+        )
+
+        materialize_ivf_index(spark, sf_dir)
+    except Exception:
+        pass
     # ...and the bigram-graph edge/node artifact for PageRank.
     try:
         from pandas_reporter_spark.operators.graph import materialize_graph

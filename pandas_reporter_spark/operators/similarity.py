@@ -704,17 +704,42 @@ def q_similarity_ivf(spark, sf):
     (or a sampled k-means); the probe scan reads 2/k of the data —
     partition the parquet by cell id and the probe becomes partition
     pruning at the source.
+
+    At-rest tier (round 12): `materialize_ivf_index` persists exactly
+    that layout — the centroids table plus the corpus partitioned by
+    cell — and this query rides it when present: the coarse ranking
+    reads 10 persisted rows, the two probe cell ids (a bounded
+    `probes`-row collect) turn into a STATIC partition-pruned scan of
+    2/k of the corpus bytes, and the fresh path's full centroid
+    rebuild disappears. Bit-identical to the fresh path
+    (deterministic integer-mean centroids; equality pinned in
+    tests/test_similarity.py); measured tiering in
+    docs/PQ_MEMORY_r12.json.
     """
     configure(spark)
     e = load(spark, sf, "embeddings")
-    return ivf_topk(e)
+    art = ivf_index(spark, sf)
+    if art is None:
+        return ivf_topk(e)
+    e_part, cent = art
+    cell_rank, qv = ivf_probe_cells(e, cent=cent)
+    cells = [r["cell"] for r in cell_rank.collect()]  # bounded: probes rows
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e_part.filter(F.col("label").isin(cells))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
 
 
-def ivf_probe_cells(e, query_vec_id: int = 0, probes: int = 2):
-    """(probe_cells, qv): the IVF coarse front — exact-integer
-    label-mean centroids and the top-`probes` cells by centroid/query
-    cosine — shared by q_similarity_ivf and the IVF-PQ composition
-    (r11)."""
+def ivf_centroids(e):
+    """Exact-integer label-mean centroids (cell, centroid) — the IVF
+    coarse quantizer, factored out so the at-rest index can persist it
+    (micro-unit long sums make it bit-reproducible on any partition
+    count — and on re-build at materialize time)."""
     dims = e.select(
         "label",
         F.posexplode(F.col("embedding")).alias("dim", "v"),
@@ -725,7 +750,7 @@ def ivf_probe_cells(e, query_vec_id: int = 0, probes: int = 2):
         .cast("bigint")
         .alias("vu"),
     )
-    cent = (
+    return (
         dims.groupBy("label", "dim")
         .agg(
             (
@@ -740,6 +765,16 @@ def ivf_probe_cells(e, query_vec_id: int = 0, probes: int = 2):
             F.transform(F.col("dc"), lambda s: s["c"]).alias("centroid"),
         )
     )
+
+
+def ivf_probe_cells(e, query_vec_id: int = 0, probes: int = 2, cent=None):
+    """(probe_cells, qv): the IVF coarse front — exact-integer
+    label-mean centroids and the top-`probes` cells by centroid/query
+    cosine — shared by q_similarity_ivf and the IVF-PQ composition
+    (r11). `cent` overrides the centroid build with a persisted
+    coarse quantizer (the at-rest index path)."""
+    if cent is None:
+        cent = ivf_centroids(e)
     qv = (
         e.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qv"))
@@ -768,6 +803,80 @@ def ivf_topk(e, query_vec_id: int = 0, probes: int = 2, k: int = 10):
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(k)
     )
+
+
+#: (session_key, sf) -> (partitioned_corpus_df, centroids_df) for the
+#: at-rest IVF index (see materialize_ivf_index).
+_IVF_ART: dict = {}
+
+
+def ivf_index(spark, sf):
+    """The materialized at-rest IVF index (cell-partitioned corpus,
+    centroids), or None — the accessor q_similarity_ivf consults."""
+    from pandas_reporter_spark.tables import _session_key
+
+    return _IVF_ART.get((_session_key(spark), sf))
+
+
+def materialize_ivf_index(spark, sf, base: str = "/dev/shm") -> None:
+    """Persist the IVF index at rest: the coarse quantizer (one tiny
+    centroids table) and the corpus REPARTITIONED BY CELL
+    (partitionBy(label) parquet) — exactly the layout the IVF
+    docstring promises at 100 TB, where the probe becomes partition
+    PRUNING at the source: a probes=2-of-k query reads 2/k of the
+    corpus bytes and never touches the rest. Same ingest-artifact
+    amortization (and atomic-rename commit) as materialize_pq_index;
+    deterministic centroid build (exact-integer label means) keeps
+    the artifact path bit-identical to the fresh one (equality pinned
+    in tests/test_similarity.py). Idempotent; on failure consumers
+    keep the fresh plan."""
+    import os
+
+    from pandas_reporter_spark.tables import _session_key, load as _load
+
+    key = (_session_key(spark), sf)
+    if key in _IVF_ART or not os.path.isdir(base):
+        return
+    try:
+        src_tag = int(
+            os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
+        )
+    except OSError:
+        src_tag = 0
+    out = os.path.join(
+        base,
+        f"prs_ivfindex_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
+    )
+    corpus_p = os.path.join(out, "by_cell")
+    cent_p = os.path.join(out, "centroids")
+    try:
+        if not os.path.exists(os.path.join(cent_p, "_SUCCESS")):
+            build = f"{out}.build-{os.getpid()}"
+            e = _load(spark, sf, "embeddings")
+            (
+                e.repartition("label")
+                .write.mode("overwrite")
+                .partitionBy("label")
+                .parquet(os.path.join(build, "by_cell"))
+            )
+            # centroids LAST: their _SUCCESS is the readiness marker
+            ivf_centroids(e).write.mode("overwrite").parquet(
+                os.path.join(build, "centroids")
+            )
+            try:
+                os.rename(build, out)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(build, ignore_errors=True)
+                if not os.path.exists(os.path.join(cent_p, "_SUCCESS")):
+                    raise
+        _IVF_ART[key] = (
+            spark.read.parquet(corpus_p),
+            spark.read.parquet(cent_p),
+        )
+    except Exception:
+        return
 
 
 @query(

@@ -307,3 +307,35 @@ def test_pq_index_artifact_path_matches_fresh(spark, tmp_path):
     finally:
         S._PQ_ART.pop(key, None)
     assert art == fresh
+
+
+def test_ivf_index_artifact_path_matches_fresh(spark, tmp_path):
+    """At-rest IVF (round 12): q_similarity_ivf riding the persisted
+    centroids + cell-partitioned corpus must return BIT-IDENTICAL rows
+    to the fresh path (deterministic integer-mean centroids)."""
+    from pandas_reporter_spark.operators import similarity as S
+    from pandas_reporter_spark.tables import _session_key
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    key = (_session_key(spark), sf)
+    S._IVF_ART.pop(key, None)
+    fresh = [
+        tuple(r)
+        for r in QUERIES["q_similarity_ivf"](spark, sf).collect()
+    ]
+    S.materialize_ivf_index(spark, sf, base=str(tmp_path))
+    try:
+        assert S.ivf_index(spark, sf) is not None, "artifact did not build"
+        art_df = QUERIES["q_similarity_ivf"](spark, sf)
+        # the probe must be a partition-pruned scan of the cell layout
+        import io, contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            art_df.explain("formatted")
+        assert "PartitionFilters" in buf.getvalue()
+        art = [tuple(r) for r in art_df.collect()]
+    finally:
+        S._IVF_ART.pop(key, None)
+    assert art == fresh

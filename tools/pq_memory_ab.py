@@ -81,10 +81,33 @@ def main():
         )
         row["embeddings_bytes"] = du(emb)
 
+        S._IVF_ART.pop(key, None)
         for name in ("q_similarity_topk", "q_similarity_ivf"):
             row[name] = round(
                 t_best(lambda n=name: QUERIES[n](spark, sf)), 3
             )
+
+        # IVF's own at-rest tier (round 12): centroids + the corpus
+        # partitioned by cell, probe = static partition pruning
+        t0 = time.time()
+        S.materialize_ivf_index(spark, sf)
+        row["ivf_index_build_s"] = round(time.time() - t0, 3)
+        if S.ivf_index(spark, sf) is not None:
+            row["ivf_artifact"] = round(
+                t_best(lambda: QUERIES["q_similarity_ivf"](spark, sf)), 3
+            )
+            try:
+                src_tag = int(os.path.getmtime(emb))
+            except OSError:
+                src_tag = 0
+            row["ivf_index_bytes"] = du(
+                os.path.join(
+                    "/dev/shm",
+                    "prs_ivfindex_"
+                    f"{os.path.basename(os.path.normpath(sf))}_{src_tag}",
+                )
+            )
+        S._IVF_ART.pop(key, None)
 
         # fresh PQ: train+encode+score every time (the registered
         # shape when no artifact exists)
