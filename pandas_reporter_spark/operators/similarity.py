@@ -854,7 +854,17 @@ def materialize_ivf_index(spark, sf, base: str = "/dev/shm") -> None:
             build = f"{out}.build-{os.getpid()}"
             e = _load(spark, sf, "embeddings")
             (
-                e.repartition("label")
+                # repartition by (label, vec_id), NOT label alone: one
+                # file per cell would cap the pruned probe's read
+                # parallelism at `probes` tasks (measured 4.5 s vs
+                # 1.4 s fresh at sf100 — worse than no index); hashing
+                # vec_id in spreads every cell over all tasks, so each
+                # cell directory holds ~n_tasks splittable files
+                e.repartition(
+                    work_partitions(spark, 32),
+                    F.col("label"),
+                    F.col("vec_id"),
+                )
                 .write.mode("overwrite")
                 .partitionBy("label")
                 .parquet(os.path.join(build, "by_cell"))
