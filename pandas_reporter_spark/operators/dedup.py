@@ -990,8 +990,12 @@ def _large_star(E):
     neighbors to the min of its closed neighborhood. Input/output
     edges point down (u > v)."""
     bid = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # min("u") over the GROUP KEY ≡ first("u") but stays on the
+    # HashAggregate path — first() is order-sensitive, so Catalyst
+    # plans a SortAggregate and SORTS the full bidirectional edge list
+    # inside every CC round (r12 plan audit)
     m = bid.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
+        F.least(F.min("v"), F.min("u")).alias("m")
     )
     return (
         bid.join(m, "u")

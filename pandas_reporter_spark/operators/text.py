@@ -2105,8 +2105,12 @@ def q_agg_entropy(spark, sf):
         c.join(tot, "source")
         .groupBy("source")
         .agg(
-            F.first("t").alias("n_tokens"),
-            F.first("vocab").alias("vocab"),
+            # max ≡ first here (t/vocab are functionally dependent on
+            # the source key) but keeps the HashAggregate path —
+            # first() is order-sensitive and forces a SortAggregate
+            # that sorts the whole vocabulary stream (r12 plan audit)
+            F.max("t").alias("n_tokens"),
+            F.max("vocab").alias("vocab"),
             F.sum(term).cast("bigint").alias("entropy_nano"),
         )
     )
@@ -2256,17 +2260,29 @@ def q_pipeline_dsir(spark, sf):
         .cast("bigint")
         .alias("w_nano"),
     )
-    return (
+    # the corpus-wide aggregate carries ONLY (doc_id, long): any
+    # string aggregate (first/min/max over `source`) has a var-length
+    # buffer HashAggregateExec can't hold, so Catalyst plans a
+    # SortAggregate and SORTS the full scored token stream (r12 plan
+    # audit). source re-attaches to the 100 SURVIVORS via a
+    # broadcast join against a 2-column documents scan instead.
+    scores = (
         tok.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
-            F.first("source").alias("source"),
             F.sum(F.col("tf") * F.col("w_nano"))
             .cast("bigint")
-            .alias("score_nano"),
+            .alias("score_nano")
         )
         .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
         .limit(100)
+    )
+    d_src = load(spark, sf, "documents").select("doc_id", "source")
+    return (
+        F.broadcast(scores)
+        .join(d_src, "doc_id")
+        .select("doc_id", "source", "score_nano")
+        .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
     )
 
 
@@ -2463,13 +2479,19 @@ def q_pipeline_dsir_bigram(spark, sf):
         .cast("bigint")
         .alias("w_nano"),
     )
-    return (
+    # narrow (doc_id, long) aggregate + broadcast join-back for
+    # source — same SortAggregate-avoidance as q_pipeline_dsir
+    scores = (
         bg.join(F.broadcast(w), "b")
         .groupBy("doc_id")
-        .agg(
-            F.first("source").alias("source"),
-            F.sum("w_nano").cast("bigint").alias("score_nano"),
-        )
+        .agg(F.sum("w_nano").cast("bigint").alias("score_nano"))
         .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
         .limit(100)
+    )
+    d_src = d.select("doc_id", "source")
+    return (
+        F.broadcast(scores)
+        .join(d_src, "doc_id")
+        .select("doc_id", "source", "score_nano")
+        .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
     )

@@ -91,6 +91,24 @@ def test_stdlib_png_decode_is_real(monkeypatch):
         mm.parse_image_header(bytes(bad))
 
 
+def test_corrupt_png_degrades_to_fallback_tier(monkeypatch):
+    """ADVICE r11: a payload carrying the PNG magic but a corrupt IHDR
+    must DEGRADE through decode_dims to the next tier (the stub in
+    this codec-less container), never abort — at corpus scale one
+    corrupt record must not kill the whole mapInPandas task."""
+    from pandas_reporter_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_probe_pil", lambda: None)
+    bad = bytearray(mm.make_png(123, 45))
+    bad[30] ^= 0xFF  # break the IHDR CRC
+    n, w, h, mode = mm.decode_dims(bytes(bad))
+    assert n == len(bad)
+    assert mode == "stub"  # fallback tier, countable downstream
+    # truncated magic-bearing payload (IHDR cut short) also degrades
+    n2, _, _, mode2 = mm.decode_dims(bytes(bad[:20]))
+    assert (n2, mode2) == (20, "stub")
+
+
 def test_stdlib_gif_header_decode():
     import struct
 
