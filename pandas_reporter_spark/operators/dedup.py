@@ -122,23 +122,38 @@ def with_hashed_shingles(df, col: str = "text", k: int = 3, out: str = "hs"):
 def q_dedup_exact(spark, sf):
     """Exact dedup by full text, keep lowest doc_id.
 
-    groupBy(text) + min/min_by, NOT a row_number window: aggregation
-    gets map-side partial combine (each task pre-dedups its partition
-    before the shuffle), so shuffled bytes ≈ distinct texts, not total
-    rows. At 100 TB with heavy duplication that is the difference
-    between shuffling the corpus and shuffling the dictionary.
-    """
+    groupBy(text) + ONE min(struct), NOT a row_number window:
+    aggregation gets map-side partial combine (each task pre-dedups
+    its partition before the shuffle), so shuffled bytes ≈ distinct
+    texts, not total rows. At 100 TB with heavy duplication that is
+    the difference between shuffling the corpus and shuffling the
+    dictionary.
+
+    The keeper's rider columns travel as min_by aggregates with the
+    string riders (lang/source) PACKED TO BIGINTS (tables.pack_ascii)
+    so every aggregate buffer is a fixed-width scalar pair: raw-string
+    min_by — or any min(struct) — has a var-length buffer that
+    silently demotes the whole aggregate to SortAggregate, sorting
+    every partition of the corpus by full text (r12 plan audit;
+    pinned by the registry-wide no-SortAggregate lint in
+    tests/test_scale.py)."""
     configure(spark)
+    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
+
     d = load(spark, sf, "documents")
-    return (
-        d.groupBy("text")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("lang", "doc_id").alias("lang"),
-            F.min_by("source", "doc_id").alias("source"),
-            F.min_by("n_chars", "doc_id").alias("n_chars"),
-        )
-        .select("doc_id", "lang", "source", "n_chars")
+    kept = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by(pack_ascii(F.col("lang")), F.col("doc_id")).alias("_lang"),
+        F.min_by(pack_ascii(F.col("source")), F.col("doc_id")).alias(
+            "_source"
+        ),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+    )
+    return kept.select(
+        "doc_id",
+        unpack_ascii(F.col("_lang")).alias("lang"),
+        unpack_ascii(F.col("_source")).alias("source"),
+        "n_chars",
     )
 
 
@@ -1206,7 +1221,13 @@ def q_dedup_fuzzy(spark, sf):
         # multiplicity collapses inside the join's own stage, and the
         # (comparatively expensive) levenshtein runs once per DISTINCT
         # pair — filtering first instead measured 2× slower at sf0.1
-        .dropDuplicates(["key_a", "key_b"])
+        # names join the dedup KEY (they're functionally dependent on
+        # the custkeys, so the row set is unchanged): with only the
+        # keys listed, dropDuplicates compiles to first(name_a)/
+        # first(name_b) aggregates whose var-length string buffers
+        # demote the pair dedup to a SortAggregate (r12 plan audit);
+        # as group keys the strings are fine and the agg stays hash
+        .dropDuplicates(["key_a", "key_b", "name_a", "name_b"])
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select(
             "key_a",

@@ -2352,6 +2352,12 @@ def q_profile_table(spark, sf):
     the long audit format driver-side-free. At 100 TB: one scan, one
     tiny shuffle; add approx_count_distinct when exact NDV is not
     required and the Expand fan-out matters.
+
+    This is the one registry query whitelisted by the SortAggregate
+    plan lint (tests/test_scale.py): min/max OVER STRING COLUMNS is
+    the profiler's semantics, and string min/max buffers are
+    var-length, so the global aggregate is legitimately sort-based —
+    a single zero-key group over one pass, not a corpus-keyed sort.
     """
     configure(spark)
     d = load(spark, sf, "documents")

@@ -1316,15 +1316,24 @@ def q_embed_kmeans(spark, sf):
         d = q.crossJoin(F.broadcast(cframe)).select(
             "vec_id", "xq", "cell", F.expr(_KM_D).alias("d")
         )
-        return (
-            d.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cell", "xq")).alias("m"))
-            .select(
-                "vec_id",
-                F.col("m.cell").alias("cell"),
-                F.col("m.d").alias("d"),
-                F.col("m.xq").alias("xq"),
-            )
+        # Two r12 plan-audit moves keep the per-round argmin on
+        # HashAggregate (any var-length BUFFER — the xq array or even
+        # a struct riding inside min() — demotes it to a
+        # SortAggregate that sorts the corpus×k distance stream
+        # every round): (1) xq becomes a GROUP KEY (keys may be
+        # var-length; xq is functionally dependent on vec_id, so the
+        # rows are unchanged), and (2) the (d, cell) tie-broken
+        # argmin collapses into ONE scalar min of d·K + cell
+        # (cell < K, d ≤ 64·(2e6)² ≈ 2.6e14, so d·K ≪ 2^63 and the
+        # combined order ≡ the (d, cell) lexicographic order).
+        ordv = F.col("d") * F.lit(_KM_K) + F.col("cell")
+        m = d.groupBy("vec_id", "xq").agg(F.min(ordv).alias("o"))
+        cell = F.pmod(F.col("o"), F.lit(_KM_K))
+        return m.select(
+            "vec_id",
+            cell.cast("long").alias("cell"),
+            ((F.col("o") - cell) / F.lit(_KM_K)).cast("long").alias("d"),
+            "xq",
         )
 
     for _ in range(_KM_ITERS):

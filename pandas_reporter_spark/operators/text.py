@@ -465,16 +465,22 @@ def q_text_langid(spark, sf):
         )
         .filter(F.col("hits") > 0)
     )
-    best = scored.groupBy("doc_id").agg(
-        F.min_by(
-            F.struct(F.col("plang").alias("pred_lang"), F.col("hits")),
-            F.struct((-F.col("hits")).alias("nh"), F.col("plang")),
-        ).alias("b")
-    )
+    # the argmax collapses to ONE min(long): ord = -hits·2^16 +
+    # packed_plang. The profile codes are equal-length ASCII, so the
+    # packed value (< 2^16, tables.pack_ascii) preserves their
+    # lexicographic tie-break order, and minimizing ord ≡ min_by over
+    # struct((-hits), plang) — whose var-length buffer demoted this
+    # corpus-wide aggregate to a SortAggregate (r12 plan audit). Both
+    # fields decode back out of the single scalar.
+    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
+
+    ordv = (-F.col("hits")) * F.lit(65536) + pack_ascii(F.col("plang"))
+    best = scored.groupBy("doc_id").agg(F.min(ordv).alias("o"))
+    packed = F.pmod(F.col("o"), F.lit(65536))
     return best.select(
         "doc_id",
-        F.col("b.pred_lang").alias("pred_lang"),
-        F.col("b.hits").alias("hits"),
+        unpack_ascii(packed).alias("pred_lang"),
+        (-((F.col("o") - packed) / F.lit(65536))).cast("long").alias("hits"),
     )
 
 @query(
@@ -622,11 +628,23 @@ def q_pipeline_curate(spark, sf):
         punct_ratio.alias("punct_ratio"),
         F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm_text"),
     ).filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.2))
+    # keeper riders travel as fixed-width-scalar min_by aggregates
+    # (lang packed to a BIGINT): raw-string min_by buffers are
+    # var-length, which silently demotes the dedup aggregate to
+    # SortAggregate — sorting every partition by norm_text (r12 plan
+    # audit)
+    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
+
     kept = gated.groupBy("norm_text").agg(
         F.min("doc_id").alias("doc_id"),
-        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by(pack_ascii(F.col("lang")), F.col("doc_id")).alias("_lang"),
         F.min_by("n_tokens", "doc_id").alias("n_tokens"),
         F.min_by("punct_ratio", "doc_id").alias("punct_ratio"),
+    ).select(
+        "doc_id",
+        unpack_ascii(F.col("_lang")).alias("lang"),
+        "n_tokens",
+        "punct_ratio",
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1559,9 +1577,19 @@ def q_pipeline_pretrain(spark, sf):
     )
     normed = d.select("doc_id", "source", norm.alias("norm_text"))
     gated = normed.filter(F.size(F.split(F.col("norm_text"), " ")) >= 5)
+    # fixed-width-scalar keeper min_by (source packed to BIGINT) —
+    # same SortAggregate-avoidance as q_dedup_exact/q_pipeline_curate
+    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
+
     deduped = gated.groupBy("norm_text").agg(
         F.min("doc_id").alias("doc_id"),
-        F.min_by("source", "doc_id").alias("source"),
+        F.min_by(pack_ascii(F.col("source")), F.col("doc_id")).alias(
+            "_source"
+        ),
+    ).select(
+        "norm_text",
+        "doc_id",
+        unpack_ascii(F.col("_source")).alias("source"),
     ).persist()
     counts = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     nmin = counts.agg(F.min("n").alias("nmin"))

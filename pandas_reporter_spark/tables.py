@@ -388,6 +388,30 @@ def _session_key(spark: SparkSession) -> str:
         return f"dead-{id(spark)}"
 
 
+def pack_ascii(col) -> Column:
+    """A short ASCII string (1–7 bytes) packed into a BIGINT so it can
+    ride a keeper-selection min/max STRUCT without breaking
+    HashAggregateExec: var-length aggregate BUFFERS (any string or
+    array inside min/max/min_by/first) silently demote the whole
+    aggregate to SortAggregate — a per-partition sort of the full
+    input stream (r12 plan audit found this in the dedup/curate/
+    langid keeper aggregates). Group KEYS may stay var-length; only
+    what the buffer carries must be fixed-width. Byte order is
+    preserved, so comparisons between EQUAL-LENGTH packed strings
+    keep their lexicographic order."""
+    return F.conv(F.hex(F.encode(col, "utf-8")), 16, 10).cast("long")
+
+
+def unpack_ascii(col) -> Column:
+    """Inverse of `pack_ascii`. Exact for ≥1 printable-ASCII byte:
+    every byte is ≥ 0x20, so the minimal hex form conv() emits has no
+    leading zero and an even digit count — unhex round-trips the
+    bytes exactly."""
+    return F.decode(
+        F.unhex(F.conv(col.cast("string"), 10, 16)), "utf-8"
+    )
+
+
 def dsum(col, scale: int = 2) -> Column:
     """Order-independent, oracle-exact sum of a double column.
 

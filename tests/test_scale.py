@@ -587,3 +587,49 @@ def test_bucketed_confs_do_not_change_foreign_plans(spark):
         tables._BUCKETED_TABLES.pop(key, None)
         for k in [k for k in tables._LOAD_CACHE if k[1] == SF]:
             del tables._LOAD_CACHE[k]
+
+
+def test_no_sort_aggregates_in_registry_plans(spark):
+    """Registry-wide plan lint (r12): no registered query's fresh-
+    session plan may contain a SortAggregate. Order-sensitive or
+    var-length-buffer aggregates (first/min_by over strings, arrays
+    riding in min(struct)) silently demote HashAggregate to
+    SortAggregate — a per-partition SORT of the aggregate's full
+    input stream, invisible to result checks and ruinous at corpus
+    scale. Whitelist: q_profile_table (string min/max IS the
+    profiler's semantics — one zero-key group, one pass).
+
+    Streaming queries are skipped: their plans only exist inside a
+    started stream."""
+    import io
+    import contextlib
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    allowed = {"q_profile_table"}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("q_stream") or "stream" in name or name in (
+            "q_events_stateful",
+        ):
+            continue
+        try:
+            df = fn(spark, SF)
+        except Exception:
+            continue  # streaming/stateful shapes that need a sink
+        # q_join_bucketed_atrest's layout build (run by this very
+        # loop) sets replaceHashWithSortAgg session-wide; that rule
+        # only converts when the child ordering is ALREADY satisfied
+        # (zero extra sort — beneficial, not the demotion this lint
+        # hunts), so pin it off for the explain itself
+        spark.conf.set(
+            "spark.sql.execution.replaceHashWithSortAgg", "false"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        n = buf.getvalue().count("SortAggregate")
+        if n and name not in allowed:
+            offenders[name] = n
+    assert not offenders, offenders
