@@ -129,31 +129,28 @@ def q_dedup_exact(spark, sf):
     the difference between shuffling the corpus and shuffling the
     dictionary.
 
-    The keeper's rider columns travel as min_by aggregates with the
-    string riders (lang/source) PACKED TO BIGINTS (tables.pack_ascii)
-    so every aggregate buffer is a fixed-width scalar pair: raw-string
-    min_by — or any min(struct) — has a var-length buffer that
-    silently demotes the whole aggregate to SortAggregate, sorting
-    every partition of the corpus by full text (r12 plan audit;
-    pinned by the registry-wide no-SortAggregate lint in
-    tests/test_scale.py)."""
+    Plan note (r12, measured): the string min_by riders have
+    var-length buffers, so Catalyst demotes this aggregate to a
+    SortAggregate (per-partition sort by the text group key before
+    the map-side combine). The demotion was A/B'd against a
+    fixed-width form (riders packed to BIGINTs via tables.pack_ascii)
+    and the SORT FORM WON — 1.3 vs 2.3 s at sf10 for the curate
+    pipeline built on this shape: the per-row encode/hex/conv tax
+    exceeds a per-partition sort whose runs are mostly-duplicate
+    keys. Partial aggregation still happens either way; SortAggregate
+    is a nuance here, not a scale-killer. Whitelisted in the
+    registry-wide plan lint (tests/test_scale.py)."""
     configure(spark)
-    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
-
     d = load(spark, sf, "documents")
-    kept = d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by(pack_ascii(F.col("lang")), F.col("doc_id")).alias("_lang"),
-        F.min_by(pack_ascii(F.col("source")), F.col("doc_id")).alias(
-            "_source"
-        ),
-        F.min_by("n_chars", "doc_id").alias("n_chars"),
-    )
-    return kept.select(
-        "doc_id",
-        unpack_ascii(F.col("_lang")).alias("lang"),
-        unpack_ascii(F.col("_source")).alias("source"),
-        "n_chars",
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
+        .select("doc_id", "lang", "source", "n_chars")
     )
 
 

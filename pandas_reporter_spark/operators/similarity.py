@@ -1316,25 +1316,24 @@ def q_embed_kmeans(spark, sf):
         d = q.crossJoin(F.broadcast(cframe)).select(
             "vec_id", "xq", "cell", F.expr(_KM_D).alias("d")
         )
-        # Two r12 plan-audit moves keep the per-round argmin on
-        # HashAggregate (any var-length BUFFER — the xq array or even
-        # a struct riding inside min() — demotes it to a
-        # SortAggregate that sorts the corpus×k distance stream
-        # every round): (1) xq becomes a GROUP KEY (keys may be
-        # var-length; xq is functionally dependent on vec_id, so the
-        # rows are unchanged), and (2) the (d, cell) tie-broken
-        # argmin collapses into ONE scalar min of d·K + cell
-        # (cell < K, d ≤ 64·(2e6)² ≈ 2.6e14, so d·K ≪ 2^63 and the
-        # combined order ≡ the (d, cell) lexicographic order).
+        # Narrow scalar argmin: the (d, cell) tie-broken argmin
+        # collapses into ONE min of d·K + cell (cell < K,
+        # d ≤ 64·(2e6)² ≈ 2.6e14, so d·K ≪ 2^63 and the combined
+        # order ≡ the (d, cell) lexicographic order) — a fixed-width
+        # buffer, so the per-round aggregate stays HashAggregate.
+        # xq rejoins from the PERSISTED quantized corpus by vec_id
+        # instead of riding the aggregate: an array inside min(struct)
+        # is a var-length buffer (demotes to SortAggregate), and an
+        # array GROUP KEY measured worse than both (3.8 s vs 2.6 at
+        # sf10 — per-row array hashing).
         ordv = F.col("d") * F.lit(_KM_K) + F.col("cell")
-        m = d.groupBy("vec_id", "xq").agg(F.min(ordv).alias("o"))
+        m = d.groupBy("vec_id").agg(F.min(ordv).alias("o"))
         cell = F.pmod(F.col("o"), F.lit(_KM_K))
         return m.select(
             "vec_id",
             cell.cast("long").alias("cell"),
             ((F.col("o") - cell) / F.lit(_KM_K)).cast("long").alias("d"),
-            "xq",
-        )
+        ).join(q, "vec_id")
 
     for _ in range(_KM_ITERS):
         assigned = assign(cents)

@@ -451,6 +451,12 @@ def q_text_langid(spark, sf):
         .agg(F.collect_list("token").alias("profile"))
         .select(F.col("lang").alias("plang"), "profile")
     )
+    # pack the lang code ONCE on the n_langs-row broadcast side (r12:
+    # packing per scored row measured 1.9 -> 2.4 s at sf10 — the
+    # encode/hex/conv tax on 26n rows ate the SortAggregate win)
+    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
+
+    profiles = profiles.withColumn("_pl", pack_ascii(F.col("plang")))
     docs = d.select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
@@ -458,7 +464,7 @@ def q_text_langid(spark, sf):
         docs.crossJoin(F.broadcast(profiles))
         .select(
             "doc_id",
-            "plang",
+            "_pl",
             F.size(F.array_intersect("toks", "profile"))
             .cast("long")
             .alias("hits"),
@@ -467,14 +473,13 @@ def q_text_langid(spark, sf):
     )
     # the argmax collapses to ONE min(long): ord = -hits·2^16 +
     # packed_plang. The profile codes are equal-length ASCII, so the
-    # packed value (< 2^16, tables.pack_ascii) preserves their
-    # lexicographic tie-break order, and minimizing ord ≡ min_by over
-    # struct((-hits), plang) — whose var-length buffer demoted this
-    # corpus-wide aggregate to a SortAggregate (r12 plan audit). Both
-    # fields decode back out of the single scalar.
-    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
-
-    ordv = (-F.col("hits")) * F.lit(65536) + pack_ascii(F.col("plang"))
+    # packed value (< 2^16, tables.pack_ascii, computed once per
+    # PROFILE row above) preserves their lexicographic tie-break
+    # order, and minimizing ord ≡ min_by over struct((-hits), plang)
+    # — whose var-length buffer demoted this corpus-wide aggregate to
+    # a SortAggregate (r12 plan audit). Both fields decode back out
+    # of the single scalar.
+    ordv = (-F.col("hits")) * F.lit(65536) + F.col("_pl")
     best = scored.groupBy("doc_id").agg(F.min(ordv).alias("o"))
     packed = F.pmod(F.col("o"), F.lit(65536))
     return best.select(
@@ -628,23 +633,17 @@ def q_pipeline_curate(spark, sf):
         punct_ratio.alias("punct_ratio"),
         F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm_text"),
     ).filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.2))
-    # keeper riders travel as fixed-width-scalar min_by aggregates
-    # (lang packed to a BIGINT): raw-string min_by buffers are
-    # var-length, which silently demotes the dedup aggregate to
-    # SortAggregate — sorting every partition by norm_text (r12 plan
-    # audit)
-    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
-
+    # keeper riders via raw-string min_by, DELIBERATELY: the
+    # var-length buffer demotes this to a SortAggregate, and the r12
+    # A/B kept it — packing the riders to fixed-width BIGINTs
+    # (pack_ascii) measured 1.3 -> 2.3 s at sf10 (per-row
+    # encode/hex/conv tax > the per-partition sort). Whitelisted in
+    # the plan lint; see q_dedup_exact's plan note.
     kept = gated.groupBy("norm_text").agg(
         F.min("doc_id").alias("doc_id"),
-        F.min_by(pack_ascii(F.col("lang")), F.col("doc_id")).alias("_lang"),
+        F.min_by("lang", "doc_id").alias("lang"),
         F.min_by("n_tokens", "doc_id").alias("n_tokens"),
         F.min_by("punct_ratio", "doc_id").alias("punct_ratio"),
-    ).select(
-        "doc_id",
-        unpack_ascii(F.col("_lang")).alias("lang"),
-        "n_tokens",
-        "punct_ratio",
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1577,19 +1576,12 @@ def q_pipeline_pretrain(spark, sf):
     )
     normed = d.select("doc_id", "source", norm.alias("norm_text"))
     gated = normed.filter(F.size(F.split(F.col("norm_text"), " ")) >= 5)
-    # fixed-width-scalar keeper min_by (source packed to BIGINT) —
-    # same SortAggregate-avoidance as q_dedup_exact/q_pipeline_curate
-    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
-
+    # raw-string keeper min_by, deliberately sort-aggregated — the
+    # r12 A/B kept it over the packed fixed-width form (1.5 -> 2.1 s
+    # at sf10); see q_dedup_exact's plan note
     deduped = gated.groupBy("norm_text").agg(
         F.min("doc_id").alias("doc_id"),
-        F.min_by(pack_ascii(F.col("source")), F.col("doc_id")).alias(
-            "_source"
-        ),
-    ).select(
-        "norm_text",
-        "doc_id",
-        unpack_ascii(F.col("_source")).alias("source"),
+        F.min_by("source", "doc_id").alias("source"),
     ).persist()
     counts = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     nmin = counts.agg(F.min("n").alias("nmin"))
