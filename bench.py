@@ -124,6 +124,13 @@ BENCH_QUERIES = [
     # shard assignment (one map-side-combined aggregate)
     "q_pipeline_dsir",
     "q_pipeline_shard",
+    # round-12 additions: CDC exact substring dedup (scan-stage
+    # chunking, digest-only shuffles), hashed-bigram DSIR (the
+    # published feature space), IVF with its at-rest index (primed
+    # above: the probe is a static partition-pruned scan)
+    "q_dedup_substring",
+    "q_pipeline_dsir_bigram",
+    "q_similarity_ivf",
 ]
 
 

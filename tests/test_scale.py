@@ -639,7 +639,20 @@ def test_no_sort_aggregates_in_registry_plans(spark):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        n = buf.getvalue().count("SortAggregate")
+        p = buf.getvalue()
+        n = p.count("SortAggregate")
         if n and name not in allowed:
-            offenders[name] = n
+            offenders[name] = f"SortAggregate x{n}"
+        # same sweep, two more registry-wide invariants:
+        # (a) no row-at-a-time Python UDFs — BatchEvalPython is the
+        #     interpreted per-row path; every Python kernel here must
+        #     be Arrow-vectorized (ArrowEvalPython / mapInPandas)
+        if "BatchEvalPython" in p:
+            offenders[name] = "BatchEvalPython (row-at-a-time UDF)"
+        # (b) no CartesianProduct — broadcast-scalar crossJoins
+        #     compile to BroadcastNestedLoopJoin; a CartesianProduct
+        #     node means both sides were corpus-sized. q_join_cross
+        #     is the deliberate demonstration query.
+        if "CartesianProduct" in p and name != "q_join_cross":
+            offenders[name] = "CartesianProduct"
     assert not offenders, offenders
