@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q_dedup_substring",
     "q_pipeline_dsir_bigram",
     "q_similarity_ivf",
+    "q_dedup_semantic",
 ]
 
 

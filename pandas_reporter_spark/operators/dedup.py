@@ -943,6 +943,118 @@ def q_dedup_embedding(spark, sf):
     return e.join(dup_b, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def _dedup_semantic_oracle() -> str:
+    from pandas_reporter_spark.operators.similarity import _duck_cos
+
+    return f"""
+    -- SemDeDup: within each cell, drop every vector with a
+    -- cosine >= 0.99 neighbor of LOWER vec_id; per-cell report
+    WITH dup AS (
+      SELECT DISTINCT eb.vec_id AS vec_id
+      FROM embeddings ea JOIN embeddings eb
+        ON ea.label = eb.label AND ea.vec_id < eb.vec_id
+      WHERE {_duck_cos('ea.embedding', 'eb.embedding')} >= 0.99
+    )
+    SELECT e.label AS cell,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN e.vec_id ELSE 0 END)
+             AS BIGINT) AS kept_id_sum
+    FROM embeddings e LEFT JOIN dup d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    """
+
+
+@query("q_dedup_semantic", oracle=_dedup_semantic_oracle())
+def q_dedup_semantic(spark, sf):
+    """SemDeDup-style semantic dedup (public method: Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): partition the embedding corpus into
+    semantic CELLS via a coarse quantizer, run EXACT pairwise cosine
+    only within each cell, and keep the lowest-id member of every
+    >= 0.99 pair. Per-cell report: size, survivors, keeper-id
+    checksum.
+
+    How it differs from the two embedding-dedup shapes already here:
+    q_dedup_embedding generates candidates by hyperplane-LSH (recall
+    bounded by bucket collisions); q_dedup_cluster builds connected
+    components from those pairs. SemDeDup's trade is the opposite —
+    EXACT pairwise inside a semantic cell (no hash-recall loss) at
+    the cost of missing cross-cell pairs, which the paper accepts by
+    construction (duplicates land in the same cluster because the
+    quantizer is trained on the same geometry).
+
+    Cells here are the `label` column — the same supervised stand-in
+    q_similarity_ivf documents for its coarse quantizer (a deployment
+    LEARNS cells with a size-dialed k-means: K ∝ n via the pq_dials
+    discipline keeps per-cell size — and therefore the Σ n_c²
+    in-cell pair space — CONSTANT as the corpus grows; the in-cell
+    join below is cell-partitioned, so cells process independently
+    across executors). The cosine is the engine's exact
+    left-to-right double dot (bit-identical in DuckDB), norms hoisted
+    into the scan projection so each pair costs one dot.
+
+    Cluster-boundary semantics (near-identical vectors in DIFFERENT
+    cells both survive) are pinned in tests/test_dedup.py.
+
+    Reference parity: none (driver-mandated LLM-pipeline surface).
+    """
+    from pandas_reporter_spark.operators.similarity import dot, norm
+
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    en = e.select(
+        "label",
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    ea = en.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = en.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    dup = (
+        ea.join(eb, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.99)
+        .select("vec_b")
+        .distinct()
+    )
+    kept_flag = F.col("vec_b").isNull()
+    return (
+        en.select("label", "vec_id")
+        .join(dup, en.vec_id == dup.vec_b, "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(kept_flag, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(kept_flag, F.col("vec_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .select(
+            F.col("label").alias("cell"),
+            "n_vectors",
+            "n_kept",
+            "kept_id_sum",
+        )
+    )
+
+
 @query(
     "q_dedup_cluster",
     oracle="""

@@ -99,12 +99,16 @@ _PRIORITY = (
     "q_pipeline_shard",
     "q_dedup_substring",
     "q_pipeline_dsir_bigram",
+    "q_dedup_semantic",
     # (2) official rows must re-cover the r11 rewrite
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q18",
-    # (3) the r8-vintage cohort, alphabetical (43 of 46; q_tpch_q3/q18
-    # already above, q_varrep_moe deferred to r13 as judge-covered)
+    # (3) the r8-vintage cohort, alphabetical (42 of 46; q_tpch_q3/q18
+    # already above; q_varrep_moe and q_sum_m deferred to r13 — both
+    # were judge-re-verified at sf0.01 in r11, the freshest effective
+    # coverage in the cohort, and q_sum_m also carries the Table-1
+    # golden pin)
     "q_agg_weighted_median",
     "q_agg_weighted_median_approx",
     "q_array_funcs",
@@ -137,7 +141,6 @@ _PRIORITY = (
     "q_stream_enrich",
     "q_stream_file_sink",
     "q_stream_stream_join",
-    "q_sum_m",
     "q_text_bm25",
     "q_text_chunk",
     "q_text_fingerprint",

@@ -310,3 +310,38 @@ def test_cdc_substring_planted_overlap_recall(spark):
     # and the shared chunks cover a substantial fraction of the overlap
     covered = sum(len(ch.split(" ")) for ch in common)
     assert covered >= 60, covered
+
+
+def test_semantic_dedup_cell_scoped_semantics(spark, monkeypatch):
+    """SemDeDup behavior pin: a >=0.99-cosine pair in the SAME cell
+    drops the higher id; the SAME pair split across two cells both
+    survive — the cluster-boundary miss the paper accepts by
+    construction."""
+    from pandas_reporter_spark.operators import dedup as dd
+    from pandas_reporter_spark import tables
+
+    base = [float(i % 7 + 1) for i in range(64)]
+    near = list(base)
+    near[0] += 0.001  # cosine ~ 0.9999997
+    far = [float((i * 13) % 11 - 5) or 1.0 for i in range(64)]
+    rows = [
+        (0, 0, base),
+        (1, 0, near),   # same cell as 0 -> dropped
+        (2, 1, far),
+        (3, 1, base),   # near-identical to 0 but cell 1 -> survives
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    monkeypatch.setattr(
+        tables, "load", lambda s, sf, name: df
+    )
+    monkeypatch.setattr(
+        dd, "load", lambda s, sf, name: df
+    )
+    got = {
+        r["cell"]: (r["n_vectors"], r["n_kept"], r["kept_id_sum"])
+        for r in dd.q_dedup_semantic(spark, "unused").collect()
+    }
+    assert got[0] == (2, 1, 0)   # vec 1 dropped, keeper id 0
+    assert got[1] == (2, 2, 5)   # cross-cell near-dup survives (2+3)
