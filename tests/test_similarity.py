@@ -339,3 +339,44 @@ def test_ivf_index_artifact_path_matches_fresh(spark, tmp_path):
     finally:
         S._IVF_ART.pop(key, None)
     assert art == fresh
+
+
+def test_index_artifacts_idempotent_and_stale_tagged(spark, tmp_path):
+    """The at-rest PQ/IVF indexes: (a) a second materialize call is a
+    no-op registration (files not rebuilt), (b) the artifact path
+    carries the SOURCE mtime, so a regenerated corpus gets a fresh
+    directory instead of silently serving stale codes."""
+    import os
+
+    from pandas_reporter_spark.operators import similarity as S
+    from pandas_reporter_spark.tables import _session_key
+
+    sf = "/root/testdata/sf0.001"
+    key = (_session_key(spark), sf)
+    for pop in (S._PQ_ART, S._IVF_ART):
+        pop.pop(key, None)
+    S.materialize_pq_index(spark, sf, base=str(tmp_path))
+    S.materialize_ivf_index(spark, sf, base=str(tmp_path))
+    dirs = sorted(os.listdir(tmp_path))
+    assert any(d.startswith("prs_pqindex_") for d in dirs)
+    assert any(d.startswith("prs_ivfindex_") for d in dirs)
+    src_tag = int(
+        os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
+    )
+    for d in dirs:
+        assert d.endswith(f"_{src_tag}"), d  # stale-tag in the path
+    mtimes = {
+        d: os.path.getmtime(os.path.join(tmp_path, d)) for d in dirs
+    }
+    # drop the in-memory handles; re-materialize must REGISTER the
+    # existing files, not rebuild them
+    for pop in (S._PQ_ART, S._IVF_ART):
+        pop.pop(key, None)
+    S.materialize_pq_index(spark, sf, base=str(tmp_path))
+    S.materialize_ivf_index(spark, sf, base=str(tmp_path))
+    assert S.pq_index(spark, sf) is not None
+    assert S.ivf_index(spark, sf) is not None
+    for d in dirs:
+        assert os.path.getmtime(os.path.join(tmp_path, d)) == mtimes[d]
+    for pop in (S._PQ_ART, S._IVF_ART):
+        pop.pop(key, None)

@@ -138,3 +138,43 @@ def test_documents_text_is_ascii(spark, sf):
         f"{n_bad} non-ASCII documents at {sf}: the q_multimodal_features/"
         "q_multimodal_resize oracles assume byte==character"
     )
+
+
+def test_pack_ascii_roundtrip_and_order(spark):
+    """pack_ascii/unpack_ascii: exact round-trip for 1-7 printable
+    ASCII bytes, and numeric order == lexicographic order for
+    equal-length strings (the langid tie-break contract)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from pandas_reporter_spark.tables import pack_ascii, unpack_ascii
+
+    rng = random.Random(11)
+    printable = string.ascii_letters + string.digits + " _-./:"
+    vals = sorted(
+        {
+            "".join(rng.choice(printable) for _ in range(rng.randint(1, 7)))
+            for _ in range(200)
+        }
+    ) + ["en", "zh", "src0", "src19"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s",
+        pack_ascii(F.col("s")).alias("p"),
+        unpack_ascii(pack_ascii(F.col("s"))).alias("rt"),
+    ).collect()
+    packed = {}
+    for r in rows:
+        assert r["rt"] == r["s"], r
+        packed[r["s"]] = r["p"]
+    # equal-length strings: packed order == lexicographic order
+    from itertools import combinations
+
+    by_len = {}
+    for v in vals:
+        by_len.setdefault(len(v), []).append(v)
+    for group in by_len.values():
+        for a, b in combinations(sorted(group), 2):
+            assert packed[a] < packed[b], (a, b)
