@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q_pipeline_dsir_bigram",
     "q_similarity_ivf",
     "q_dedup_semantic",
+    "q_dedup_substring_removal",
 ]
 
 

@@ -1513,14 +1513,15 @@ def cdc_chunks(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
     return t.select(
         id_col,
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.sequence(F.lit(1).cast("long"), F.size("ext") - 1),
                 chunk_at,
             )
-        ).alias("chunk"),
+        ).alias("chunk_idx", "chunk"),
     ).select(
         id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk",
         F.size(F.split("chunk", " ")).cast("long").alias("n_toks"),
     )
@@ -1694,6 +1695,120 @@ def q_dedup_substring(spark, sf):
         "n_long",
         F.coalesce(F.col("_ndc"), F.lit(0)).cast("long").alias("n_dup_chunks"),
         F.coalesce(F.col("_dt"), F.lit(0)).cast("long").alias("dup_toks"),
+    )
+
+
+@query(
+    "q_dedup_substring_removal",
+    oracle=f"""
+    -- Lee et al. 2021 removal semantics on the CDC chunk stream:
+    -- every repeated >= {_CDC_MIN_TOKENS}-token chunk keeps ONLY its
+    -- globally first occurrence (by doc_id, then position); short
+    -- chunks always survive. Per doc: counts + the md5 of the
+    -- cleaned text rebuilt from surviving chunks in order.
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             list_transform(t, tok ->
+               CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+                 % 1048576) AS hs
+      FROM toks
+    ),
+    bounded AS (
+      SELECT doc_id, t, n,
+             [CAST(0 AS BIGINT)] || list_filter(range({_CDC_W}, n), i ->
+               (hs[i-3]*8191 + hs[i-2]*127 + hs[i-1]*31 + hs[i])
+                 % {_CDC_DIV} = 0)
+               || [n] AS ext
+      FROM hashed
+    ),
+    chunks AS (
+      SELECT doc_id, j.j - 1 AS chunk_idx,
+             array_to_string(t[ext[j.j]+1:ext[j.j+1]], ' ') AS chunk,
+             ext[j.j+1] - ext[j.j] AS n_toks
+      FROM bounded, UNNEST(range(1, len(ext))) AS j(j)
+    ),
+    firsts AS (
+      SELECT md5(chunk) AS chunk_md5,
+             MIN(doc_id * 100000 + chunk_idx) AS first_key
+      FROM chunks WHERE n_toks >= {_CDC_MIN_TOKENS}
+      GROUP BY md5(chunk)
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN c.n_toks < {_CDC_MIN_TOKENS}
+                      OR c.doc_id * 100000 + c.chunk_idx = f.first_key
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(
+             CASE WHEN c.n_toks < {_CDC_MIN_TOKENS}
+                    OR c.doc_id * 100000 + c.chunk_idx = f.first_key
+                  THEN c.chunk END, ' ' ORDER BY c.chunk_idx))
+             AS cleaned_md5
+    FROM chunks c LEFT JOIN firsts f ON md5(c.chunk) = f.chunk_md5
+    GROUP BY c.doc_id
+    """,
+)
+def q_dedup_substring_removal(spark, sf):
+    """Substring-dedup REMOVAL (the op Lee et al. 2021 actually run):
+    drop every occurrence of a repeated >= _CDC_MIN_TOKENS-token CDC
+    chunk except the globally first one (ordered by doc_id, then
+    position), keep all short chunks, and emit per document the
+    surviving-chunk count plus an md5 fingerprint of the CLEANED
+    text. q_dedup_substring is the detection/report half; this is the
+    curation half that actually rewrites the corpus — the pair mirrors
+    how q_dedup_spans packages the fixed-grid variant, but on the
+    offset-independent CDC chunking, so a license blurb starting at
+    token 3 in one page and token 11 in another deduplicates here.
+
+    Scale shape: identical fronts to q_dedup_substring (scan-stage
+    HOF chunking, zero shuffle); the keeper rule is a
+    groupBy(chunk_md5).min(key) — map-side combined, digests not
+    text; the flag joins back chunk_md5-equi; the per-doc rebuild is
+    one collect_list of (idx, chunk) per doc (bounded by document
+    length, never corpus-sized). Every document keeps >= 1 chunk
+    (short chunks always survive), so cleaned_md5 is never null.
+
+    Reference parity: none (driver-mandated LLM-pipeline surface).
+    """
+    configure(spark)
+    docs = load(spark, sf, "documents")
+    chunks = cdc_chunks(docs).withColumn(
+        "_key", F.col("doc_id") * 100000 + F.col("chunk_idx")
+    ).withColumn("chunk_md5", F.md5("chunk"))
+    firsts = (
+        chunks.filter(F.col("n_toks") >= _CDC_MIN_TOKENS)
+        .groupBy("chunk_md5")
+        .agg(F.min("_key").alias("first_key"))
+    )
+    flagged = chunks.join(firsts, "chunk_md5", "left")
+    keep = (F.col("n_toks") < _CDC_MIN_TOKENS) | (
+        F.col("_key") == F.col("first_key")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(keep, F.struct("chunk_idx", "chunk"))
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform("_kept", lambda s: s["chunk"])
+                )
+            ).alias("cleaned_md5"),
+        )
     )
 
 

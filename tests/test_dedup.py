@@ -345,3 +345,40 @@ def test_semantic_dedup_cell_scoped_semantics(spark, monkeypatch):
     }
     assert got[0] == (2, 1, 0)   # vec 1 dropped, keeper id 0
     assert got[1] == (2, 2, 5)   # cross-cell near-dup survives (2+3)
+
+
+def test_cdc_substring_removal_keeps_first_occurrence(spark, tmp_path_factory):
+    """Removal semantics on offset-shifted boilerplate: the shared
+    substring survives only in the globally-first document; later
+    hosts keep their unique context (short chunks always survive)."""
+    import os
+    import random
+
+    sf = str(tmp_path_factory.mktemp("cdcrm"))
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab) for _ in range(120))
+    pre_b = " ".join(rng.choice(vocab) for _ in range(37))
+    rows = [
+        (0, shared, "en", "web", 0),
+        (1, f"{pre_b} {shared}", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = {
+        r.doc_id: r
+        for r in QUERIES["q_dedup_substring_removal"](spark, sf).collect()
+    }
+    # doc 0 (first) keeps everything
+    assert out[0].n_kept == out[0].n_chunks
+    # doc 1 loses the shared substring's interior chunks but keeps some
+    assert out[1].n_kept < out[1].n_chunks
+    assert out[1].cleaned_md5 is not None
+    assert out[0].cleaned_md5 != out[1].cleaned_md5
