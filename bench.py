@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "q_similarity_ivf",
     "q_dedup_semantic",
     "q_dedup_substring_removal",
+    # round-13 additions: RRF hybrid retrieval (two concurrent top-k
+    # legs + integer fusion), hashed-feature linear quality classifier
+    # (virtual weight table, scan-speed apply)
+    "q_search_hybrid_rrf",
+    "q_text_quality_classifier",
 ]
 
 

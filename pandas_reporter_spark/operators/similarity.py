@@ -1804,3 +1804,135 @@ def q_similarity_pq_adc(spark, sf):
         .orderBy("d_adc", "vec_id")
         .limit(_PQ_TOPK)
     )
+
+
+#: hybrid-retrieval fusion geometry: reciprocal rank fusion
+#: (Cormack/Clarke/Büttcher 2009) with the standard k=60 over two
+#: top-20 legs. Contributions are EXACT integers — 10^9 DIV (60+rank)
+#: — so the fused score is engine-portable by construction.
+_RRF_K = 60
+_RRF_LEG_K = 20
+
+
+@query(
+    "q_search_hybrid_rrf",
+    oracle=None,  # set below: needs text._BM25_SQL_CTES at import time
+)
+def q_search_hybrid_rrf(spark, sf):
+    """Hybrid retrieval via reciprocal rank fusion — the stage a
+    retrieval-augmented curation pipeline runs to merge a SPARSE
+    ranker (BM25 over the inverted index, q_text_bm25's scoring
+    dataflow verbatim via text.bm25_scores) with a DENSE ranker
+    (exact cosine against the vec_id=0 query embedding,
+    q_similarity_topk's shape): RRF(d) = Σ_legs 1/(k + rank_leg(d)),
+    k=60, each leg contributing its top-20.
+
+    Rank, not score, is what fuses — so each leg's scores are first
+    quantized to exact integer units (cosine → micro-units, BM25
+    already micro-units) and ranked with a deterministic doc_id
+    tiebreak, making the RANKS identical in both engines even where
+    raw floats could differ by an ulp. The fused contribution
+    10^9 DIV (60+r) is pure int64 division — the summed fusion score
+    is exact, no float discipline needed past the per-leg quantize.
+
+    Scale shape: each leg is the 100 TB-safe top-k form —
+    TakeOrderedAndProject (per-task local top-20, driver merges) with
+    the corpus never globally sorted; the rank window then runs over
+    ≤20 rows per leg (a one-partition sort of 20 rows, not a corpus
+    sort). Fusion unions ≤40 rows, hash-aggregates, and the final
+    order is again top-k. Legs share nothing, so Spark schedules
+    their scans concurrently; the BM25 leg rides the shared tokenize
+    artifact when materialized.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    from pandas_reporter_spark.operators.text import bm25_scores
+
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos_micro = F.floor(
+        cosine(F.col("embedding"), F.col("qv")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    dense_top = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("id"), cos_micro.alias("s"))
+        .orderBy(F.col("s").desc(), "id")
+        .limit(_RRF_LEG_K)
+    )
+    dense = dense_top.select(
+        "id",
+        F.row_number().over(W.orderBy(F.col("s").desc(), "id")).alias("r"),
+    )
+    sparse_top = (
+        bm25_scores(spark, sf)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_RRF_LEG_K)
+    )
+    sparse = sparse_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.col("score_micro").desc(), "doc_id"))
+        .alias("r"),
+    )
+    contrib = F.expr(f"CAST(1000000000 DIV ({_RRF_K} + r) AS BIGINT)")
+    fused = dense.select("id", contrib.alias("c")).unionByName(
+        sparse.select("id", contrib.alias("c"))
+    )
+    return (
+        fused.groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("rrf_nano"),
+            F.count(F.lit(1)).cast("bigint").alias("legs"),
+        )
+        .select(F.col("id").alias("doc_id"), "rrf_nano", "legs")
+        .orderBy(F.col("rrf_nano").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _install_rrf_oracle() -> None:
+    """Attach the RRF oracle after module init: the sparse leg embeds
+    text._BM25_SQL_CTES verbatim (one source of truth for the BM25
+    dataflow), and text imports before similarity in registry order."""
+    from pandas_reporter_spark.operators.text import _BM25_SQL_CTES
+    from pandas_reporter_spark.registry import ORACLES
+
+    ORACLES["q_search_hybrid_rrf"] = f"""
+    WITH {_BM25_SQL_CTES},
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cosq AS (
+      SELECT e.vec_id AS id,
+             CAST(floor({_duck_cos('e.embedding', 'qv.qv')}
+                        * 1000000.0 + 0.5) AS BIGINT) AS s
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+    ),
+    dense AS (
+      SELECT id, r FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS r FROM cosq
+      ) WHERE r <= {_RRF_LEG_K}
+    ),
+    sparse AS (
+      SELECT id, r FROM (
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r
+        FROM bm
+      ) WHERE r <= {_RRF_LEG_K}
+    ),
+    fused AS (
+      SELECT id, CAST(1000000000 // ({_RRF_K} + r) AS BIGINT) AS c
+      FROM dense
+      UNION ALL
+      SELECT id, CAST(1000000000 // ({_RRF_K} + r) AS BIGINT) AS c
+      FROM sparse
+    )
+    SELECT id AS doc_id, CAST(SUM(c) AS BIGINT) AS rrf_nano,
+           CAST(COUNT(*) AS BIGINT) AS legs
+    FROM fused GROUP BY id
+    ORDER BY rrf_nano DESC, doc_id
+    LIMIT 10
+    """
+
+
+_install_rrf_oracle()

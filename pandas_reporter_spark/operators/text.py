@@ -1716,14 +1716,12 @@ def q_text_chi2(spark, sf):
 _BM25_TERMS = ("spark", "join", "filter")
 _BM25_K1, _BM25_B = "1.2", "0.75"
 
-
-@query(
-    "q_text_bm25",
-    oracle=f"""
-    -- same expression SHAPE as the Spark plan (identical IEEE op
-    -- sequence), per-term scores quantized to exact micro-units
-    -- BEFORE the cross-term sum so accumulation order cannot matter
-    WITH tok AS (
+#: the BM25 scoring dataflow as a reusable CTE chain ending in
+#: `bm(doc_id, score_micro)` — shared VERBATIM by the q_text_bm25
+#: oracle and the hybrid-retrieval fusion oracle (similarity.py), so
+#: the sparse leg of the fused ranker is bit-identical to the
+#: standalone ranker in both engines.
+_BM25_SQL_CTES = f"""tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
       FROM documents
     ), tf AS (
@@ -1754,38 +1752,18 @@ _BM25_K1, _BM25_B = "1.2", "0.75"
       JOIN df USING (token)
       JOIN dl USING (doc_id)
       CROSS JOIN stats
-    )
-    SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
-    FROM term GROUP BY doc_id
-    ORDER BY score_micro DESC, doc_id
-    LIMIT 10
-    """,
-)
-def q_text_bm25(spark, sf):
-    """BM25 retrieval scoring: top-10 documents for a fixed query term
-    set — the ranking function behind retrieval-based decontamination
-    and dedup triage in LLM data pipelines (Robertson/Spärck Jones;
-    parameters k1=1.2, b=0.75).
+    ), bm AS (
+      SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM term GROUP BY doc_id
+    )"""
 
-    Plan shape (the inverted-index query, expressed relationally): the
-    (doc, token, tf) relation — shared tokenize artifact when
-    materialized, one explode+groupBy otherwise — filters to the QUERY
-    TERMS' posting lists at the scan (predicate pushdown on token), so
-    everything downstream is posting-list-sized, not corpus-sized. The
-    df dictionary (|Q| rows) and the 1-row corpus stats broadcast; the
-    only corpus-scale work is the doc-length rollup, which reuses the
-    tf relation's existing (doc_id)-partitioning. At 100 TB: posting
-    lists ⋈ doclen is the classic distributed inverted-index probe —
-    shuffle bounded by the posting lists, never the corpus.
 
-    Float discipline: per-term scores quantize to exact integer
-    micro-units BEFORE the cross-term sum (tables.dsum pattern), so
-    the only float ops are a fixed per-row IEEE sequence written with
-    IDENTICAL shape in both engines; ln's sub-ulp portability is the
-    same (judge-green) exposure q_text_tfidf carries.
-
-    Reference parity: none (driver-mandated text-analysis surface).
-    """
+def bm25_scores(spark, sf):
+    """(doc_id, score_micro) for the fixed `_BM25_TERMS` query — the
+    full BM25 scoring dataflow WITHOUT the final order/limit, so the
+    standalone ranker (q_text_bm25) and the hybrid-retrieval fusion
+    (similarity.q_search_hybrid_rrf) share one plan. See q_text_bm25
+    for the plan-shape and float-discipline rationale."""
     configure(spark)
     d = load(spark, sf, "documents")
     art = doc_token_tf(spark, sf)
@@ -1844,9 +1822,50 @@ def q_text_bm25(spark, sf):
             ).alias("term_micro"),
         )
     )
+    return term.groupBy("doc_id").agg(
+        F.sum("term_micro").alias("score_micro")
+    )
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    -- same expression SHAPE as the Spark plan (identical IEEE op
+    -- sequence), per-term scores quantized to exact micro-units
+    -- BEFORE the cross-term sum so accumulation order cannot matter
+    WITH {_BM25_SQL_CTES}
+    SELECT doc_id, score_micro FROM bm
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_text_bm25(spark, sf):
+    """BM25 retrieval scoring: top-10 documents for a fixed query term
+    set — the ranking function behind retrieval-based decontamination
+    and dedup triage in LLM data pipelines (Robertson/Spärck Jones;
+    parameters k1=1.2, b=0.75).
+
+    Plan shape (the inverted-index query, expressed relationally): the
+    (doc, token, tf) relation — shared tokenize artifact when
+    materialized, one explode+groupBy otherwise — filters to the QUERY
+    TERMS' posting lists at the scan (predicate pushdown on token), so
+    everything downstream is posting-list-sized, not corpus-sized. The
+    df dictionary (|Q| rows) and the 1-row corpus stats broadcast; the
+    only corpus-scale work is the doc-length rollup, which reuses the
+    tf relation's existing (doc_id)-partitioning. At 100 TB: posting
+    lists ⋈ doclen is the classic distributed inverted-index probe —
+    shuffle bounded by the posting lists, never the corpus.
+
+    Float discipline: per-term scores quantize to exact integer
+    micro-units BEFORE the cross-term sum (tables.dsum pattern), so
+    the only float ops are a fixed per-row IEEE sequence written with
+    IDENTICAL shape in both engines; ln's sub-ulp portability is the
+    same (judge-green) exposure q_text_tfidf carries.
+
+    Reference parity: none (driver-mandated text-analysis surface).
+    """
     return (
-        term.groupBy("doc_id")
-        .agg(F.sum("term_micro").alias("score_micro"))
+        bm25_scores(spark, sf)
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(10)
     )
@@ -2514,4 +2533,131 @@ def q_pipeline_dsir_bigram(spark, sf):
         .join(d_src, "doc_id")
         .select("doc_id", "source", "score_nano")
         .orderBy(F.col("score_nano").desc(), F.col("doc_id"))
+    )
+
+
+#: quality-classifier geometry: hashed bag-of-words feature space
+#: (Weinberger et al. 2009 feature hashing; the fastText/CCNet-style
+#: linear quality filter every published pre-training pipeline runs).
+#: Weights are DERIVED, not trained: w(b) = (H("w#"||b) mod 257) - 128
+#: where H is the repo's portable 60-bit md5 hash — a deterministic
+#: stand-in for a trained weight vector (same policy as the multimodal
+#: decode fake: the plumbing is real, the learned artifact is the one
+#: thing the sandbox can't produce). Swapping in trained weights
+#: changes ONE expression; the dataflow is the production shape.
+_QC_BUCKETS = 1024
+_QC_WMOD = 257  # odd prime: weights uniform-ish in [-128, 128]
+_QC_TAU = 20  # pass iff score*_QC_TAU > doc_len  (avg weight > 1/20)
+
+
+@query(
+    "q_text_quality_classifier",
+    oracle=f"""
+    -- hashed-feature linear classifier, applied corpus-wide: token ->
+    -- bucket via portable 60-bit md5 hash mod {_QC_BUCKETS}; weight
+    -- DERIVED from the bucket id in-query (virtual weight table —
+    -- zero join); per-doc integer score vs length-scaled threshold;
+    -- per-source pass/fail audit rollup. All-integer after hashing.
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, source, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, source, token
+    ), feat AS (
+      SELECT doc_id, source, tf,
+             (CAST(concat('0x', substring(md5(concat('w#',
+                CAST((CAST(concat('0x', substring(md5(token), 1, 15))
+                      AS BIGINT) % {_QC_BUCKETS}) AS VARCHAR))), 1, 15))
+               AS BIGINT) % {_QC_WMOD}) - 128 AS w
+      FROM tf
+    ), doc AS (
+      SELECT doc_id, source,
+             CAST(SUM(tf * w) AS BIGINT) AS s,
+             CAST(SUM(tf) AS BIGINT) AS dl
+      FROM feat GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s * {_QC_TAU} > dl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(SUM(s) AS BIGINT) AS sum_score
+    FROM doc GROUP BY source
+    """,
+)
+def q_text_quality_classifier(spark, sf):
+    """Model-based quality filtering — the hashed-feature LINEAR
+    CLASSIFIER stage (fastText-style, the filter CCNet/GPT-3-era
+    pipelines run after the heuristic gates q_text_quality covers):
+    score(doc) = Σ_tokens tf · w[hash(token) mod B], keep iff the
+    length-normalized score clears a threshold; output is the
+    per-source pass/fail audit a curation run logs.
+
+    The scale idea is the VIRTUAL weight table: with hashed features
+    the weight lookup is w[bucket], and here w derives from the bucket
+    id by a second portable hash — so classifier application is pure
+    scan-stage expression work (no broadcast, no join, no weight
+    shipping; a trained model would broadcast one B-row int table,
+    B = {_QC_BUCKETS}). Threshold comparison is the integer
+    cross-multiplication s·τ > dl — no division anywhere, so the
+    whole query after md5 is exact int64 arithmetic (nothing for the
+    float discipline to even quantize). Plan: tokenize scan →
+    (doc, token) hash-agg (reuses the shared tokenize artifact when
+    materialized) → narrow per-doc int rollup → per-source rollup;
+    exchanges carry per-doc longs, then |sources| rows. At 100 TB the
+    only corpus-sized shuffle is the (doc_id, source) rollup the
+    tokenize artifact already pays once for five sibling queries.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    art = doc_token_tf(spark, sf)
+    if art is not None:
+        tf = art.filter(F.col("token") != "").select(
+            "doc_id", "source", "token", "tf"
+        )
+    else:
+        d = load(spark, sf, "documents")
+        tf = (
+            d.select(
+                "doc_id",
+                "source",
+                F.explode(F.split(F.lower("text"), " ")).alias("token"),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("doc_id", "source", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+        % _QC_BUCKETS
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w#"), bucket.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _QC_WMOD
+        - 128
+    )
+    doc = (
+        tf.select("doc_id", "source", (F.col("tf") * w).alias("contrib"), "tf")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("contrib").cast("bigint").alias("s"),
+            F.sum("tf").cast("bigint").alias("dl"),
+        )
+    )
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("s") * _QC_TAU > F.col("dl"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum("s").cast("bigint").alias("sum_score"),
     )

@@ -78,79 +78,77 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-12 ROTATION (VERDICT r11 item 1). After r11 the
-    # cumulative record holds vintages 50xR11 / 45xR10 / 49xR9 / 46xR8
-    # plus TWO queries with no driver record ever (q_pipeline_dsir /
-    # q_pipeline_shard, registered after the r11 prefix was spent).
-    # This prefix: (1) first-ever records for those two plus the two
-    # NEW round-12 queries (q_dedup_substring — CDC exact substring
-    # dedup, VERDICT item 4; q_pipeline_dsir_bigram — the paper's
-    # hashed-bigram feature space, VERDICT item 5); (2) re-records the
-    # TPC-H trio whose r8/r9 official rows predate the r11
-    # pre-agg/sort-agg/semi-filter rewrite (judge-verified green, but
-    # the driver record is the standard); (3) spends the remaining 43
-    # slots on the r8-vintage cohort — everything except q_varrep_moe,
-    # which the r11 judge re-verified at sf0.01 and therefore has the
-    # freshest effective coverage of the cohort (it rotates in r13).
-    # After this round nothing in the cumulative record is older than
-    # r9 except that one judge-covered row.
-    # (1) never-recorded: the r11 late additions + the r12 additions
+    # ---- ROUND-13 ROTATION. The r12 prefix recorded first rows for
+    # the six never-recorded queries and re-covered the rewritten
+    # TPC-H trio plus the r8-vintage cohort; the cumulative record
+    # should now be 50xR12 / 50xR11 / ~45xR10 / ~48xR9 / 3xR8. This
+    # prefix: (1) first-ever records for the TWO round-13 additions
+    # (q_search_hybrid_rrf — RRF hybrid retrieval; q_text_quality_
+    # classifier — hashed-feature linear quality model); (2) the six
+    # r12-prefix leaders repeat as insurance — CORRECTNESS_r12.json
+    # had not landed in-repo when this rotation was written, and
+    # several of them would otherwise still have ZERO records ever;
+    # re-recording costs 6 slots, a missing record costs a round;
+    # (3) the r8 stragglers (q_sum_m, q_groupby_rss, q_varrep_moe —
+    # deferred from r12 by design); (4) the remaining 39 slots on the
+    # oldest (r9-vintage) cohort, family representatives first; the 9
+    # r9 rows deferred to r14 are the relational long-tail function
+    # packs with standing unit pins (math/null/map funcs, window
+    # rolling/ntile/firstlast, agg mode/histogram/stringagg).
+    # (1) new in r13
+    "q_search_hybrid_rrf",
+    "q_text_quality_classifier",
+    # (2) r12-prefix insurance (first records may not have landed)
     "q_pipeline_dsir",
     "q_pipeline_shard",
     "q_dedup_substring",
     "q_pipeline_dsir_bigram",
     "q_dedup_semantic",
     "q_dedup_substring_removal",
-    # (2) official rows must re-cover the r11 rewrite
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q18",
-    # (3) the r8-vintage cohort, alphabetical (41 of 46; q_tpch_q3/q18
-    # already above; q_varrep_moe, q_sum_m, and q_groupby_rss deferred
-    # to r13 — all three were judge-re-verified at sf0.01 in r11, the
-    # freshest effective coverage in the cohort, and q_sum_m also
-    # carries the Table-1 golden pin)
-    "q_agg_weighted_median",
-    "q_agg_weighted_median_approx",
-    "q_array_funcs",
-    "q_case_when",
-    "q_dedup_embedding",
-    "q_dedup_fuzzy",
-    "q_dedup_minhash_incremental",
-    "q_dedup_spans",
-    "q_events_session",
-    "q_events_stateful",
-    "q_explode",
-    "q_groupby_mean",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_json_extract",
-    "q_json_variant",
-    "q_multimodal_frame_sample",
-    "q_multimodal_pack",
-    "q_partition_pruned_scan",
-    "q_pipeline_curate",
-    "q_sample_stratified",
-    "q_similarity_join",
-    "q_similarity_join_shuffled",
-    "q_similarity_topk",
-    "q_sink_parquet",
-    "q_sketch_bloom",
-    "q_sketch_kmv",
-    "q_source_csv_roundtrip",
-    "q_stream_enrich",
-    "q_stream_file_sink",
-    "q_stream_stream_join",
-    "q_text_bm25",
-    "q_text_chunk",
-    "q_text_fingerprint",
-    "q_text_pack",
-    "q_text_quality",
-    "q_text_redact",
-    "q_text_token_stats",
-    "q_text_tokens",
-    "q_tpch_q1",
-    "q_window_rank",
+    # (3) the r8 stragglers
+    "q_sum_m",
+    "q_groupby_rss",
+    "q_varrep_moe",
+    # (4) r9-vintage cohort (39 of 48, family representatives first)
+    "q_join_broadcast",
+    "q_dedup_simhash",
+    "q_dedup_incremental",
+    "q_dedup_containment",
+    "q_text_tfidf",
+    "q_text_langid",
+    "q_text_repetition",
+    "q_text_kl_divergence",
+    "q_similarity_ann_lsh",
+    "q_similarity_ivf",
+    "q_embed_quantize",
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_late",
+    "q_events_stream_dedup",
+    "q_events_stream_session",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_anomaly",
+    "q_events_resample",
+    "q_events_transitions",
+    "q_merge_upsert",
+    "q_join_band",
+    "q_join_bloom_pruned",
+    "q_layout_sorted_scan",
+    "q_source_schema_merge",
+    "q_filter_quantile",
+    "q_mix_epochs",
+    "q_pipeline_pretrain",
+    "q_fillna_group",
+    "q_unpivot",
+    "q_profile_table",
+    "q_sketch_heavy_hitters",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q9",
+    "q_tpch_q14",
+    "q_tpch_q21",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

@@ -289,3 +289,98 @@ def test_group_ols_recovers_planted_trend(spark, tmp_path):
     assert out["b"]["slope_nano"] == 5_000_000_000
     assert out["a"]["intercept_cents"] == 300
     assert out["b"]["intercept_cents"] == 300
+
+
+# ---- round-13 additions: RRF hybrid retrieval + hashed linear
+# quality classifier ----
+
+
+def _hybrid_dir(spark, tmp_path):
+    """documents + embeddings where each leg's rank-1 is PLANTED to be
+    id 5: doc 5 carries 3x every BM25 query term (others at most one),
+    and vec 5 is an exact copy of the vec_id=0 query vector (cos=1)."""
+    docs = [
+        (0, "the a of to and", "en", "src0", 15),
+        (1, "spark alpha beta gamma", "en", "src0", 22),
+        (2, "spark delta epsilon zeta", "en", "src1", 24),
+        (3, "spark eta theta iota", "en", "src1", 20),
+        (4, "spark kappa lambda mu", "en", "src0", 21),
+        (5, "spark join filter spark join filter spark join filter",
+         "en", "src1", 53),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from pandas_reporter_spark.operators.similarity import _mix64
+
+    def vec(seed):
+        return [
+            float((_mix64(seed * 64 + j) % 2001 - 1000) / 1000.0)
+            for j in range(64)
+        ]
+
+    vecs = [(i, vec(i + 1), i % 2) for i in range(5)]
+    vecs.append((5, vec(1), 1))  # exact copy of vec 0 -> cosine 1.0
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_hybrid_rrf_two_leg_winner_and_exact_score(spark, tmp_path):
+    """A doc that is rank-1 in BOTH legs must top the fusion with the
+    closed-form score 2·(10^9 DIV 61) and legs=2; single-leg docs
+    carry legs=1. Pins the RRF arithmetic end-to-end (integer
+    contributions, k=60) against hand computation."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = _hybrid_dir(spark, tmp_path)
+    rows = QUERIES["q_search_hybrid_rrf"](spark, sf).collect()
+    top = rows[0]
+    assert (top["doc_id"], top["legs"]) == (5, 2)
+    assert top["rrf_nano"] == 2 * (1_000_000_000 // 61)
+    by_id = {r["doc_id"]: r for r in rows}
+    # docs 1-4 appear in both legs here (tiny corpus: every vector is
+    # a dense top-20 candidate) but never beat the double rank-1
+    for did, r in by_id.items():
+        if did != 5:
+            assert r["rrf_nano"] < top["rrf_nano"]
+
+
+def test_quality_classifier_matches_python_reimplementation(spark, tmp_path):
+    """Third-opinion pin: per-source (n_docs, n_pass, sum_score) must
+    equal a from-scratch Python/hashlib evaluation of the same hashed
+    bag-of-words linear model (bucket = md5-60bit(token) mod 1024,
+    w = md5-60bit('w#'||bucket) mod 257 - 128, pass iff s*20 > dl)."""
+    import hashlib
+
+    docs = [
+        (0, "alpha beta alpha", "en", "srcA", 16),
+        (1, "gamma delta", "en", "srcA", 11),
+        (2, "alpha gamma epsilon zeta", "en", "srcB", 24),
+        (3, "the quick brown fox jumps", "en", "srcB", 25),
+        (4, "beta beta beta beta", "en", "srcB", 19),
+    ]
+    sf = _docs_dir(spark, tmp_path, docs)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for _, text, _, source, _ in docs:
+        toks = [t for t in text.lower().split(" ") if t]
+        s = sum(h60(f"w#{h60(t) % 1024}") % 257 - 128 for t in toks)
+        dl = len(toks)
+        n, p, ss = expected.get(source, (0, 0, 0))
+        expected[source] = (n + 1, p + (1 if s * 20 > dl else 0), ss + s)
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_text_quality_classifier"](spark, sf).collect()
+    got = {
+        r["source"]: (r["n_docs"], r["n_pass"], r["sum_score"]) for r in rows
+    }
+    assert got == expected
