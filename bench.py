@@ -221,6 +221,17 @@ def main() -> None:
         materialize_doc_tokens(spark, sf_dir)
     except Exception:
         pass
+    # ...and the at-rest inverted token index (bucket-partitioned
+    # postings + doc-length sidecar + corpus stats): the BM25/RRF
+    # posting probe becomes a static partition-pruned scan.
+    try:
+        from pandas_reporter_spark.operators.text import (
+            materialize_token_index,
+        )
+
+        materialize_token_index(spark, sf_dir)
+    except Exception:
+        pass
     # Same policy for the LSH-signature artifact: three embedding
     # queries consume the identical (vec_id, tbl, sig) relation.
     try:

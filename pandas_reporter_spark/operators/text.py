@@ -101,6 +101,119 @@ def materialize_doc_tokens(spark, sf, base: str = "/dev/shm") -> None:
     except Exception:
         return
 
+#: (session, sf) -> (postings, doclen, stats) — the at-rest inverted
+#: token index (see materialize_token_index)
+_TOKIDX_ART: dict = {}
+#: posting-bucket fan-out: partitions of the at-rest postings table.
+#: 64 keeps per-bucket directories coarse enough for splittable files
+#: at test scale; a 100 TB deployment raises it (the probe cost is
+#: |terms| buckets regardless).
+_TOKIDX_BUCKETS = 64
+
+
+def token_index(spark, sf):
+    """The materialized at-rest inverted index, or None — the accessor
+    bm25_scores consults. (postings, doclen, stats):
+    postings (doc_id, token, tf) partitioned by bucket =
+    portable-60-bit-md5(token) mod _TOKIDX_BUCKETS; doclen
+    (doc_id, dl); stats 1 row (n_docs, sum_dl)."""
+    from pandas_reporter_spark.tables import _session_key
+
+    return _TOKIDX_ART.get((_session_key(spark), sf))
+
+
+def materialize_token_index(spark, sf, base: str = "/dev/shm") -> None:
+    """Persist the retrieval index at rest — the text-side member of
+    the at-rest artifact family (bucketed fact tables, IVF cells, PQ
+    codes): postings PARTITIONED BY TOKEN-HASH BUCKET, a narrow
+    doc-length sidecar, and the 1-row corpus stats.
+
+    The point is what the BM25/RRF probe then looks like at 100 TB: a
+    |query-terms|-bucket STATIC partition-pruned scan of the postings
+    (every other bucket's bytes never read), a narrow (doc_id, dl)
+    sidecar join instead of re-aggregating doc lengths from the full
+    token stream, and zero corpus-wide tokenize on the query path —
+    the inverted-index economics search engines are built on,
+    expressed as parquet layout + Catalyst partition pruning instead
+    of a custom store. Postings rows are IDENTICAL to the fresh
+    (doc, token, tf) relation, so the probe is bit-identical to the
+    fresh plan (equality pinned in tests/test_text.py).
+
+    Same ingest-amortization and atomic-rename commit discipline as
+    materialize_ivf_index; idempotent, mtime-tagged; on failure
+    consumers keep the fresh plan."""
+    import os
+
+    from pandas_reporter_spark.tables import _session_key, load as _load
+
+    key = (_session_key(spark), sf)
+    if key in _TOKIDX_ART or not os.path.isdir(base):
+        return
+    try:
+        src_tag = int(os.path.getmtime(os.path.join(sf, "documents.parquet")))
+    except OSError:
+        src_tag = 0
+    out = os.path.join(
+        base,
+        f"prs_tokidx_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
+    )
+    post_p = os.path.join(out, "postings")
+    dl_p = os.path.join(out, "doclen")
+    stats_p = os.path.join(out, "stats")
+    try:
+        if not os.path.exists(os.path.join(stats_p, "_SUCCESS")):
+            build = f"{out}.build-{os.getpid()}"
+            d = _load(spark, sf, "documents")
+            tf = (
+                d.select(
+                    "doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("token"),
+                )
+                .filter(F.col("token") != "")
+                .groupBy("doc_id", "token")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            bucket = (
+                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+                % _TOKIDX_BUCKETS
+            ).cast("int")
+            (
+                # hash doc_id in alongside the partition column so each
+                # bucket directory holds splittable files (the IVF
+                # read-parallelism lesson: one file per bucket caps the
+                # probe at |terms| tasks)
+                tf.withColumn("bucket", bucket)
+                .repartition(
+                    work_partitions(spark, 32), F.col("bucket"), F.col("doc_id")
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(build, "postings"))
+            )
+            tf.groupBy("doc_id").agg(
+                F.sum("tf").alias("dl")
+            ).write.mode("overwrite").parquet(os.path.join(build, "doclen"))
+            # stats LAST: its _SUCCESS is the readiness marker
+            d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+                tf.agg(F.sum("tf").alias("sum_dl"))
+            ).write.mode("overwrite").parquet(os.path.join(build, "stats"))
+            try:
+                os.rename(build, out)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(build, ignore_errors=True)
+                if not os.path.exists(os.path.join(stats_p, "_SUCCESS")):
+                    raise
+        _TOKIDX_ART[key] = (
+            spark.read.parquet(post_p),
+            spark.read.parquet(dl_p),
+            spark.read.parquet(stats_p),
+        )
+    except Exception:
+        return
+
+
 #: Tiny function-word list used by the quality score's stopword ratio.
 _STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
 
@@ -1758,27 +1871,90 @@ _BM25_SQL_CTES = f"""tok AS (
     )"""
 
 
+def _bm25_term_micro():
+    """The per-term BM25 score as one fixed IEEE op sequence over
+    columns (tf, df, dl, n_docs, sum_dl), micro-unit quantized —
+    written ONCE so the fresh and index-probe plans share it verbatim
+    (and match the oracle CTE character-for-character in shape)."""
+    return F.expr(
+        f"CAST(floor("
+        f"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f"   / (CAST(df AS DOUBLE) + 0.5) + 1.0D)"
+        f" * ((CAST(tf AS DOUBLE) * 2.2D)"
+        f"    / (CAST(tf AS DOUBLE)"
+        f"       + {_BM25_K1}D * (1.0D - {_BM25_B}D"
+        f"          + {_BM25_B}D * (CAST(dl AS DOUBLE)"
+        f"             / (CAST(sum_dl AS DOUBLE)"
+        f"                / CAST(n_docs AS DOUBLE))))))"
+        f" * 1000000.0D + 0.5D) AS BIGINT)"
+    )
+
+
 def bm25_scores(spark, sf):
     """(doc_id, score_micro) for the fixed `_BM25_TERMS` query — the
     full BM25 scoring dataflow WITHOUT the final order/limit, so the
     standalone ranker (q_text_bm25) and the hybrid-retrieval fusion
     (similarity.q_search_hybrid_rrf) share one plan. See q_text_bm25
-    for the plan-shape and float-discipline rationale."""
+    for the plan-shape and float-discipline rationale.
+
+    When the at-rest inverted index is materialized
+    (materialize_token_index), the probe form runs instead: the
+    posting-list fetch becomes a STATIC partition-pruned scan of the
+    query terms' buckets, doc lengths come from the narrow sidecar
+    (no corpus re-aggregation), and corpus stats are one pre-computed
+    row — nothing on the query path scans `text` at all. Postings
+    carry the identical (doc_id, token, tf) relation, so both forms
+    are bit-identical (pinned in tests/test_text.py).
+
+    Deliberately does NOT consult the shared tokenize artifact
+    (doc_token_tf) the five aggregate-once text queries ride: this
+    dataflow reads the token relation THREE times (postings, doc
+    lengths, corpus stats), and at sf10 three parquet passes over the
+    ~300×-row artifact measured 21.1 s vs 4.1 s for re-tokenizing
+    in-pipeline and 0.87 s for the index probe
+    (docs/TOKENIDX_R13.json) — the artifact is the wrong at-rest form
+    for retrieval; the inverted index is the right one."""
+    import hashlib
+
     configure(spark)
-    d = load(spark, sf, "documents")
-    art = doc_token_tf(spark, sf)
-    if art is not None:
-        tf = art.filter(F.col("token") != "").select("doc_id", "token", "tf")
-    else:
-        tf = (
-            d.select(
-                "doc_id",
-                F.explode(F.split(F.lower("text"), " ")).alias("token"),
-            )
-            .filter(F.col("token") != "")
-            .groupBy("doc_id", "token")
-            .agg(F.count(F.lit(1)).alias("tf"))
+    idx = token_index(spark, sf)
+    if idx is not None:
+        postings, doclen, stats_at_rest = idx
+        term_buckets = sorted(
+            {
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                % _TOKIDX_BUCKETS
+                for t in _BM25_TERMS
+            }
         )
+        qt = (
+            postings.filter(F.col("bucket").isin(term_buckets))
+            .filter(F.col("token").isin(*_BM25_TERMS))
+            .select("doc_id", "token", "tf")
+        )
+        cand = qt.select("doc_id")
+        dl = doclen.join(F.broadcast(cand), "doc_id", "left_semi")
+        stats = stats_at_rest
+        df = qt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        term = (
+            qt.join(F.broadcast(df), "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", _bm25_term_micro().alias("term_micro"))
+        )
+        return term.groupBy("doc_id").agg(
+            F.sum("term_micro").alias("score_micro")
+        )
+    d = load(spark, sf, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     qt = tf.filter(F.col("token").isin(*_BM25_TERMS))
     # Per-doc length ONLY for posting-list docs: the semi-join ahead
     # of the rollup turns the corpus-wide (doc_id) exchange into a
@@ -1806,21 +1982,7 @@ def bm25_scores(spark, sf):
         qt.join(F.broadcast(df), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.expr(
-                f"CAST(floor("
-                f"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
-                f"   / (CAST(df AS DOUBLE) + 0.5) + 1.0D)"
-                f" * ((CAST(tf AS DOUBLE) * 2.2D)"
-                f"    / (CAST(tf AS DOUBLE)"
-                f"       + {_BM25_K1}D * (1.0D - {_BM25_B}D"
-                f"          + {_BM25_B}D * (CAST(dl AS DOUBLE)"
-                f"             / (CAST(sum_dl AS DOUBLE)"
-                f"                / CAST(n_docs AS DOUBLE))))))"
-                f" * 1000000.0D + 0.5D) AS BIGINT)"
-            ).alias("term_micro"),
-        )
+        .select("doc_id", _bm25_term_micro().alias("term_micro"))
     )
     return term.groupBy("doc_id").agg(
         F.sum("term_micro").alias("score_micro")

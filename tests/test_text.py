@@ -195,3 +195,57 @@ def test_canonicalize_url_fused_equals_regex_reference(spark):
     ).collect()
     for u, r in zip(urls, rows):
         assert r.fused == r.ref, f"divergence on {u!r}: {r.fused!r} != {r.ref!r}"
+
+
+def test_token_index_probe_is_result_invariant_and_pruned(spark, tmp_path):
+    """The at-rest inverted index must be invisible to results (BM25
+    and the RRF fusion return byte-identical rows on the probe path)
+    and actually PRUNE: the probe plan's postings scan must carry a
+    bucket partition filter, and no plan node may scan documents.text."""
+    import io
+    import contextlib
+
+    from pandas_reporter_spark.operators import text as T
+    from pandas_reporter_spark.registry import QUERIES, load_all
+    from pandas_reporter_spark.tables import _session_key
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    consumers = ("q_text_bm25", "q_search_hybrid_rrf")
+    key = (_session_key(spark), sf)
+    T._TOKIDX_ART.pop(key, None)
+    base = {
+        q: sorted(map(tuple, QUERIES[q](spark, sf).collect()))
+        for q in consumers
+    }
+    try:
+        T.materialize_token_index(spark, sf, base=str(tmp_path))
+        assert T.token_index(spark, sf) is not None
+        for q in consumers:
+            got = sorted(map(tuple, QUERIES[q](spark, sf).collect()))
+            assert got == base[q], f"{q} diverged on the index path"
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES["q_text_bm25"](spark, sf).explain("formatted")
+        p = buf.getvalue()
+        assert "PartitionFilters: [bucket" in p.replace(
+            "PartitionFilters: [isnotnull(bucket", "PartitionFilters: [bucket"
+        ), "postings scan lost its bucket partition filter"
+        assert "text" not in _scanned_columns(p), (
+            "the probe path still scans documents.text"
+        )
+    finally:
+        T._TOKIDX_ART.pop(key, None)
+
+
+def _scanned_columns(plan: str) -> set[str]:
+    """Column names appearing in any scan's ReadSchema line."""
+    import re
+
+    cols = set()
+    for m in re.finditer(r"ReadSchema:[^\n]*struct<([^>]*)>", plan):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.add(name)
+    return cols
