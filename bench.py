@@ -135,9 +135,11 @@ BENCH_QUERIES = [
     "q_dedup_substring_removal",
     # round-13 additions: RRF hybrid retrieval (two concurrent top-k
     # legs + integer fusion), hashed-feature linear quality classifier
-    # (virtual weight table, scan-speed apply)
+    # (virtual weight table, scan-speed apply), cross-source
+    # contamination matrix (dictionary-sized self-join)
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
+    "q_text_overlap_matrix",
 ]
 
 

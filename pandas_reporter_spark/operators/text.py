@@ -2823,3 +2823,129 @@ def q_text_quality_classifier(spark, sf):
         .alias("n_pass"),
         F.sum("s").cast("bigint").alias("sum_score"),
     )
+
+
+@query(
+    "q_text_overlap_matrix",
+    oracle="""
+    -- pairwise cross-SOURCE contamination matrix: shared distinct
+    -- 5-token shingles (portable 60-bit md5 keys) + integer-exact
+    -- Jaccard in micro-units for every unordered source pair
+    WITH sh AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substring(md5(u.shingle), 1, 15))
+                  AS BIGINT) AS h
+      FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(lower(text), ' ')) - 4,
+                                   0) + 1),
+                 i -> concat_ws(' ',
+                        string_split(lower(text), ' ')[i],
+                        string_split(lower(text), ' ')[i+1],
+                        string_split(lower(text), ' ')[i+2],
+                        string_split(lower(text), ' ')[i+3],
+                        string_split(lower(text), ' ')[i+4])
+               ))) AS shingle
+        FROM documents
+      ) u
+    ),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM sh GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_shared,
+           ta.n_sh AS n_a, tb.n_sh AS n_b,
+           CAST((1000000 * n_shared)
+                // (ta.n_sh + tb.n_sh - n_shared) AS BIGINT) AS jacc_micro
+    FROM pairs
+    JOIN tot ta ON ta.source = pairs.src_a
+    JOIN tot tb ON tb.source = pairs.src_b
+    """,
+)
+def q_text_overlap_matrix(spark, sf):
+    """Cross-source contamination matrix — pairwise shared-shingle
+    counts and shingle-set Jaccard for every unordered SOURCE pair:
+    the corpus-internal diagnostic a mixture-curation run logs
+    (which crawls/dumps overlap, where boilerplate or mirrored
+    content crosses source boundaries) — the source-level complement
+    of the doc-level benchmark check (q_text_decontaminate).
+
+    Scale shape: the corpus collapses to the DISTINCT (source,
+    shingle-hash) dictionary before anything shuffles — shingles
+    hash to fixed-width 60-bit md5 keys precisely because this
+    dictionary DOES shuffle (the distinct + the self-join), unlike
+    q_text_decontaminate's broadcast probe where hashing measured as
+    pure overhead. The self-join fans out at most C(|sources|, 2)
+    rows per shingle (sources are a handful, not a corpus dimension),
+    so pair volume is dictionary-sized × a small constant. Jaccard is
+    exact integer arithmetic: micro-units via BIGINT division of
+    counts — nothing for the float discipline to quantize. At 100 TB
+    the only corpus-scale exchange is the dictionary distinct, which
+    partial-aggregates map-side on (source, hash).
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents").withColumn(
+        "toks", F.split(F.lower(F.col("text")), " ")
+    )
+    tc = F.col("toks")
+    sh = F.when(
+        F.size(tc) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tc) - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tc, i),
+                    F.element_at(tc, i + 1),
+                    F.element_at(tc, i + 2),
+                    F.element_at(tc, i + 3),
+                    F.element_at(tc, i + 4),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dict_sh = (
+        d.select("source", F.explode(sh).alias("shingle"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    tot = dict_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = dict_sh.select(F.col("source").alias("src_a"), "h")
+    b = dict_sh.select(F.col("source").alias("src_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((1000000 * n_shared) DIV (n_a + n_b - n_shared)"
+                " AS BIGINT)"
+            ).alias("jacc_micro"),
+        )
+    )

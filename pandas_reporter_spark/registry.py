@@ -98,6 +98,7 @@ _PRIORITY = (
     # (1) new in r13
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
+    "q_text_overlap_matrix",
     # (2) r12-prefix insurance (first records may not have landed)
     "q_pipeline_dsir",
     "q_pipeline_shard",
@@ -148,7 +149,8 @@ _PRIORITY = (
     "q_tpch_q6",
     "q_tpch_q9",
     "q_tpch_q14",
-    "q_tpch_q21",
+    # q_tpch_q21 joins the 9 deferred r9 rows (TPC-H keeps 5 reps in
+    # this prefix; q21 has standing unit coverage in test_tpch_rewrite)
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

@@ -249,3 +249,38 @@ def _scanned_columns(plan: str) -> set[str]:
             if name:
                 cols.add(name)
     return cols
+
+
+def test_overlap_matrix_planted_cross_source_shingle(spark, tmp_path):
+    """Two sources sharing exactly ONE 5-token shingle must produce a
+    single matrix row with n_shared=1 and the closed-form Jaccard;
+    disjoint sources must produce no row."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        # srcA: the shared shingle + 1 private shingle (6 tokens -> 2
+        # shingles total)
+        (0, shared + " zeta", "en", "srcA", 36),
+        # srcB: the shared shingle only (5 tokens -> 1 shingle)
+        (1, shared, "en", "srcB", 30),
+        # srcC: disjoint
+        (2, "one two three four five six", "en", "srcC", 27),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in QUERIES["q_text_overlap_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {("srcA", "srcB")}
+    r = rows[("srcA", "srcB")]
+    # |A|=2, |B|=1, shared=1 -> J = 1/2 -> 500000 micro
+    assert (r["n_shared"], r["n_a"], r["n_b"], r["jacc_micro"]) == (
+        1, 2, 1, 500000,
+    )
