@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
     "q_text_overlap_matrix",
+    "q_similarity_hamming",
 ]
 
 

@@ -1936,3 +1936,96 @@ def _install_rrf_oracle() -> None:
 
 
 _install_rrf_oracle()
+
+
+def _sign_half(col: str, lo: int):
+    """Pack dims [lo, lo+32) of an array<float> into one BIGINT of
+    sign bits (bit i = [dim lo+i >= 0]). Halves stay < 2^32 so BOTH
+    engines compute them in exact integer range (no 64-bit wraparound
+    to emulate); -0.0 >= 0 and NaN >= 0 evaluate identically in Java
+    and DuckDB. (SQL-expr form: the DataFrame shiftleft builtin only
+    takes a literal shift, the SQL one takes the lambda index.)"""
+    return F.expr(
+        f"aggregate(transform(slice({col}, {lo + 1}, 32), (x, i) -> "
+        f"IF(x >= 0, shiftleft(1L, i), 0L)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _duck_sign_half(col: str, lo: int) -> str:
+    return (
+        f"CAST(list_aggregate(list_transform(range(1, 33), i -> "
+        f"CASE WHEN {col}[{lo} + i] >= 0 THEN (1::BIGINT << (i - 1)) "
+        f"ELSE 0::BIGINT END), 'sum') AS BIGINT)"
+    )
+
+
+@query(
+    "q_similarity_hamming",
+    oracle=f"""
+    -- binary (sign-bit) embedding quantization + Hamming ranking:
+    -- 64 dims -> two 32-bit sign halves, distance = popcount(xor)
+    WITH s AS (
+      SELECT vec_id, label,
+             {_duck_sign_half('embedding', 0)} AS h1,
+             {_duck_sign_half('embedding', 32)} AS h2
+      FROM embeddings
+    ),
+    q AS (SELECT h1 AS q1, h2 AS q2 FROM s WHERE vec_id = 0)
+    SELECT vec_id, label,
+           CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2))
+                AS BIGINT) AS hamming
+    FROM s CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY hamming, vec_id
+    LIMIT 10
+    """,
+)
+def q_similarity_hamming(spark, sf):
+    """Binary embedding search — sign-bit quantization (64 dims → 64
+    bits) ranked by Hamming distance to the vec_id=0 query: the 32×
+    compression tier of the quantization family (scalar int8 →
+    q_embed_quantize, PQ codes → q_similarity_pq_adc, binary → here)
+    that production vector stores use as a first-pass filter before
+    exact re-ranking, because popcount(xor) is orders cheaper than a
+    float dot product and the codes are 8 B/vec at rest.
+
+    Engine-portable by construction: the sign of an IEEE float is an
+    exact predicate (x >= 0, with -0.0 and NaN agreeing across
+    engines), the two 32-bit halves stay inside exact integer range
+    in BOTH engines (no 64-bit wraparound emulation needed — the
+    q_dedup_simhash lesson made cheap), and Hamming is pure int ops —
+    the whole query carries ZERO float-discipline exposure.
+
+    Scale shape: packing is scan-stage expression work (one pass,
+    zero shuffle); the single-row query side broadcasts; ranking is
+    TakeOrderedAndProject. At 100 TB the codes would materialize at
+    rest like the PQ index (8 B/vec vs 263 B/vec raw — same
+    artifact discipline, smaller still than PQ's 25 B/vec) and the
+    scan reads codes only; the ties a 64-bit code can't break are
+    re-ranked exactly by the q_similarity_topk form over the
+    candidate set.
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    s = e.select(
+        "vec_id",
+        "label",
+        _sign_half("embedding", 0).alias("h1"),
+        _sign_half("embedding", 32).alias("h2"),
+    )
+    q = s.filter(F.col("vec_id") == 0).select(
+        F.col("h1").alias("q1"), F.col("h2").alias("q2")
+    )
+    ham = (
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
+        + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
+    ).cast("bigint")
+    return (
+        s.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

@@ -380,3 +380,28 @@ def test_index_artifacts_idempotent_and_stale_tagged(spark, tmp_path):
         assert os.path.getmtime(os.path.join(tmp_path, d)) == mtimes[d]
     for pop in (S._PQ_ART, S._IVF_ART):
         pop.pop(key, None)
+
+
+def test_hamming_identical_and_negated_vectors(spark, tmp_path):
+    """Sign-bit Hamming pins: an exact copy of the query ranks first
+    with distance 0; the elementwise NEGATION (every sign flipped,
+    no zero components) lands at the maximum distance 64."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    base = _base_vec(7)  # no exact-zero components by construction
+    assert all(v != 0.0 for v in base)
+    rows = [
+        (0, [float(v) for v in base], 0),            # the query
+        (1, [float(v) for v in base], 1),            # exact copy
+        (2, [float(-v) for v in base], 2),           # negation
+        (3, [float(v) for v in _base_vec(8)], 3),    # unrelated
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = QUERIES["q_similarity_hamming"](spark, str(tmp_path)).collect()
+    by_id = {r["vec_id"]: r["hamming"] for r in got}
+    assert got[0]["vec_id"] == 1 and by_id[1] == 0
+    assert by_id[2] == 64
+    assert 0 < by_id[3] < 64
