@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_text_overlap_matrix",
     "q_similarity_hamming",
     "q_similarity_hamming_rerank",
+    "q_text_perplexity_bigram",
 ]
 
 

@@ -1767,8 +1767,12 @@ def q_dedup_substring_removal(spark, sf):
     groupBy(chunk_md5).min(key) — map-side combined, digests not
     text; the flag joins back chunk_md5-equi; the per-doc rebuild is
     one collect_list of (idx, chunk) per doc (bounded by document
-    length, never corpus-sized). Every document keeps >= 1 chunk
-    (short chunks always survive), so cleaned_md5 is never null.
+    length, never corpus-sized). A document whose EVERY chunk is a
+    removed duplicate (possible when the whole doc is one long
+    duplicated chunk — first seen at sf0.1, doc 2523) gets
+    cleaned_md5 = NULL, the "document entirely removed" marker, in
+    BOTH engines (DuckDB's string_agg over an all-removed group is
+    naturally NULL; Spark matches it explicitly — r13 sweep fix).
 
     Reference parity: none (driver-mandated LLM-pipeline surface).
     """
@@ -1803,10 +1807,13 @@ def q_dedup_substring_removal(spark, sf):
             "doc_id",
             "n_chunks",
             "n_kept",
-            F.md5(
-                F.concat_ws(
-                    " ", F.transform("_kept", lambda s: s["chunk"])
-                )
+            F.when(
+                F.col("n_kept") > 0,
+                F.md5(
+                    F.concat_ws(
+                        " ", F.transform("_kept", lambda s: s["chunk"])
+                    )
+                ),
             ).alias("cleaned_md5"),
         )
     )

@@ -2965,3 +2965,152 @@ def q_text_overlap_matrix(spark, sf):
             ).alias("jacc_micro"),
         )
     )
+
+
+@query(
+    "q_text_perplexity_bigram",
+    oracle="""
+    -- bigram-LM perplexity filtering (CCNet-style): add-V-smoothed
+    -- conditional P(w2|w1) self-trained on the corpus; per-bigram
+    -- fused-ln NLL quantized to nano-units BEFORE the doc sum
+    -- (q_pipeline_dsir discipline), integer-exact per-doc mean,
+    -- 100 most-perplexing docs
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(t[i] || ' ' || t[i+1]),
+                                         1, 15)) AS BIGINT) AS h12,
+             CAST(concat('0x', substring(md5(t[i]), 1, 15))
+                  AS BIGINT) AS h1
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    c12 AS (SELECT h12, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY h12),
+    c1 AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY h1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS v
+      FROM toks, UNNEST(t) AS u(tok)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(round(ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+                           / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
+                        * 1000000000.0, 0) AS BIGINT) AS w_nano
+      FROM bg JOIN c12 USING (h12) JOIN c1 USING (h1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bg,
+           CAST((-CAST(SUM(w_nano) AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS avg_nll_nano
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_nll_nano DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_text_perplexity_bigram(spark, sf):
+    """LM-perplexity quality filtering, bigram form — the published
+    CCNet/Gopher-era stage: score every document by its mean negative
+    log-likelihood under a CORPUS-SELF-TRAINED add-V-smoothed bigram
+    model, P(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V), and surface the 100
+    most-perplexing documents (the filter's drop candidates).
+    q_text_logprob covers the unigram LM; this adds the conditional
+    structure a real perplexity filter uses — and, unlike a shipped
+    KenLM binary, the model is derivable (and therefore
+    oracle-checkable) from the corpus itself.
+
+    Scale shape: bigrams are the scan-stage HOF from
+    q_pipeline_dsir_bigram (adjacency never leaves the document row;
+    pairs shuffle as 60-bit hashes, never text). The model IS two
+    dictionary aggregates (c12, c1) — dictionary-sized exchanges with
+    map-side combine — re-joined onto the bigram stream on their own
+    hash keys, so the join exchanges reuse the aggregation
+    partitioning; V is one broadcast scalar. Per-bigram NLL quantizes
+    to nano-units BEFORE the per-doc int64 sum (fused single ln, the
+    q_pipeline_dsir ulp discipline), the per-doc mean is exact
+    integer division of positive longs (identical trunc semantics in
+    both engines), and top-100 is TakeOrderedAndProject. At 100 TB
+    the bigram dictionary is the largest exchange; hot bigrams skew
+    mildly and AQE's skew-join handles the rejoin (same posture as
+    the TF-IDF dictionary).
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    docs = d.select("doc_id", t.alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    )
+    pair_at = lambda i: F.struct(  # noqa: E731
+        F.concat_ws(
+            " ",
+            F.element_at("t", i.cast("int")),
+            F.element_at("t", (i + 1).cast("int")),
+        ).alias("bg"),
+        F.element_at("t", i.cast("int")).alias("w1"),
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), F.col("n") - 1),
+                    pair_at,
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<bg:string,w1:string>>")
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("p.bg")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h12"),
+        F.conv(F.substring(F.md5(F.col("p.w1")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+    )
+    c12 = bg.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        d.select(F.explode(t).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.join(c12, "h12")
+        .join(c1, "h1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") + 1.0)
+                    / (F.col("c1").cast("double") + F.col("v").cast("double"))
+                )
+                * F.lit(1000000000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("w_nano"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bg"),
+            F.sum("w_nano").cast("bigint").alias("sum_w"),
+        )
+        .select(
+            "doc_id",
+            "n_bg",
+            F.expr("CAST((-sum_w) DIV n_bg AS BIGINT)").alias(
+                "avg_nll_nano"
+            ),
+        )
+        .orderBy(F.col("avg_nll_nano").desc(), "doc_id")
+        .limit(100)
+    )

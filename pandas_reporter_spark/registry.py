@@ -101,6 +101,7 @@ _PRIORITY = (
     "q_text_overlap_matrix",
     "q_similarity_hamming",
     "q_similarity_hamming_rerank",
+    "q_text_perplexity_bigram",
     # (2) r12-prefix insurance (first records may not have landed)
     "q_pipeline_dsir",
     "q_pipeline_shard",
@@ -132,8 +133,9 @@ _PRIORITY = (
     "q_events_funnel",
     "q_events_retention",
     "q_events_anomaly",
-    "q_events_resample",
     "q_events_transitions",
+    # q_events_resample joins the deferred r9 rows (events keeps 9
+    # reps in this prefix)
     "q_merge_upsert",
     "q_join_band",
     "q_join_bloom_pruned",

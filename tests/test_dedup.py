@@ -382,3 +382,40 @@ def test_cdc_substring_removal_keeps_first_occurrence(spark, tmp_path_factory):
     assert out[1].n_kept < out[1].n_chunks
     assert out[1].cleaned_md5 is not None
     assert out[0].cleaned_md5 != out[1].cleaned_md5
+
+
+def test_substring_removal_fully_removed_doc_is_null(spark, tmp_path):
+    """A document that consists of ONE long duplicated chunk (its
+    only chunk removed as a later occurrence) must report n_kept=0
+    and cleaned_md5 NULL — the 'document entirely removed' marker —
+    in line with the oracle's all-removed string_agg semantics
+    (found by the r13 sf0.1 sweep: doc 2523)."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    # 10 tokens, verified breakpoint-free under the CDC rule, so the
+    # whole doc is ONE >=8-token chunk
+    blurb = "foxtrot delta lima papa hotel mike romeo yankee victor alpha"
+    docs = [
+        (0, blurb, "en", "srcA", len(blurb)),          # first occurrence
+        (1, blurb, "en", "srcB", len(blurb)),          # later -> removed
+        (2, "tiny unrelated words here", "en", "srcA", 25),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["q_dedup_substring_removal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # precondition: the blurb is one single >=8-token chunk
+    assert rows[0]["n_chunks"] == 1 and rows[0]["n_kept"] == 1
+    assert rows[0]["cleaned_md5"] is not None
+    # the later duplicate loses its only chunk
+    assert rows[1]["n_kept"] == 0
+    assert rows[1]["cleaned_md5"] is None
+    # short-chunk doc untouched
+    assert rows[2]["n_kept"] == rows[2]["n_chunks"]

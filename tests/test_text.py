@@ -284,3 +284,31 @@ def test_overlap_matrix_planted_cross_source_shingle(spark, tmp_path):
     assert (r["n_shared"], r["n_a"], r["n_b"], r["jacc_micro"]) == (
         1, 2, 1, 500000,
     )
+
+
+def test_perplexity_bigram_ranks_novel_above_repetitive(spark, tmp_path):
+    """A document of globally-unique bigrams must out-perplex a
+    document that repeats one corpus-common bigram, single-token docs
+    must drop out (no bigrams), and n_bg must equal len(tokens)-1."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    docs = [
+        # doc 0: one bigram ("x y") repeated 9 times via 10 tokens
+        (0, " ".join(["x", "y"] * 5), "en", "srcA", 19),
+        # doc 1: 5 tokens, all 4 bigrams globally unique
+        (1, "alpha beta gamma delta epsilon", "en", "srcA", 30),
+        # doc 2: single token -> no bigrams -> absent from output
+        (2, "solo", "en", "srcB", 4),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_text_perplexity_bigram"](spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {0, 1}
+    assert by_id[0]["n_bg"] == 9 and by_id[1]["n_bg"] == 4
+    assert by_id[1]["avg_nll_nano"] > by_id[0]["avg_nll_nano"]
+    # ordering: most-perplexing first
+    assert rows[0]["doc_id"] == 1
