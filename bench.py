@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_similarity_hamming",
     "q_similarity_hamming_rerank",
     "q_text_perplexity_bigram",
+    "q_stream_quality_gate",
 ]
 
 

@@ -2712,9 +2712,10 @@ _QC_WMOD = 257  # odd prime: weights uniform-ish in [-128, 128]
 _QC_TAU = 20  # pass iff score*_QC_TAU > doc_len  (avg weight > 1/20)
 
 
-@query(
-    "q_text_quality_classifier",
-    oracle=f"""
+#: classifier oracle — shared VERBATIM by the batch query and its
+#: streaming twin (q_stream_quality_gate): the stream's complete-mode
+#: final counts must equal the batch rollup exactly.
+_QC_ORACLE = f"""
     -- hashed-feature linear classifier, applied corpus-wide: token ->
     -- bucket via portable 60-bit md5 hash mod {_QC_BUCKETS}; weight
     -- DERIVED from the bucket id in-query (virtual weight table —
@@ -2746,8 +2747,10 @@ _QC_TAU = 20  # pass iff score*_QC_TAU > doc_len  (avg weight > 1/20)
                 AS BIGINT) AS n_pass,
            CAST(SUM(s) AS BIGINT) AS sum_score
     FROM doc GROUP BY source
-    """,
-)
+    """
+
+
+@query("q_text_quality_classifier", oracle=_QC_ORACLE)
 def q_text_quality_classifier(spark, sf):
     """Model-based quality filtering — the hashed-feature LINEAR
     CLASSIFIER stage (fastText-style, the filter CCNet/GPT-3-era
@@ -3114,3 +3117,91 @@ def q_text_perplexity_bigram(spark, sf):
         .orderBy(F.col("avg_nll_nano").desc(), "doc_id")
         .limit(100)
     )
+
+
+@query("q_stream_quality_gate", oracle=_QC_ORACLE)
+def q_stream_quality_gate(spark, sf):
+    """The model quality gate at INGEST TIME — the streaming twin of
+    q_text_quality_classifier: documents arrive as a file stream, each
+    is scored by the hashed-feature linear model as a STATELESS
+    per-row expression (the whole Σ w[hash(token)] fold runs inside
+    one array-HOF on the row — no explode, no per-doc state), and a
+    complete-mode grouped aggregation maintains the per-source
+    pass/fail audit the pipeline dashboard reads. Runs the genuine
+    Structured Streaming engine (availableNow micro-batches, memory
+    sink — events._run_stream) and must reproduce the batch rollup
+    EXACTLY: same oracle string, integer-equal by construction since
+    per-row fold and exploded sum are the same int64 arithmetic.
+
+    Scale shape: the only streaming STATE is |sources| rows of three
+    longs (the grouped aggregate) — the gate itself carries zero
+    state, so at 100 TB/day the operator scales with scan throughput
+    and the state store stays KB-sized. On a cluster the same plan
+    tails a kafka/delta source with a durable checkpoint, and the
+    gate's keep/drop verdict feeds the curated sink; the audit
+    aggregate is what a drift monitor alerts on.
+
+    Reference parity: none (driver-mandated streaming surface).
+    """
+    import os
+
+    from pandas_reporter_spark.operators.events import _run_stream
+
+    configure(spark)
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # file-stream source layout fork (the events._read_events_stream
+    # lesson): the driver snapshot is a single FILE {sf}/documents
+    # .parquet (monitor {sf}, glob that name); synthetic trees and any
+    # real landing dir are a DIRECTORY of part files
+    p = os.path.join(sf, "documents.parquet")
+    if os.path.isdir(p):
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(p)
+        )
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+        )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bucket_of = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % _QC_BUCKETS
+    )
+    w_of = lambda t: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w#"), bucket_of(t).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _QC_WMOD
+        - 128
+    )
+    s = F.aggregate(
+        F.transform(toks, w_of),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dl = F.size(toks).cast("long")
+    scored = src.select(
+        "source", s.alias("s"), dl.alias("dl")
+    ).filter(F.col("dl") > 0)
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("s") * _QC_TAU > F.col("dl"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum("s").cast("bigint").alias("sum_score"),
+    )
+    return _run_stream(spark, agg, "complete")

@@ -102,6 +102,7 @@ _PRIORITY = (
     "q_similarity_hamming",
     "q_similarity_hamming_rerank",
     "q_text_perplexity_bigram",
+    "q_stream_quality_gate",
     # (2) r12-prefix insurance (first records may not have landed)
     "q_pipeline_dsir",
     "q_pipeline_shard",
@@ -145,7 +146,8 @@ _PRIORITY = (
     "q_mix_epochs",
     "q_pipeline_pretrain",
     "q_fillna_group",
-    "q_unpivot",
+    # q_unpivot joins the deferred r9 rows (relational long-tail with
+    # standing unit pins)
     "q_profile_table",
     "q_sketch_heavy_hitters",
     "q_tpch_q2",
