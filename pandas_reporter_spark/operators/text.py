@@ -2991,8 +2991,11 @@ def q_text_overlap_matrix(spark, sf):
                   AS BIGINT) AS h1
       FROM toks, UNNEST(range(1, len(t))) AS u(i)
     ),
-    c12 AS (SELECT h12, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY h12),
-    c1 AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY h1),
+    c12 AS (
+      SELECT h12, MIN(h1) AS h1, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY h12
+    ),
+    c1 AS (SELECT h1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY h1),
     v AS (
       SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS v
       FROM toks, UNNEST(t) AS u(tok)
@@ -3002,7 +3005,7 @@ def q_text_overlap_matrix(spark, sf):
              CAST(round(ln((CAST(c12.c12 AS DOUBLE) + 1.0)
                            / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
                         * 1000000000.0, 0) AS BIGINT) AS w_nano
-      FROM bg JOIN c12 USING (h12) JOIN c1 USING (h1) CROSS JOIN v
+      FROM bg JOIN c12 USING (h12) JOIN c1 ON c12.h1 = c1.h1 CROSS JOIN v
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bg,
@@ -3026,11 +3029,13 @@ def q_text_perplexity_bigram(spark, sf):
 
     Scale shape: bigrams are the scan-stage HOF from
     q_pipeline_dsir_bigram (adjacency never leaves the document row;
-    pairs shuffle as 60-bit hashes, never text). The model IS two
-    dictionary aggregates (c12, c1) — dictionary-sized exchanges with
-    map-side combine — re-joined onto the bigram stream on their own
-    hash keys, so the join exchanges reuse the aggregation
-    partitioning; V is one broadcast scalar. Per-bigram NLL quantizes
+    pairs shuffle as 60-bit hashes, never text). The model IS the
+    bigram dictionary: ONE corpus-stream aggregate builds c12, and
+    c(w1 ·) derives from that dictionary itself (h1 is functionally
+    dependent on h12, so c1 = Σ of the predecessor's h12 groups —
+    removing the second corpus pass measured 15.2 → 8.3 s at sf10);
+    both re-join onto the bigram stream on their own hash keys, and V
+    is one broadcast scalar. Per-bigram NLL quantizes
     to nano-units BEFORE the per-doc int64 sum (fused single ln, the
     q_pipeline_dsir ulp discipline), the per-doc mean is exact
     integer division of positive longs (identical trunc semantics in
@@ -3077,14 +3082,24 @@ def q_text_perplexity_bigram(spark, sf):
         .cast("long")
         .alias("h1"),
     )
-    c12 = bg.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 derives from the c12 DICTIONARY, not from a second pass over
+    # the corpus bigram stream: h1 is functionally dependent on h12
+    # (a bigram determines its predecessor; min() resolves the
+    # negligible 60-bit-collision corner identically in both engines),
+    # so c(w1 ·) = Σ over that predecessor's h12 groups. Removing the
+    # second corpus tokenize+explode measured 15.2 → 8.3 s at sf10
+    # (results asserted identical in-run — r13 A/B).
+    c12 = bg.groupBy("h12").agg(
+        F.min("h1").alias("h1"), F.count(F.lit(1)).alias("c12")
+    )
+    c1 = c12.groupBy("h1").agg(F.sum("c12").alias("c1"))
     v = (
         d.select(F.explode(t).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
     scored = (
-        bg.join(c12, "h12")
+        bg.select("doc_id", "h12")
+        .join(c12, "h12")
         .join(c1, "h1")
         .crossJoin(F.broadcast(v))
         .select(
