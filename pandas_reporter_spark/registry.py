@@ -78,24 +78,28 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-13 ROTATION. The r12 prefix recorded first rows for
-    # the six never-recorded queries and re-covered the rewritten
-    # TPC-H trio plus the r8-vintage cohort; the cumulative record
-    # should now be 50xR12 / 50xR11 / ~45xR10 / ~48xR9 / 3xR8. This
-    # prefix: (1) first-ever records for the TWO round-13 additions
-    # (q_search_hybrid_rrf — RRF hybrid retrieval; q_text_quality_
-    # classifier — hashed-feature linear quality model); (2) the six
-    # r12-prefix leaders repeat as insurance — CORRECTNESS_r12.json
-    # had not landed in-repo when this rotation was written, and
-    # several of them would otherwise still have ZERO records ever;
-    # re-recording costs 6 slots, a missing record costs a round;
-    # (3) the r8 stragglers (q_sum_m, q_groupby_rss, q_varrep_moe —
-    # deferred from r12 by design); (4) the remaining 39 slots on the
-    # oldest (r9-vintage) cohort, family representatives first; the 9
-    # r9 rows deferred to r14 are the relational long-tail function
-    # packs with standing unit pins (math/null/map funcs, window
-    # rolling/ntile/firstlast, agg mode/histogram/stringagg).
-    # (1) new in r13
+    # ---- ROUND-12 ROTATION (driver restarted the round; the interim
+    # r12/r13 session records never landed, so the last official file
+    # is CORRECTNESS_r11.json). Slot budget, in priority order:
+    # (1) first-ever records for the 13 queries added since r11
+    #     (six from the interim r12 session, seven from the interim
+    #     r13 session) — a missing record costs a round;
+    # (2) queries whose BODIES changed since the r11 record landed
+    #     (AST-level diff vs commit 0abaadd, comments/docstrings
+    #     stripped): the rewritten TPC-H trio q3/q5/q18 (pre-agg /
+    #     sorted-bucket SortAggregate / layout-gated semi-filter,
+    #     commits 3cd32b3/46d7e3d), the SortAggregate-audit fixes
+    #     (entropy, langid, kmeans, DSIR — commits a265d93/f882e4c),
+    #     the IVF/PQ at-rest index rework, bm25/fuzzy/hamming deps,
+    #     q_dedup_cluster (via _large_star), q_multimodal_features
+    #     (via decode_dims) — their standing records predate the code;
+    # (3) the r8 stragglers (q_sum_m, q_groupby_rss, q_varrep_moe);
+    # (4) remaining slots on the oldest (r9-vintage) cohort, family
+    #     representatives first. Deferred to r13: the r9 relational
+    #     long-tail with standing unit pins, events beyond 5 reps,
+    #     and TPC-H q2/q4/q6/q9/q14/q21 (valid r9 records on
+    #     unchanged code + standing coverage in test_tpch_rewrite).
+    # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
     "q_text_overlap_matrix",
@@ -103,41 +107,50 @@ _PRIORITY = (
     "q_similarity_hamming_rerank",
     "q_text_perplexity_bigram",
     "q_stream_quality_gate",
-    # (2) r12-prefix insurance (first records may not have landed)
+    # (1) never recorded — interim r12 session
     "q_pipeline_dsir",
     "q_pipeline_shard",
     "q_dedup_substring",
     "q_pipeline_dsir_bigram",
     "q_dedup_semantic",
     "q_dedup_substring_removal",
+    # (2) standing record predates a body rewrite
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
+    "q_agg_entropy",
+    "q_dedup_cluster",
+    "q_dedup_fuzzy",
+    "q_embed_kmeans",
+    "q_similarity_ivf",
+    "q_similarity_pq_adc",
+    "q_text_bm25",
+    "q_text_langid",
+    "q_multimodal_features",
+    # q_dedup_exact: doc-only per the AST diff, but the r12 A/B
+    # (commit 0037332) re-chose its aggregate form — cheap insurance
+    "q_dedup_exact",
     # (3) the r8 stragglers
     "q_sum_m",
     "q_groupby_rss",
     "q_varrep_moe",
-    # (4) r9-vintage cohort (39 of 48, family representatives first)
+    # (4) r9-vintage cohort (family representatives first)
     "q_join_broadcast",
     "q_dedup_simhash",
     "q_dedup_incremental",
     "q_dedup_containment",
     "q_text_tfidf",
-    "q_text_langid",
     "q_text_repetition",
     "q_text_kl_divergence",
     "q_similarity_ann_lsh",
-    "q_similarity_ivf",
     "q_embed_quantize",
     "q_events_tumbling",
     "q_events_sliding",
     "q_events_late",
     "q_events_stream_dedup",
     "q_events_stream_session",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_events_anomaly",
-    "q_events_transitions",
-    # q_events_resample joins the deferred r9 rows (events keeps 9
-    # reps in this prefix)
-    "q_merge_upsert",
+    # q_events_funnel/retention/anomaly/transitions/resample join the
+    # deferred r9 rows (events keeps 5 reps in this prefix)
     "q_join_band",
     "q_join_bloom_pruned",
     "q_layout_sorted_scan",
@@ -145,16 +158,11 @@ _PRIORITY = (
     "q_filter_quantile",
     "q_mix_epochs",
     "q_pipeline_pretrain",
-    "q_fillna_group",
-    # q_unpivot joins the deferred r9 rows (relational long-tail with
-    # standing unit pins)
-    "q_profile_table",
-    "q_sketch_heavy_hitters",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    # q_tpch_q9/q14/q21 join the deferred r9 rows (TPC-H keeps 3 reps
-    # in this prefix; all have standing coverage in test_tpch_rewrite)
+    # q_merge_upsert/q_fillna_group/q_unpivot/q_profile_table/
+    # q_sketch_heavy_hitters and TPC-H
+    # q2/q4/q6/q9/q14/q21 join the deferred r9 rows (standing unit
+    # pins / test_tpch_rewrite coverage; valid records on unchanged
+    # code)
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
