@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "q_similarity_hamming_rerank",
     "q_text_perplexity_bigram",
     "q_stream_quality_gate",
+    # this round: BPE tokenizer training (one corpus-scale word-count
+    # shuffle, then a dictionary-scale merge loop — k bounded argmax
+    # collects)
+    "q_text_bpe_train",
 ]
 
 

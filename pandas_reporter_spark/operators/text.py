@@ -3220,3 +3220,169 @@ def q_stream_quality_gate(spark, sf):
         F.sum("s").cast("bigint").alias("sum_score"),
     )
     return _run_stream(spark, agg, "complete")
+
+
+#: BPE trainer dials: number of merge rounds, end-of-word marker.
+#: The marker is a symbol (never split), chosen outside the corpus
+#: alphabet; a corpus that actually contains '¶' as a standalone
+#: token would conflate with it (documented, not guarded — same
+#: posture as the tokenize-on-space contract every text op shares).
+_BPE_MERGES = 8
+_BPE_MARK = "¶"
+
+
+def _bpe_oracle(k: int) -> str:
+    """Chained-CTE replay of k BPE merge rounds (generated, one
+    p/b/d triple per round — the SQL twin of the driver loop).
+
+    Every CTE is MATERIALIZED: each round references its predecessor
+    more than once (b{i} twice in d{i+1}, d{i} in both p{i} and
+    d{i+1}), so DuckDB's default CTE inlining re-expands the whole
+    chain per reference — measured 160 s vs 0.1 s at sf0.01 for
+    identical results."""
+    rounds = []
+    for i in range(k):
+        rounds.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT t[j] AS lhs, t[j+1] AS rhs, CAST(SUM(c) AS BIGINT) AS pc
+      FROM (SELECT string_split(s, ' ') AS t, c FROM d{i}),
+           UNNEST(range(1, len(t))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, pc FROM p{i} ORDER BY pc DESC, lhs, rhs LIMIT 1),
+    d{i + 1} AS MATERIALIZED (
+      SELECT trim(replace(' ' || s || ' ',
+                  (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM b{i}),
+                  (SELECT ' ' || lhs || rhs || ' ' FROM b{i}))) AS s, c
+      FROM d{i}
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i + 1} AS round, lhs, rhs, pc AS pair_count,"
+        f" lhs || rhs AS merged FROM b{i}"
+        for i in range(k)
+    )
+    return f"""
+    -- BPE tokenizer training, {k} merge rounds: corpus -> weighted
+    -- word dictionary, then per round count adjacent symbol pairs
+    -- (weighted by word frequency), take the (count DESC, pair ASC)
+    -- argmax, and rewrite the dictionary with the literal-replace
+    -- merge (boundary-anchored by space padding)
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    d0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(w, '([\\s\\S])', '\\1 ', 'g'))
+               || ' {_BPE_MARK}' AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1
+    ),{",".join(rounds)}
+    SELECT * FROM ({unions}) ORDER BY round
+    """
+
+
+@query("q_text_bpe_train", oracle=_bpe_oracle(_BPE_MERGES))
+def q_text_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (public method: Sennrich,
+    Haddow & Birch 2016, "Neural Machine Translation of Rare Words
+    with Subword Units") — learn the first k merge operations from
+    the corpus and return the merge table itself: (round, lhs, rhs,
+    weighted pair count, merged symbol). The merge table IS a
+    tokenizer: applying rows 1..k in order to any text reproduces the
+    learned segmentation, which makes this the training half of the
+    token-counting ops (q_text_tokens counts whitespace tokens; a
+    deployment swaps in the learned merges).
+
+    Scale shape — the key move is Heaps' law: BPE statistics are a
+    function of the WORD DICTIONARY with frequencies, not the corpus,
+    so ONE corpus-scale shuffle (groupBy(word), map-side combined)
+    compresses 100 TB of text to a dictionary of ~10^7 rows, and the
+    whole merge loop runs at dictionary scale. Per round: one
+    dictionary-scale pair-count aggregate (HashAggregate — keys and
+    sums are fixed-width), ONE collected row (TakeOrderedAndProject
+    argmax with a deterministic (count DESC, pair ASC) tie-break —
+    the bounded-artifact discipline of the kmeans/CC loops), and a
+    narrow literal-replace rewrite chained on the persisted base (k
+    replaces, no shuffle). The merge applies left-to-right
+    non-overlapping via boundary-anchored literal replace — identical
+    semantics in Spark's and DuckDB's `replace`, hence oracle bit
+    parity; on a run like 'a a a a' this yields ONE merge where
+    Sennrich's lookbehind-regex re.sub yields two (a documented
+    divergence on degenerate runs, irrelevant off-run).
+
+    Reference parity: none (driver-mandated pipeline surface;
+    tokenizer training is the one LLM-pipeline stage every published
+    curation stack runs upstream of token counting).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    w = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w")
+    )
+    base = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.concat(
+                F.trim(F.regexp_replace("w", r"([\s\S])", "$1 ")),
+                F.lit(" " + _BPE_MARK),
+            ).alias("s"),
+            "c",
+        )
+        .persist()
+    )
+    merges = []
+    cur = base
+    for rnd in range(_BPE_MERGES):
+        t = F.split("s", " ")
+        n = F.size(t)
+        # guard: a fully-merged word is ONE symbol and yields no
+        # pairs — and Spark's sequence(1, 0) would count DOWN
+        idx = F.when(n >= F.lit(2), F.sequence(F.lit(1), n - F.lit(1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = (
+            cur.select("c", t.alias("t"), F.explode(idx).alias("j"))
+            .select(
+                F.element_at("t", F.col("j")).alias("lhs"),
+                F.element_at("t", F.col("j") + F.lit(1)).alias("rhs"),
+                "c",
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("c").alias("pc"))
+        )
+        best = (
+            pairs.orderBy(F.col("pc").desc(), "lhs", "rhs").limit(1).collect()
+        )[0]
+        merges.append(
+            (
+                rnd + 1,
+                best["lhs"],
+                best["rhs"],
+                int(best["pc"]),
+                best["lhs"] + best["rhs"],
+            )
+        )
+        pat = f" {best['lhs']} {best['rhs']} "
+        rep = f" {best['lhs']}{best['rhs']} "
+        cur = cur.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), "s", F.lit(" ")),
+                    F.lit(pat),
+                    F.lit(rep),
+                )
+            ).alias("s"),
+            "c",
+        )
+    base.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "round int, lhs string, rhs string, pair_count bigint, merged string",
+    )

@@ -99,6 +99,8 @@ _PRIORITY = (
     #     long-tail with standing unit pins, events beyond 5 reps,
     #     and TPC-H q2/q4/q6/q9/q14/q21 (valid r9 records on
     #     unchanged code + standing coverage in test_tpch_rewrite).
+    # (1) never recorded — new this session
+    "q_text_bpe_train",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -143,7 +145,8 @@ _PRIORITY = (
     "q_text_repetition",
     "q_text_kl_divergence",
     "q_similarity_ann_lsh",
-    "q_embed_quantize",
+    # q_embed_quantize joins the deferred r9 rows (slot given to the
+    # new q_text_bpe_train first record)
     "q_events_tumbling",
     "q_events_sliding",
     "q_events_late",

@@ -312,3 +312,91 @@ def test_perplexity_bigram_ranks_novel_above_repetitive(spark, tmp_path):
     assert by_id[1]["avg_nll_nano"] > by_id[0]["avg_nll_nano"]
     # ordering: most-perplexing first
     assert rows[0]["doc_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+
+
+def _py_bpe(words, k):
+    """Reference BPE (Sennrich et al. 2016 learn_bpe), reimplemented
+    from the paper with the ENGINE'S documented merge semantics:
+    boundary-anchored left-to-right non-overlapping literal replace
+    (Python str.replace == Spark/DuckDB replace), tie-break
+    (count DESC, pair ASC)."""
+    from collections import Counter
+
+    dic = Counter()
+    for w, c in Counter(words).items():
+        dic[" ".join(list(w)) + " ¶"] += c
+    merges = []
+    for rnd in range(k):
+        pc = Counter()
+        for s, c in dic.items():
+            t = s.split(" ")
+            for a, b in zip(t, t[1:]):
+                pc[(a, b)] += c
+        (l, r) = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rnd + 1, l, r, pc[(l, r)], l + r))
+        nxt = Counter()
+        for s, c in dic.items():
+            nxt[(" " + s + " ").replace(f" {l} {r} ", f" {l}{r} ").strip()] += c
+        dic = nxt
+    return merges
+
+
+@pytest.fixture(scope="module")
+def bpe_sf(spark, tmp_path_factory):
+    """The Sennrich worked example: low*5 lower*2 newest*6 widest*3."""
+    sf = str(tmp_path_factory.mktemp("bpedocs"))
+    rows = [
+        (0, "low low low low low", "en", "web", 19),
+        (1, "lower lower", "en", "web", 11),
+        (2, "newest newest newest newest newest newest", "en", "web", 41),
+        (3, "widest widest widest", "en", "web", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+def test_bpe_merge_table_hand_pin(spark, bpe_sf):
+    """All 8 merges on the worked example, computed by hand: the es/
+    est/est¶ cascade (9), lo/low (7), then ew/ewest¶/newest¶ (6) —
+    every round exercises the (count DESC, pair ASC) tie-break at
+    least once in rounds 1, 2, 6 and 7."""
+    out = [tuple(r) for r in QUERIES["q_text_bpe_train"](spark, bpe_sf).collect()]
+    assert out == [
+        (1, "e", "s", 9, "es"),
+        (2, "es", "t", 9, "est"),
+        (3, "est", "¶", 9, "est¶"),
+        (4, "l", "o", 7, "lo"),
+        (5, "lo", "w", 7, "low"),
+        (6, "e", "w", 6, "ew"),
+        (7, "ew", "est¶", 6, "ewest¶"),
+        (8, "n", "ewest¶", 6, "newest¶"),
+    ]
+
+
+def test_bpe_matches_python_reference_at_sf0001(spark):
+    """Engine merge table == the pure-Python reference implementation
+    over the identical token stream (independent of the SQL oracle)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    words = [
+        r[0]
+        for r in con.execute(
+            "SELECT unnest(list_filter(string_split(lower(text), ' '),"
+            " x -> x <> '')) FROM"
+            f" read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    ]
+    expect = _py_bpe(words, 8)
+    got = [tuple(r) for r in QUERIES["q_text_bpe_train"](spark, sf).collect()]
+    assert got == expect
