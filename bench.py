@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     # shuffle, then a dictionary-scale merge loop — k bounded argmax
     # collects)
     "q_text_bpe_train",
+    "q_text_bpe_apply",
 ]
 
 

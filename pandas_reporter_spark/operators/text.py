@@ -3253,9 +3253,15 @@ def _bpe_oracle(k: int) -> str:
     b{i} AS MATERIALIZED (
       SELECT lhs, rhs, pc FROM p{i} ORDER BY pc DESC, lhs, rhs LIMIT 1),
     d{i + 1} AS MATERIALIZED (
+      -- COALESCE guard: an exhausted round (b{i} empty -> scalar
+      -- subqueries NULL) must leave the dictionary unchanged, not
+      -- NULL-poison it; ' ¶¶ ' can never occur (the marker is
+      -- word-final, so no symbol contains two)
       SELECT trim(replace(' ' || s || ' ',
-                  (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM b{i}),
-                  (SELECT ' ' || lhs || rhs || ' ' FROM b{i}))) AS s, c
+                  COALESCE((SELECT ' ' || lhs || ' ' || rhs || ' '
+                            FROM b{i}), ' ¶¶ '),
+                  COALESCE((SELECT ' ' || lhs || rhs || ' '
+                            FROM b{i}), ' ¶¶ '))) AS s, c
       FROM d{i}
     )"""
         )
@@ -3319,6 +3325,17 @@ def q_text_bpe_train(spark, sf):
     curation stack runs upstream of token counting).
     """
     configure(spark)
+    merges = _bpe_learn(spark, sf, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "round int, lhs string, rhs string, pair_count bigint, merged string",
+    )
+
+
+def _bpe_learn(spark, sf, k):
+    """The k-round merge loop shared by train (returns the table) and
+    apply (segments the corpus with it). Returns the collected merge
+    tuples [(round, lhs, rhs, pair_count, merged), ...]."""
     d = load(spark, sf, "documents")
     w = d.select(
         F.explode(
@@ -3339,7 +3356,7 @@ def q_text_bpe_train(spark, sf):
     )
     merges = []
     cur = base
-    for rnd in range(_BPE_MERGES):
+    for rnd in range(k):
         t = F.split("s", " ")
         n = F.size(t)
         # guard: a fully-merged word is ONE symbol and yields no
@@ -3357,9 +3374,12 @@ def q_text_bpe_train(spark, sf):
             .groupBy("lhs", "rhs")
             .agg(F.sum("c").alias("pc"))
         )
-        best = (
+        rows = (
             pairs.orderBy(F.col("pc").desc(), "lhs", "rhs").limit(1).collect()
-        )[0]
+        )
+        if not rows:
+            break  # exhausted: every word is one symbol already
+        best = rows[0]
         merges.append(
             (
                 rnd + 1,
@@ -3382,7 +3402,130 @@ def q_text_bpe_train(spark, sf):
             "c",
         )
     base.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "round int, lhs string, rhs string, pair_count bigint, merged string",
+    return merges
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """Train-chain CTEs (shared shape with _bpe_oracle) + corpus-wide
+    segmentation: the k merges apply as nested scalar-subquery
+    replaces over the doc symbol string."""
+    train = _bpe_oracle(k)
+    # keep everything up to (and excluding) the final SELECT
+    head = train[: train.rindex("    SELECT * FROM")]
+    expr = "' ' || sym || ' '"
+    for i in range(k):
+        expr = (
+            f"replace({expr},\n"
+            f"            COALESCE((SELECT ' '||lhs||' '||rhs||' '"
+            f" FROM b{i}), ' ¶¶ '),\n"
+            f"            COALESCE((SELECT ' '||lhs||rhs||' '"
+            f" FROM b{i}), ' ¶¶ '))"
+        )
+    return f"""{head},
+    docs AS MATERIALIZED (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    seg AS (
+      SELECT source,
+             CAST(len(t) AS BIGINT) AS wt,
+             CASE WHEN len(t) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(list_filter(
+                         string_split({expr}, ' '), x -> x <> ''))
+                       AS BIGINT) END AS bt
+      FROM (
+        -- words join with TWO spaces so every word owns both of its
+        -- pad spaces: a whole-word merge pattern on one word can
+        -- never consume the leading space of an identical neighbor
+        -- (single-space joins alternate-miss on runs), and no
+        -- single-spaced pattern can span a double-space boundary
+        SELECT source, t,
+               array_to_string(list_transform(t,
+                 w -> trim(regexp_replace(w, '([\\s\\S])', '\\1 ', 'g'))
+                      || ' {_BPE_MARK}'), '  ') AS sym
+        FROM docs
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bt) AS BIGINT) AS bpe_tokens,
+           CASE WHEN SUM(wt) = 0 THEN NULL
+                ELSE CAST(SUM(bt) * 1000000 // SUM(wt) AS BIGINT)
+           END AS fert_micro
+    FROM seg GROUP BY source
+    """
+
+
+@query("q_text_bpe_apply", oracle=_bpe_apply_oracle(_BPE_MERGES))
+def q_text_bpe_apply(spark, sf):
+    """Apply the corpus-trained BPE merge table corpus-wide and report
+    the tokenizer-accounting rollup per source: document count,
+    whitespace token count, LEARNED-tokenizer token count, and
+    fertility (BPE tokens per whitespace token, exact integer
+    micro-units) — the metric tokenizer teams actually steer by, and
+    the cost model every token-budgeted curation plan needs.
+
+    Scale shape: training reuses `_bpe_learn` (one corpus-scale
+    word-count shuffle + a dictionary-scale loop); application is
+    PURE SCAN-STAGE — each document's words char-space into one
+    marker-separated symbol string and the k merges apply as k
+    chained literal replaces on that string, so segmenting 100 TB is
+    zero-shuffle expression work and the only exchange after
+    training is the |sources|-group rollup (map-side combined).
+    Doc-level replace equals per-word application because words join
+    with TWO spaces: every word owns both of its pad spaces, so a
+    merge pattern (always single-spaced) can neither span the
+    boundary nor consume a neighbor's pad space. (The single-space
+    join is WRONG: a whole-word pattern like ' newest¶ ' alternate-
+    misses on runs of identical words — the worked-example pin
+    catches it.)
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    merges = _bpe_learn(spark, sf, _BPE_MERGES)
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    # words join with TWO spaces so every word owns both of its pad
+    # spaces: a whole-word merge pattern can never consume the
+    # leading space of an identical neighbor (single-space joins
+    # alternate-miss on runs — caught by the worked-example pin), and
+    # no single-spaced pattern can span a double-space boundary
+    sym = F.concat_ws(
+        "  ",
+        F.transform(
+            toks,
+            lambda w: F.concat(
+                F.trim(F.regexp_replace(w, r"([\s\S])", "$1 ")),
+                F.lit(" " + _BPE_MARK),
+            ),
+        ),
+    )
+    applied = F.concat(F.lit(" "), sym, F.lit(" "))
+    for _, lhs, rhs, _, merged in merges:
+        applied = F.replace(
+            applied, F.lit(f" {lhs} {rhs} "), F.lit(f" {merged} ")
+        )
+    wt = F.size(toks).cast("bigint")
+    bt = (
+        F.when(F.size(toks) == 0, F.lit(0))
+        .otherwise(
+            F.size(F.filter(F.split(applied, " "), lambda x: x != ""))
+        )
+        .cast("bigint")
+    )
+    per_doc = d.select("source", wt.alias("wt"), bt.alias("bt"))
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("wt").alias("ws_tokens"),
+        F.sum("bt").alias("bpe_tokens"),
+    )
+    fert = F.when(
+        F.col("ws_tokens") > 0,
+        F.expr("bpe_tokens * CAST(1000000 AS BIGINT) DIV ws_tokens"),
+    ).cast("bigint")
+    return agg.select(
+        "source", "n_docs", "ws_tokens", "bpe_tokens", fert.alias("fert_micro")
     )

@@ -101,6 +101,7 @@ _PRIORITY = (
     #     unchanged code + standing coverage in test_tpch_rewrite).
     # (1) never recorded — new this session
     "q_text_bpe_train",
+    "q_text_bpe_apply",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -151,7 +152,8 @@ _PRIORITY = (
     "q_events_sliding",
     "q_events_late",
     "q_events_stream_dedup",
-    "q_events_stream_session",
+    # q_events_stream_session joins the deferred r9 rows (slot given
+    # to the new q_text_bpe_apply first record)
     # q_events_funnel/retention/anomaly/transitions/resample join the
     # deferred r9 rows (events keeps 5 reps in this prefix)
     "q_join_band",

@@ -400,3 +400,32 @@ def test_bpe_matches_python_reference_at_sf0001(spark):
     expect = _py_bpe(words, 8)
     got = [tuple(r) for r in QUERIES["q_text_bpe_train"](spark, sf).collect()]
     assert got == expect
+
+
+def test_bpe_apply_hand_pin(spark, bpe_sf):
+    """Fertility rollup on the worked example, segmentations by hand:
+    low->(low ¶)x5, lower->(low e r ¶)x2, newest->(newest¶)x6,
+    widest->(w i d est¶)x3 -> ws=16, bpe=10+8+6+12=36."""
+    out = [tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, bpe_sf).collect()]
+    assert out == [("web", 4, 16, 36, 36 * 10**6 // 16)]
+
+
+def test_bpe_apply_empty_and_single_token_docs(spark, tmp_path_factory):
+    """Zero-token and one-token docs survive the doc-level apply."""
+    sf = str(tmp_path_factory.mktemp("bpeedge"))
+    rows = [
+        (0, "", "en", "a", 0),
+        (1, "x", "en", "a", 1),
+        (2, "x x x x", "en", "b", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = {r["source"]: tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, sf).collect()}
+    # merge 1 is (x, ¶) count 5 -> 'x¶' single symbol everywhere;
+    # the empty doc contributes 0/0 and a NULL-safe rollup
+    assert out["a"] == ("a", 2, 1, 1, 10**6)
+    assert out["b"] == ("b", 1, 4, 4, 10**6)
