@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     # collects)
     "q_text_bpe_train",
     "q_text_bpe_apply",
+    "q_sample_weighted",
 ]
 
 

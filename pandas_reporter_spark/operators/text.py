@@ -3529,3 +3529,76 @@ def q_text_bpe_apply(spark, sf):
     return agg.select(
         "source", "n_docs", "ws_tokens", "bpe_tokens", fert.alias("fert_micro")
     )
+
+
+_WSAMPLE_K = 64
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    -- Efraimidis-Spirakis weighted sampling without replacement:
+    -- key = ln(u)/w with u a deterministic hash-uniform in (0,1],
+    -- w = n_chars; top-{_WSAMPLE_K} keys win. Single fused ln, one
+    -- division, nano-quantized BEFORE ranking (q_agg_entropy ulp
+    -- posture), doc_id tie-break.
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(round(
+               ln((CAST(concat('0x',
+                     substring(md5(CAST(doc_id AS VARCHAR) || ':wsample'),
+                               1, 15)) AS BIGINT) + 1.0)
+                  / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
+               AS key_nano
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, key_nano FROM s
+    ORDER BY key_nano DESC, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def q_sample_weighted(spark, sf):
+    """Weighted sampling WITHOUT replacement (public method:
+    Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): each item draws u ~ U(0,1] and the k largest
+    u^(1/w) win — equivalently the k largest ln(u)/w, which is the
+    form that needs no pow(). Weight here is n_chars (stand-in for
+    any quality/importance score — the op is how a token-budgeted
+    curation plan draws a quality-weighted subcorpus). u derives from
+    the salted portable 60-bit doc_id hash, so the draw is
+    DETERMINISTIC and reshard-stable (q_pipeline_shard discipline):
+    re-running the pipeline reproduces the same sample bit-for-bit,
+    and the oracle can replay it.
+
+    Scale shape: one scan, zero shuffles — the ranking is
+    TakeOrderedAndProject (per-partition top-k, k rows per partition
+    to the driver merge), exactly the reservoir the paper describes,
+    distributed for free. Float exposure is one fused ln + one
+    division, nano-quantized BEFORE ranking (the q_agg_entropy
+    accepted-ulp posture); ties break on doc_id. Zero-weight items
+    never sample (ln(u)/w undefined) — filtered, per the paper's
+    w > 0 domain.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    from pandas_reporter_spark.operators.dedup import portable_token_hash
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    h = portable_token_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = (
+        F.round(
+            F.log(u) / F.col("n_chars").cast("double") * F.lit(1000000000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("key_nano")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", key)
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+        .limit(_WSAMPLE_K)
+    )

@@ -102,6 +102,7 @@ _PRIORITY = (
     # (1) never recorded — new this session
     "q_text_bpe_train",
     "q_text_bpe_apply",
+    "q_sample_weighted",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -150,7 +151,8 @@ _PRIORITY = (
     # new q_text_bpe_train first record)
     "q_events_tumbling",
     "q_events_sliding",
-    "q_events_late",
+    # q_events_late joins the deferred r9 rows (slot given to the new
+    # q_sample_weighted first record)
     "q_events_stream_dedup",
     # q_events_stream_session joins the deferred r9 rows (slot given
     # to the new q_text_bpe_apply first record)

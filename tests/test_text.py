@@ -429,3 +429,43 @@ def test_bpe_apply_empty_and_single_token_docs(spark, tmp_path_factory):
     # the empty doc contributes 0/0 and a NULL-safe rollup
     assert out["a"] == ("a", 2, 1, 1, 10**6)
     assert out["b"] == ("b", 1, 4, 4, 10**6)
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling
+
+
+def test_sample_weighted_matches_hashlib_reference(spark):
+    """Third-opinion reimplementation: hashlib md5 + math.log, same
+    key formula, over the full sf0.001 corpus."""
+    import duckdb
+    import hashlib
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, source, n_chars FROM"
+        f" read_parquet('{sf}/documents.parquet') WHERE n_chars > 0"
+    ).fetchall()
+
+    def key_nano(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}:wsample".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1.0) / float(1 << 60)) / float(w) * 1e9)
+
+    expect = sorted(
+        ((d, s, n, key_nano(d, n)) for d, s, n in rows),
+        key=lambda r: (-r[3], r[0]),
+    )[:64]
+    got = [
+        tuple(r)
+        for r in QUERIES["q_sample_weighted"](spark, sf).collect()
+    ]
+    assert got == expect
+
+
+def test_sample_weighted_is_top_k_no_global_sort(spark):
+    p = QUERIES["q_sample_weighted"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
