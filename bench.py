@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q_text_bpe_train",
     "q_text_bpe_apply",
     "q_sample_weighted",
+    "q_text_vocab_coverage",
 ]
 
 

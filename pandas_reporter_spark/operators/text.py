@@ -3602,3 +3602,106 @@ def q_sample_weighted(spark, sf):
         .orderBy(F.col("key_nano").desc(), "doc_id")
         .limit(_WSAMPLE_K)
     )
+
+
+_VOCAB_SIZES = (8, 16, 32, 64)
+
+
+@query(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    -- vocabulary-truncation coverage curve: share of corpus token
+    -- occurrences covered by the top-V tokens, V in {_VOCAB_SIZES};
+    -- cumulative sums run over the top-64 ONLY (the thresholds bound
+    -- the window, not the dictionary)
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+      ) GROUP BY token
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vsz
+      FROM tf
+    ),
+    top AS (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+      FROM tf ORDER BY n DESC, token LIMIT {max(_VOCAB_SIZES)}
+    ),
+    rk AS (
+      SELECT rnk, CAST(SUM(n) OVER (ORDER BY rnk) AS BIGINT) AS cum
+      FROM top
+    ),
+    v AS (SELECT unnest({list(_VOCAB_SIZES)}) AS n_vocab)
+    SELECT v.n_vocab,
+           LEAST(CAST(v.n_vocab AS BIGINT), t.vsz) AS vocab_used,
+           rk.cum AS covered,
+           t.total,
+           CAST(rk.cum * 1000000 // t.total AS BIGINT) AS cov_micro
+    FROM v, t JOIN rk ON rk.rnk = LEAST(CAST(v.n_vocab AS BIGINT), t.vsz)
+    """,
+)
+def q_text_vocab_coverage(spark, sf):
+    """Vocabulary-truncation coverage curve: for each candidate vocab
+    size V, the share of corpus token occurrences the top-V tokens
+    cover (equivalently 1 - OOV rate) — the sizing curve behind every
+    embedding-table / tokenizer-vocab budget decision, and the
+    Zipf-concentration diagnostic curation reports quote.
+
+    Scale shape: the dictionary aggregate is the standard corpus-
+    scale map-side-combined shuffle; everything after is bounded by
+    the LARGEST THRESHOLD, not the dictionary — top-64 via
+    TakeOrderedAndProject, the cumulative-sum window runs over those
+    64 rows (the 'window over a limit' is deliberate: a global
+    running sum over a 10^7-row dictionary would single-partition
+    sort the dictionary for values we only read at 4 ranks), and the
+    per-threshold lookup is a broadcast join against the 4-row
+    threshold table. Integer-exact micro-unit coverage. Thresholds
+    beyond the actual vocab clamp to it (vocab_used), so the curve
+    saturates honestly instead of repeating phantom rows.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = tf.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vsz"),
+    )
+    top = tf.orderBy(F.col("n").desc(), "token").limit(max(_VOCAB_SIZES))
+    w = W.orderBy(F.col("n").desc(), "token")
+    ranked = top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("n").over(w).cast("bigint").alias("cum"),
+    )
+    th = spark.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], "n_vocab int"
+    )
+    return (
+        th.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "vocab_used", F.least(F.col("n_vocab").cast("bigint"), F.col("vsz"))
+        )
+        .join(F.broadcast(ranked), F.col("rnk") == F.col("vocab_used"))
+        .select(
+            "n_vocab",
+            "vocab_used",
+            F.col("cum").alias("covered"),
+            "total",
+            F.expr("CAST(cum * 1000000 DIV total AS BIGINT)").alias(
+                "cov_micro"
+            ),
+        )
+    )

@@ -103,6 +103,7 @@ _PRIORITY = (
     "q_text_bpe_train",
     "q_text_bpe_apply",
     "q_sample_weighted",
+    "q_text_vocab_coverage",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -144,7 +145,8 @@ _PRIORITY = (
     "q_dedup_incremental",
     "q_dedup_containment",
     "q_text_tfidf",
-    "q_text_repetition",
+    # q_text_repetition joins the deferred r9 rows (slot given to the
+    # new q_text_vocab_coverage first record)
     "q_text_kl_divergence",
     "q_similarity_ann_lsh",
     # q_embed_quantize joins the deferred r9 rows (slot given to the

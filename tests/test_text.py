@@ -469,3 +469,28 @@ def test_sample_weighted_is_top_k_no_global_sort(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_vocab_coverage_saturates_beyond_vocab(spark, tmp_path_factory):
+    """3-token vocab: every threshold clamps to vocab_used=3 with
+    full coverage; hand-checked counts on a 10-occurrence corpus."""
+    sf = str(tmp_path_factory.mktemp("vocabdocs"))
+    rows = [
+        (0, "a a a a a b b b c", "en", "web", 17),
+        (1, "c", "en", "web", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = sorted(
+        tuple(r) for r in QUERIES["q_text_vocab_coverage"](spark, sf).collect()
+    )
+    assert out == [
+        (8, 3, 10, 10, 10**6),
+        (16, 3, 10, 10, 10**6),
+        (32, 3, 10, 10, 10**6),
+        (64, 3, 10, 10, 10**6),
+    ]
