@@ -3468,19 +3468,21 @@ def q_text_bpe_apply(spark, sf):
     the cost model every token-budgeted curation plan needs.
 
     Scale shape: training reuses `_bpe_learn` (one corpus-scale
-    word-count shuffle + a dictionary-scale loop); application is
-    PURE SCAN-STAGE — each document's words char-space into one
-    marker-separated symbol string and the k merges apply as k
-    chained literal replaces on that string, so segmenting 100 TB is
-    zero-shuffle expression work and the only exchange after
-    training is the |sources|-group rollup (map-side combined).
-    Doc-level replace equals per-word application because words join
-    with TWO spaces: every word owns both of its pad spaces, so a
-    merge pattern (always single-spaced) can neither span the
-    boundary nor consume a neighbor's pad space. (The single-space
-    join is WRONG: a whole-word pattern like ' newest¶ ' alternate-
-    misses on runs of identical words — the worked-example pin
-    catches it.)
+    word-count shuffle + a dictionary-scale loop); application runs
+    at DICTIONARY scale too — a word's segmentation is a function of
+    the word, and the rollup needs subtoken counts, not segmented
+    text, so the 9-pass string surgery (char-spacing regex + 8
+    chained literal replaces) touches only the distinct-word
+    dictionary and joins back onto the same map-side-combined
+    (source, word) count aggregate the trainer runs. The corpus is
+    read twice (token counts; per-source doc counts on a pruned
+    one-column scan) and its strings are traversed ONCE. Two
+    corpus-level forms were measured and rejected — per-doc HOF
+    16.7 s / 140 s at sf10/sf100, one-regex-pass-per-doc 17.8 / 158 s
+    (the cost is the 9 corpus-size string passes, not regex setup);
+    the dictionary form runs 3.5 / 11.9 s against the oracle's 54 /
+    906 s per-doc spec (the q_dedup_fuzzy posture: the oracle states
+    the naive spec, the engine implements the linear shape).
 
     Reference parity: none (driver-mandated pipeline surface).
     """
@@ -3488,46 +3490,66 @@ def q_text_bpe_apply(spark, sf):
     merges = _bpe_learn(spark, sf, _BPE_MERGES)
     d = load(spark, sf, "documents")
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    # words join with TWO spaces so every word owns both of its pad
-    # spaces: a whole-word merge pattern can never consume the
-    # leading space of an identical neighbor (single-space joins
-    # alternate-miss on runs — caught by the worked-example pin), and
-    # no single-spaced pattern can span a double-space boundary
-    sym = F.concat_ws(
-        "  ",
-        F.transform(
-            toks,
-            lambda w: F.concat(
-                F.trim(F.regexp_replace(w, r"([\s\S])", "$1 ")),
-                F.lit(" " + _BPE_MARK),
-            ),
-        ),
+    # Heaps'-law move, applied to APPLICATION too: the fertility
+    # rollup needs subtoken COUNTS, not segmented text, and a word's
+    # segmentation is a function of the word — so the 9-pass string
+    # surgery (char-spacing regex + 8 chained replaces) runs over the
+    # DISTINCT-WORD dictionary, and the corpus contributes only the
+    # same map-side-combined (source, word) count aggregate the
+    # trainer runs. Measured at sf10/sf100 vs two corpus-level forms:
+    # per-doc HOF 16.7 / 140 s, one-regex-pass-per-doc 17.8 / 158 s
+    # (negative result: the cost IS the 9 corpus-size string passes,
+    # not regex setup), dictionary form 3.5 / 11.9 s.
+    wcnt = (
+        d.select("source", F.explode(toks).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    applied = F.concat(F.lit(" "), sym, F.lit(" "))
+    # dictionary-level segmentation: one word per string, single-space
+    # padding (no neighbor exists to share a pad space with)
+    applied = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace("w", r"([\s\S])", "$1 ")),
+        F.lit(" " + _BPE_MARK + " "),
+    )
     for _, lhs, rhs, _, merged in merges:
         applied = F.replace(
             applied, F.lit(f" {lhs} {rhs} "), F.lit(f" {merged} ")
         )
-    wt = F.size(toks).cast("bigint")
-    bt = (
-        F.when(F.size(toks) == 0, F.lit(0))
-        .otherwise(
-            F.size(F.filter(F.split(applied, " "), lambda x: x != ""))
-        )
+    seg = wcnt.select("w").distinct().select(
+        "w",
+        F.size(F.filter(F.split(applied, " "), lambda x: x != ""))
         .cast("bigint")
+        .alias("n_sub"),
     )
-    per_doc = d.select("source", wt.alias("wt"), bt.alias("bt"))
-    agg = per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("wt").alias("ws_tokens"),
-        F.sum("bt").alias("bpe_tokens"),
+    tok_agg = (
+        wcnt.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("ws_tokens"),
+            F.sum(F.col("c") * F.col("n_sub")).alias("bpe_tokens"),
+        )
+    )
+    n_docs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     fert = F.when(
         F.col("ws_tokens") > 0,
         F.expr("bpe_tokens * CAST(1000000 AS BIGINT) DIV ws_tokens"),
     ).cast("bigint")
-    return agg.select(
-        "source", "n_docs", "ws_tokens", "bpe_tokens", fert.alias("fert_micro")
+    return (
+        n_docs.join(tok_agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("ws_tokens", F.lit(0)).cast("bigint").alias(
+                "ws_tokens"
+            ),
+            F.coalesce("bpe_tokens", F.lit(0)).cast("bigint").alias(
+                "bpe_tokens"
+            ),
+            fert.alias("fert_micro"),
+        )
     )
 
 
