@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q_text_bpe_apply",
     "q_sample_weighted",
     "q_text_vocab_coverage",
+    "q_embed_random_projection",
 ]
 
 

@@ -2124,3 +2124,139 @@ def q_similarity_hamming_rerank(spark, sf):
             "vec_id", "label", "hamming", F.round("_cos", 6).alias("cos")
         )
     )
+
+
+#: JL random projection: 64 -> 8 dims. P=8 keeps the projected
+#: squared-L2 inside int64 with headroom at the quantizer's own
+#: worst case (|xq| <= 6e6 -> |y| <= 64*6e6 = 3.84e8, diff^2 <=
+#: 5.9e17, x8 dims = 4.7e18 < 2^63); P=16 would not.
+_RP_P, _RP_Q, _RP_TOPK = 8, 0, 10
+
+
+@query(
+    "q_embed_random_projection",
+    oracle=f"""
+    -- JL random projection (Achlioptas-style +-1 matrix, derived
+    -- IN-ENGINE from the portable md5 hash — the classifier's
+    -- virtual-weight discipline): project the micro-quantized
+    -- corpus 64 -> {_RP_P} dims, rank by exact integer squared-L2
+    -- to the projected query vector
+    WITH sg AS (
+      SELECT (i // 64) AS j, (i % 64) AS ii,
+             CASE WHEN CAST(concat('0x', substring(md5(
+                    'rp:' || CAST(i % 64 AS VARCHAR) || ':'
+                          || CAST(i // 64 AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 = 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT)
+             END AS s
+      FROM range({_RP_P} * 64) t(i)
+    ),
+    sgm AS (SELECT j, list(s ORDER BY ii) AS r FROM sg GROUP BY j),
+    sgn AS (SELECT list(r ORDER BY j) AS m FROM sgm),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id,
+             list_transform(range({_RP_P}), j ->
+               CAST(list_sum(list_transform(range(64), i ->
+                 xq[i + 1] * m[j + 1][i + 1])) AS BIGINT)) AS y
+      FROM e, sgn
+    ),
+    q AS (SELECT y AS yq FROM p WHERE vec_id = {_RP_Q})
+    SELECT p.vec_id,
+           CAST(list_sum(list_transform(range({_RP_P}), j ->
+             (p.y[j + 1] - q.yq[j + 1]) * (p.y[j + 1] - q.yq[j + 1])))
+             AS BIGINT) AS d_rp
+    FROM p, q
+    ORDER BY d_rp, p.vec_id LIMIT {_RP_TOPK}
+    """,
+)
+def q_embed_random_projection(spark, sf):
+    """Johnson-Lindenstrauss random projection for embeddings (public
+    method: the +-1 sign-matrix construction of Achlioptas 2003,
+    "Database-friendly random projections"): compress 64-dim vectors
+    to P=8 dims with a DETERMINISTIC sign matrix and rank the
+    corpus by exact integer squared-L2 to the projected query — the
+    distance-preservation-GUARANTEED member of the dimensionality
+    ladder (scalar int8 quantize / PQ codes / sign-bit Hamming are
+    the lossy-codebook members; JL is the one with the lemma).
+
+    The sign matrix derives IN-ENGINE from the portable md5 hash
+    (s(i,j) = +-1 by hash parity — the quality classifier's
+    virtual-weight discipline, so the oracle replays the derivation
+    rather than trusting an embedded literal): ONE 512-row job,
+    gathered into an array-of-arrays and broadcast. Projection is
+    scan-stage HOF work over the micro-quantized corpus (zip_with
+    products, int64-exact); the query row joins back as a broadcast
+    scalar; ranking is TakeOrderedAndProject. P=8 is the int64
+    headroom bound: at the quantizer's worst case |y| <= 64*6e6, so
+    the 8-term squared-L2 tops out at 4.7e18 < 2^63 (16 terms would
+    not fit).
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    configure(spark)
+    from pandas_reporter_spark.operators.dedup import portable_token_hash
+
+    sg = spark.range(_RP_P * 64).select(
+        F.expr("id DIV 64").alias("j"),
+        F.expr("id % 64").alias("ii"),
+        F.when(
+            portable_token_hash(
+                F.concat(
+                    F.lit("rp:"),
+                    F.expr("CAST(id % 64 AS STRING)"),
+                    F.lit(":"),
+                    F.expr("CAST(id DIV 64 AS STRING)"),
+                )
+            )
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("s"),
+    )
+    sgm = sg.groupBy("j").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ii, s))), x -> x.s)"
+        ).alias("r")
+    )
+    sgn = sgm.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, r))), x -> x.r)"
+        ).alias("m")
+    )
+    e = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr(_KM_QUANT_CHECKED.format(c="embedding", dim=_KM_DIM)).alias(
+            "xq"
+        ),
+    )
+    p = e.crossJoin(F.broadcast(sgn)).select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {_RP_P - 1}), j ->"
+            " aggregate(zip_with(xq, element_at(m, j + 1),"
+            " (a, b) -> a * b), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v))"
+        ).alias("y"),
+    )
+    q = p.filter(F.col("vec_id") == _RP_Q).select(F.col("y").alias("yq"))
+    return (
+        p.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(y, yq, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d_rp"),
+        )
+        .orderBy("d_rp", "vec_id")
+        .limit(_RP_TOPK)
+    )

@@ -104,6 +104,7 @@ _PRIORITY = (
     "q_text_bpe_apply",
     "q_sample_weighted",
     "q_text_vocab_coverage",
+    "q_embed_random_projection",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -142,7 +143,8 @@ _PRIORITY = (
     # (4) r9-vintage cohort (family representatives first)
     "q_join_broadcast",
     "q_dedup_simhash",
-    "q_dedup_incremental",
+    # q_dedup_incremental joins the deferred r9 rows (slot given to
+    # the new q_embed_random_projection first record)
     "q_dedup_containment",
     "q_text_tfidf",
     # q_text_repetition joins the deferred r9 rows (slot given to the

@@ -405,3 +405,57 @@ def test_hamming_identical_and_negated_vectors(spark, tmp_path):
     assert got[0]["vec_id"] == 1 and by_id[1] == 0
     assert by_id[2] == 64
     assert 0 < by_id[3] < 64
+
+
+def test_random_projection_identical_vector_is_rank_one(spark):
+    """vec 0 (the query) projects onto itself: d_rp = 0 at rank 1;
+    distances are non-decreasing and int64-exact."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_embed_random_projection"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 10
+    assert out[0]["vec_id"] == 0 and out[0]["d_rp"] == 0
+    ds = [r["d_rp"] for r in out]
+    assert ds == sorted(ds)
+
+
+def test_random_projection_sign_matrix_is_md5_parity(spark):
+    """The in-engine sign derivation == hashlib parity (third
+    opinion), checked by recomputing one projection in Python."""
+    import hashlib
+
+    import duckdb
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    vecs = dict(
+        (r[0], r[1])
+        for r in con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+        ).fetchall()
+    )
+
+    def q(x):
+        import math
+        return [int(math.floor(float(v) * 1e6 + 0.5)) for v in x]
+
+    def sgn(i, j):
+        h = int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    def proj(x):
+        xq = q(x)
+        return [sum(sgn(i, j) * xq[i] for i in range(64)) for j in range(8)]
+
+    yq = proj(vecs[0])
+    out = QUERIES["q_embed_random_projection"](spark, sf).collect()
+    for r in out[:3]:
+        y = proj(vecs[r["vec_id"]])
+        d = sum((a - b) * (a - b) for a, b in zip(y, yq))
+        assert d == r["d_rp"], (r["vec_id"], d, r["d_rp"])
