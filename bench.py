@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q_sample_weighted",
     "q_text_vocab_coverage",
     "q_embed_random_projection",
+    "q_embed_gram",
 ]
 
 

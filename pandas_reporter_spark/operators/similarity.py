@@ -2260,3 +2260,86 @@ def q_embed_random_projection(spark, sf):
         .orderBy("d_rp", "vec_id")
         .limit(_RP_TOPK)
     )
+
+
+#: Gram-matrix quantization unit: MILLI, not the family's usual
+#: micro — second moments square the unit, and micro would overflow
+#: int64 (|x| <= 6 -> micro products 3.6e13, x2M rows = 7e19 > 2^63;
+#: milli products 3.6e7, x2M = 7.2e13, five decades of headroom).
+_GRAM_DIM = 64
+
+
+@query(
+    "q_embed_gram",
+    oracle=f"""
+    -- upper-triangle Gram matrix of the milli-quantized corpus:
+    -- G[i,j] = sum over vectors of xq[i]*xq[j], exact int64
+    SELECT i, j,
+           CAST(SUM(xq[i + 1] * xq[j + 1]) AS BIGINT) AS g
+    FROM (
+      SELECT list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+             AS xq
+      FROM embeddings
+    ), UNNEST(range({_GRAM_DIM})) a(i), UNNEST(range({_GRAM_DIM})) b(j)
+    WHERE i <= j
+    GROUP BY i, j
+    """,
+)
+def q_embed_gram(spark, sf):
+    """Distributed Gram matrix over the embedding corpus — the
+    X'X building block of PCA / covariance / anisotropy diagnostics
+    (the shape Spark MLlib's RowMatrix.computeGramianMatrix
+    implements): G[i,j] = Σ_vectors x_i·x_j over the 64-dim corpus,
+    upper triangle, exact int64 over MILLI-quantized components
+    (second moments square the unit — micro would overflow int64 at
+    2M vectors, milli leaves five decades of headroom; documented
+    next to the family's micro-unit convention).
+
+    Scale shape — this is the ONE place a Python kernel earns its
+    keep on the numeric path: per Arrow batch, numpy builds the
+    64×64 partial Gram with a single int64 matmul (dense BLAS-shaped
+    work no Catalyst expression matches; an explode-based SQL form
+    fans every vector into 64² rows — 8.4e9 intermediate rows at
+    sf100 — which is the oracle's spec, not a plan). Each task emits
+    one 2080-row triangle per batch, so the shuffle carries
+    2080 × #batches rows REGARDLESS of corpus size (pure map-side
+    reduction), and the final groupBy(i, j) sum is a 2080-group
+    HashAggregate. float32→double widening and floor(x·1000+0.5)
+    match the oracle bit-for-bit (same IEEE double ops in numpy and
+    both engines).
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    import numpy as np
+    import pandas as pd
+
+    configure(spark)
+    d = _GRAM_DIM
+    e = load(spark, sf, "embeddings").select("embedding")
+
+    def partial_gram(batches):
+        iu = np.triu_indices(d)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"q_embed_gram: embedding dim {x.shape[1]} != {d}"
+                )
+            xq = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+            g = xq.T @ xq
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "g": g[iu],
+                }
+            )
+
+    return (
+        e.mapInPandas(partial_gram, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )

@@ -105,6 +105,7 @@ _PRIORITY = (
     "q_sample_weighted",
     "q_text_vocab_coverage",
     "q_embed_random_projection",
+    "q_embed_gram",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -146,7 +147,8 @@ _PRIORITY = (
     # q_dedup_incremental joins the deferred r9 rows (slot given to
     # the new q_embed_random_projection first record)
     "q_dedup_containment",
-    "q_text_tfidf",
+    # q_text_tfidf joins the deferred r9 rows (slot given to the new
+    # q_embed_gram first record)
     # q_text_repetition joins the deferred r9 rows (slot given to the
     # new q_text_vocab_coverage first record)
     "q_text_kl_divergence",

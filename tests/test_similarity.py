@@ -459,3 +459,33 @@ def test_random_projection_sign_matrix_is_md5_parity(spark):
         y = proj(vecs[r["vec_id"]])
         d = sum((a - b) * (a - b) for a, b in zip(y, yq))
         assert d == r["d_rp"], (r["vec_id"], d, r["d_rp"])
+
+
+def test_gram_matches_numpy_reference(spark):
+    """Full 2080-cell Gram vs a direct numpy computation over the
+    same parquet (third opinion, independent of the SQL oracle)."""
+    import duckdb
+    import numpy as np
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    x = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+            ).fetchall()
+        ],
+        dtype=np.float64,
+    )
+    xq = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+    g = xq.T @ xq
+    out = QUERIES["q_embed_gram"](spark, sf).collect()
+    assert len(out) == 64 * 65 // 2
+    for r in out:
+        assert g[r["i"], r["j"]] == r["g"], (r["i"], r["j"])
+    # diagonal is a sum of squares: strictly positive for real data
+    assert all(r["g"] > 0 for r in out if r["i"] == r["j"])
