@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "q_text_vocab_coverage",
     "q_embed_random_projection",
     "q_embed_gram",
+    "q_embed_pca_power",
 ]
 
 

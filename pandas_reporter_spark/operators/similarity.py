@@ -2268,12 +2268,9 @@ def q_embed_random_projection(spark, sf):
 #: milli products 3.6e7, x2M = 7.2e13, five decades of headroom).
 _GRAM_DIM = 64
 
-
-@query(
-    "q_embed_gram",
-    oracle=f"""
-    -- upper-triangle Gram matrix of the milli-quantized corpus:
-    -- G[i,j] = sum over vectors of xq[i]*xq[j], exact int64
+#: the Gram SQL core, shared by the q_embed_gram oracle and the PCA
+#: power-iteration oracle's first CTE
+_GRAM_SQL = f"""
     SELECT i, j,
            CAST(SUM(xq[i + 1] * xq[j + 1]) AS BIGINT) AS g
     FROM (
@@ -2284,7 +2281,16 @@ _GRAM_DIM = 64
     ), UNNEST(range({_GRAM_DIM})) a(i), UNNEST(range({_GRAM_DIM})) b(j)
     WHERE i <= j
     GROUP BY i, j
-    """,
+"""
+
+
+@query(
+    "q_embed_gram",
+    oracle="""
+    -- upper-triangle Gram matrix of the milli-quantized corpus:
+    -- G[i,j] = sum over vectors of xq[i]*xq[j], exact int64
+    """
+    + _GRAM_SQL,
 )
 def q_embed_gram(spark, sf):
     """Distributed Gram matrix over the embedding corpus — the
@@ -2312,9 +2318,15 @@ def q_embed_gram(spark, sf):
     Reference parity: none (driver-mandated similarity surface).
     """
     import numpy as np
+    configure(spark)
+    return gram_df(spark, sf)
+
+
+def gram_df(spark, sf) -> DataFrame:
+    """The q_embed_gram dataflow (mapInPandas partial Gram +
+    2080-group sum), shared with the PCA power iteration."""
     import pandas as pd
 
-    configure(spark)
     d = _GRAM_DIM
     e = load(spark, sf, "embeddings").select("embedding")
 
@@ -2342,4 +2354,142 @@ def q_embed_gram(spark, sf):
         e.mapInPandas(partial_gram, "i int, j int, g long")
         .groupBy("i", "j")
         .agg(F.sum("g").alias("g"))
+    )
+
+
+_PCA_ITERS = 80
+
+
+def _pca_oracle(k: int) -> str:
+    """Gram CTE + k integer power-iteration rounds (64-row CTEs) +
+    corpus projection onto the resulting PC1. All CTEs MATERIALIZED
+    (the BPE-oracle lesson: multiply-referenced chained CTEs
+    re-expand exponentially under DuckDB's default inlining)."""
+    rounds = []
+    for t in range(k):
+        rounds.append(
+            f""",
+    w{t + 1} AS MATERIALIZED (
+      -- HUGEINT: at sf100 g*v tops 7.2e19 (the DRIVER side is exact
+      -- Python bigint; only this replay needs 128-bit)
+      SELECT gs.i, SUM(CAST(gs.g AS HUGEINT) * v{t}.v) AS w
+      FROM gs JOIN v{t} ON gs.j = v{t}.i GROUP BY gs.i
+    ),
+    m{t + 1} AS MATERIALIZED (
+      SELECT (MAX(ABS(w)) // 1000000 + 1) AS s FROM w{t + 1}
+    ),
+    v{t + 1} AS MATERIALIZED (
+      -- renormalize to ~milli scale with TRUNCATION-TOWARD-ZERO
+      -- (sign-split: DuckDB // floors, Spark DIV truncates; on
+      -- |w| // s they agree)
+      SELECT i, CAST(CASE WHEN w < 0
+                  THEN -((-w) // (SELECT s FROM m{t + 1}))
+                  ELSE w // (SELECT s FROM m{t + 1}) END AS BIGINT) AS v
+      FROM w{t + 1}
+    )"""
+        )
+    return f"""
+    -- PC1 by deterministic integer power iteration on the Gram
+    -- matrix (v0 = all-milli-ones, {k} rounds, truncating renorm),
+    -- then the corpus projected onto it: the 10 most-positive
+    -- extreme vectors along the dominant principal direction
+    WITH gram AS MATERIALIZED (
+      {_GRAM_SQL}
+    ),
+    gs AS MATERIALIZED (
+      SELECT i, j, g FROM gram
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM gram WHERE i < j
+    ),
+    v0 AS MATERIALIZED (
+      SELECT CAST(i AS INT) AS i, CAST(1000000 AS BIGINT) AS v
+      FROM range({_GRAM_DIM}) t(i)
+    ){''.join(rounds)},
+    pc AS MATERIALIZED (
+      SELECT list(v ORDER BY i) AS vl FROM v{k}
+    ),
+    proj AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range({_GRAM_DIM}), i ->
+               xq[i + 1] * vl[i + 1])) AS BIGINT) AS proj
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+               AS xq
+        FROM embeddings
+      ), pc
+    )
+    SELECT vec_id, proj FROM proj
+    ORDER BY proj DESC, vec_id LIMIT 10
+    """
+
+
+@query("q_embed_pca_power", oracle=_pca_oracle(_PCA_ITERS))
+def q_embed_pca_power(spark, sf):
+    """PC1 extraction by POWER ITERATION on the distributed Gram
+    matrix, then the corpus projected onto it — the classic
+    two-stage distributed PCA (the Gram fits any driver once the
+    dimensionality is model-sized; cf. MLlib RowMatrix.computePrincipalComponents,
+    which does exactly this collect-then-eigendecompose): surfaces
+    the 10 most-extreme vectors along the dominant principal
+    direction, the anisotropy / outlier diagnostic an embedding-
+    quality report leads with.
+
+    Determinism contract (what makes this ORACLE-REPLAYABLE where a
+    float eigensolver is not): v0 = all-1e6, 80 iterations of
+    w = G·v followed by integer renormalization v = trunc(w / (max|w|
+    // 1e6 + 1)) — every step is exact integer arithmetic, identical
+    in driver Python (native bigint) and DuckDB (HUGEINT for the G·v
+    products, which top int64 at sf100; the truncating division is
+    sign-split because DuckDB floors where Python // floors too — on
+    |w| // s both truncate). max|w| // 1e6 + 1 also makes the
+    renormalizer zero-proof (an all-zero corpus yields v = 0, not a
+    division error). 80 rounds because the synthetic corpus is
+    near-isotropic (measured gap λ2/λ1 = 0.93 at sf0.001): 0.93^80
+    collapses the off-axis mass three orders, and the 1e6 renorm
+    scale keeps quantization from freezing the tail — the numpy-eig
+    alignment test pins |cos| > 0.99.
+
+    Scale shape: stage 1 is the q_embed_gram dataflow (mapInPandas
+    partial Grams, 2080-row-per-batch shuffle); the Gram COLLECT is a
+    bounded 2080-cell artifact (the PQ-codebook discipline) and the
+    80-round iteration is driver arithmetic on a 64x64 integer
+    matrix (microseconds);
+    stage 2 broadcasts the 64-component PC1 as a literal into a
+    scan-stage zip_with projection with a TakeOrderedAndProject
+    top-10. |proj| <= 64 * 6e3 * 1e6 = 3.8e11 — int64-safe.
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    configure(spark)
+    d = _GRAM_DIM
+    rows = gram_df(spark, sf).collect()  # bounded: 2080 cells
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[r["i"]][r["j"]] = r["g"]
+        G[r["j"]][r["i"]] = r["g"]
+    v = [1000000] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        s = max(abs(x) for x in w) // 1000000 + 1
+        v = [x // s if x >= 0 else -((-x) // s) for x in w]
+    vlit = "array(" + ",".join(f"CAST({c} AS BIGINT)" for c in v) + ")"
+    e = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("xq"),
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.expr(
+                f"aggregate(zip_with(xq, {vlit}, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("proj"),
+        )
+        .orderBy(F.col("proj").desc(), "vec_id")
+        .limit(10)
     )

@@ -106,6 +106,7 @@ _PRIORITY = (
     "q_text_vocab_coverage",
     "q_embed_random_projection",
     "q_embed_gram",
+    "q_embed_pca_power",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -143,7 +144,8 @@ _PRIORITY = (
     "q_varrep_moe",
     # (4) r9-vintage cohort (family representatives first)
     "q_join_broadcast",
-    "q_dedup_simhash",
+    # q_dedup_simhash joins the deferred r9 rows (slot given to the
+    # new q_embed_pca_power first record)
     # q_dedup_incremental joins the deferred r9 rows (slot given to
     # the new q_embed_random_projection first record)
     "q_dedup_containment",

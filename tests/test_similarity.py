@@ -489,3 +489,46 @@ def test_gram_matches_numpy_reference(spark):
         assert g[r["i"], r["j"]] == r["g"], (r["i"], r["j"])
     # diagonal is a sum of squares: strictly positive for real data
     assert all(r["g"] > 0 for r in out if r["i"] == r["j"])
+
+
+def test_pca_power_direction_matches_numpy_eig(spark):
+    """The integer power-iteration PC1 should align with numpy's
+    float eigensolver on the same Gram (|cos| > 0.99 after 5 rounds
+    given this corpus's spectral gap) — semantic check, not bit
+    parity (floats can't be pinned)."""
+    import numpy as np
+
+    from pandas_reporter_spark.operators.similarity import (
+        _GRAM_DIM,
+        _PCA_ITERS,
+        gram_df,
+    )
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = gram_df(spark, sf).collect()
+    G = np.zeros((_GRAM_DIM, _GRAM_DIM))
+    for r in rows:
+        G[r["i"], r["j"]] = r["g"]
+        G[r["j"], r["i"]] = r["g"]
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+
+    Gi = [[int(G[i, j]) for j in range(_GRAM_DIM)] for i in range(_GRAM_DIM)]
+    v = [1000000] * _GRAM_DIM
+    for _ in range(_PCA_ITERS):
+        w = [
+            sum(Gi[i][j] * v[j] for j in range(_GRAM_DIM))
+            for i in range(_GRAM_DIM)
+        ]
+        s = max(abs(x) for x in w) // 1000000 + 1
+        v = [x // s if x >= 0 else -((-x) // s) for x in w]
+    vf = np.array(v, dtype=np.float64)
+    cos = abs(vf @ top) / (np.linalg.norm(vf) * np.linalg.norm(top))
+    assert cos > 0.99, cos  # 0.93^80 collapses the off-axis mass
+
+    # and the registered query is deterministic across runs
+    a = [tuple(r) for r in QUERIES["q_embed_pca_power"](spark, sf).collect()]
+    b = [tuple(r) for r in QUERIES["q_embed_pca_power"](spark, sf).collect()]
+    assert a == b and len(a) == 10
