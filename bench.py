@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "q_embed_random_projection",
     "q_embed_gram",
     "q_embed_pca_power",
+    "q_stream_sample_weighted",
 ]
 
 

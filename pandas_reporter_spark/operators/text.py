@@ -3555,10 +3555,10 @@ def q_text_bpe_apply(spark, sf):
 
 _WSAMPLE_K = 64
 
-
-@query(
-    "q_sample_weighted",
-    oracle=f"""
+#: shared by the batch draw and its streaming twin (which must
+#: reproduce the batch sample EXACTLY — the reservoir is mergeable
+#: and the keys are deterministic, so same oracle string)
+_WSAMPLE_ORACLE = f"""
     -- Efraimidis-Spirakis weighted sampling without replacement:
     -- key = ln(u)/w with u a deterministic hash-uniform in (0,1],
     -- w = n_chars; top-{_WSAMPLE_K} keys win. Single fused ln, one
@@ -3577,8 +3577,10 @@ _WSAMPLE_K = 64
     )
     SELECT doc_id, source, n_chars, key_nano FROM s
     ORDER BY key_nano DESC, doc_id LIMIT {_WSAMPLE_K}
-    """,
-)
+    """
+
+
+@query("q_sample_weighted", oracle=_WSAMPLE_ORACLE)
 def q_sample_weighted(spark, sf):
     """Weighted sampling WITHOUT replacement (public method:
     Efraimidis & Spirakis 2006, "Weighted random sampling with a
@@ -3726,4 +3728,132 @@ def q_text_vocab_coverage(spark, sf):
                 "cov_micro"
             ),
         )
+    )
+
+
+@query("q_stream_sample_weighted", oracle=_WSAMPLE_ORACLE)
+def q_stream_sample_weighted(spark, sf):
+    """The weighted reservoir at INGEST TIME — the streaming twin of
+    q_sample_weighted, and the literal setting of Efraimidis &
+    Spirakis 2006 (their reservoir IS a streaming algorithm): as
+    documents arrive, each source's GroupState holds its running
+    top-k by ln(u)/w key, and the final global sample is the exact
+    merge of the per-source reservoirs. Because top-k is MERGEABLE
+    and the keys are deterministic hash-derived, the stream must
+    reproduce the batch draw BIT-FOR-BIT — same oracle string as the
+    batch query.
+
+    Scale shape: key computation is stateless scan-side column work
+    (the portable hash + one fused ln, nano-quantized — no Python);
+    per-source state is bounded at k rows of three longs regardless
+    of stream length; the state channel carries Arrow batches and
+    each update is a vectorized concat-sort-head. update-mode
+    emissions snapshot the reservoir per micro-batch; the batch-side
+    finisher keeps each source's LAST snapshot (max update seq) and
+    merges with the same (key DESC, doc_id) order + LIMIT — exactly
+    how a sharded production reservoir merges.
+
+    Reference parity: none (driver-mandated streaming surface).
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pandas_reporter_spark.operators.dedup import portable_token_hash
+    from pandas_reporter_spark.operators.events import (
+        _bounded_state_parts,
+        _run_stream,
+    )
+
+    configure(spark)
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = os.path.join(sf, "documents.parquet")
+    if os.path.isdir(p):
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(p)
+        )
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+        )
+    h = portable_token_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = (
+        F.round(
+            F.log(u) / F.col("n_chars").cast("double") * F.lit(1000000000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("key_nano")
+    )
+    scored = src.filter(F.col("n_chars") > 0).select(
+        "source", "doc_id", "n_chars", key
+    )
+
+    k = _WSAMPLE_K
+
+    def upd(grp, pdfs, state):
+        if state.exists:
+            seq, ids, nch, keys = state.get
+            cur = pd.DataFrame(
+                {"doc_id": ids, "n_chars": nch, "key_nano": keys}
+            )
+        else:
+            seq, cur = 0, pd.DataFrame(
+                {"doc_id": [], "n_chars": [], "key_nano": []}, dtype="int64"
+            )
+        for pdf in pdfs:
+            cur = pd.concat(
+                [cur, pdf[["doc_id", "n_chars", "key_nano"]]],
+                ignore_index=True,
+            )
+        cur = cur.sort_values(
+            ["key_nano", "doc_id"], ascending=[False, True]
+        ).head(k)
+        seq += 1
+        state.update(
+            (
+                seq,
+                cur["doc_id"].astype("int64").tolist(),
+                cur["n_chars"].astype("int64").tolist(),
+                cur["key_nano"].astype("int64").tolist(),
+            )
+        )
+        out = cur.copy()
+        out["source"] = grp[0]
+        out["seq"] = seq
+        yield out[["source", "doc_id", "n_chars", "key_nano", "seq"]]
+
+    res = scored.groupBy("source").applyInPandasWithState(
+        upd,
+        outputStructType=(
+            "source string, doc_id long, n_chars long,"
+            " key_nano long, seq long"
+        ),
+        stateStructType=(
+            "seq long, ids array<long>, nch array<long>, keys array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with _bounded_state_parts(spark, 16):
+        sink = _run_stream(spark, res, "update")
+    # keep each source's LAST reservoir snapshot (no self-join: the
+    # memory-sink plan can't be joined with its own aggregate)
+    wlast = W.partitionBy("source")
+    return (
+        sink.withColumn("mseq", F.max("seq").over(wlast))
+        .filter(F.col("seq") == F.col("mseq"))
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+        .limit(k)
+        .select("doc_id", "source", "n_chars", "key_nano")
     )

@@ -107,6 +107,7 @@ _PRIORITY = (
     "q_embed_random_projection",
     "q_embed_gram",
     "q_embed_pca_power",
+    "q_stream_sample_weighted",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -154,7 +155,8 @@ _PRIORITY = (
     # q_text_repetition joins the deferred r9 rows (slot given to the
     # new q_text_vocab_coverage first record)
     "q_text_kl_divergence",
-    "q_similarity_ann_lsh",
+    # q_similarity_ann_lsh joins the deferred r9 rows (slot given to
+    # the new q_stream_sample_weighted first record)
     # q_embed_quantize joins the deferred r9 rows (slot given to the
     # new q_text_bpe_train first record)
     "q_events_tumbling",

@@ -494,3 +494,14 @@ def test_vocab_coverage_saturates_beyond_vocab(spark, tmp_path_factory):
         (32, 3, 10, 10, 10**6),
         (64, 3, 10, 10, 10**6),
     ]
+
+
+def test_stream_reservoir_equals_batch_draw(spark):
+    """The streaming reservoir must reproduce the batch E-S sample
+    bit-for-bit (mergeable top-k + deterministic keys)."""
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in QUERIES["q_sample_weighted"](spark, sf).collect()]
+    stream = [
+        tuple(r) for r in QUERIES["q_stream_sample_weighted"](spark, sf).collect()
+    ]
+    assert stream == batch
