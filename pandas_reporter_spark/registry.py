@@ -108,6 +108,7 @@ _PRIORITY = (
     "q_embed_gram",
     "q_embed_pca_power",
     "q_stream_sample_weighted",
+    "q_source_jsonl_roundtrip",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -149,7 +150,8 @@ _PRIORITY = (
     # new q_embed_pca_power first record)
     # q_dedup_incremental joins the deferred r9 rows (slot given to
     # the new q_embed_random_projection first record)
-    "q_dedup_containment",
+    # q_dedup_containment joins the deferred r9 rows (slot given to
+    # the new q_source_jsonl_roundtrip first record)
     # q_text_tfidf joins the deferred r9 rows (slot given to the new
     # q_embed_gram first record)
     # q_text_repetition joins the deferred r9 rows (slot given to the

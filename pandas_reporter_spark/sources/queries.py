@@ -328,3 +328,46 @@ def q_source_schema_merge(spark, sf):
         F.count("quality").alias("n_scored"),
         F.round(dsum("quality", scale=3), 3).alias("sum_quality"),
     )
+
+
+@query(
+    "q_source_jsonl_roundtrip",
+    oracle="""
+    -- checksum on the parquet ORIGINAL: hash-matching it after a
+    -- JSONL round-trip proves the writer/scanner preserves every
+    -- text byte and value exactly
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15))
+                    AS BIGINT) % 1000000007) AS BIGINT) AS text_check
+    FROM documents GROUP BY source
+    """,
+)
+def q_source_jsonl_roundtrip(spark, sf):
+    """S7-family: JSON-Lines scan — the interchange format LLM
+    corpora actually ship in (one JSON object per line). documents →
+    JSONL → read back with explicit schema → per-source rollup whose
+    text column enters an md5-derived checksum, so hash-matching the
+    oracle (which reads the parquet ORIGINAL) proves the JSONL
+    writer/scanner round-trips every text byte exactly — escaping,
+    unicode, and all.
+
+    Scale shape: Spark's json writer/reader are per-partition
+    streaming codecs (no shuffle either way); schema is EXPLICIT on
+    read (schema inference is a full extra pass at 100 TB — the
+    standing source-layer rule, same as the CSV roundtrip).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    out = os.path.join(tempfile.gettempdir(), "prs_jsonl_roundtrip")
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(h % F.lit(1000000007)).cast("bigint").alias("text_check"),
+    )

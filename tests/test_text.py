@@ -336,6 +336,8 @@ def _py_bpe(words, k):
             t = s.split(" ")
             for a, b in zip(t, t[1:]):
                 pc[(a, b)] += c
+        if not pc:
+            break  # exhausted: every word is one symbol (engine breaks too)
         (l, r) = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append((rnd + 1, l, r, pc[(l, r)], l + r))
         nxt = Counter()
@@ -505,3 +507,54 @@ def test_stream_reservoir_equals_batch_draw(spark):
         tuple(r) for r in QUERIES["q_stream_sample_weighted"](spark, sf).collect()
     ]
     assert stream == batch
+
+
+def test_bpe_property_random_corpora_match_python_reference(spark, tmp_path):
+    """Hypothesis: engine merge table == the pure-Python reference on
+    random small corpora — exercises regex-metachar tokens, multibyte
+    chars, runs of identical words, and merge exhaustion."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab.(β "  # regex metachar, multibyte, spaces
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(
+            st.text(alphabet=alphabet, min_size=0, max_size=24),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def inner(texts):
+        import os as _os
+        import uuid
+
+        # unique dir per example: Spark caches the file listing per
+        # path, so overwriting a reused path serves deleted part files
+        sf = str(tmp_path / f"bpeprop_{uuid.uuid4().hex[:10]}")
+        rows = [
+            (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(sf, "documents.parquet")
+        )
+        words = [
+            w for t in texts for w in t.lower().split(" ") if w != ""
+        ]
+        expect = _py_bpe(words, 8) if words else []
+        got = [
+            tuple(r)
+            for r in QUERIES["q_text_bpe_train"](spark, sf).collect()
+        ]
+        assert got == expect, (texts, got, expect)
+
+    inner()
