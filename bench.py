@@ -288,6 +288,17 @@ def main() -> None:
         materialize_ivf_index(spark, sf_dir)
     except Exception:
         pass
+    # ...and the trained BPE merge table: a tokenizer trains once at
+    # corpus build time; the apply pass reads the 8-row artifact
+    # (bit-equal to self-training, pinned in tests).
+    try:
+        from pandas_reporter_spark.operators.text import (
+            materialize_bpe_merges,
+        )
+
+        materialize_bpe_merges(spark, sf_dir)
+    except Exception:
+        pass
     # ...and the bigram-graph edge/node artifact for PageRank.
     try:
         from pandas_reporter_spark.operators.graph import materialize_graph

@@ -558,3 +558,22 @@ def test_bpe_property_random_corpora_match_python_reference(spark, tmp_path):
         assert got == expect, (texts, got, expect)
 
     inner()
+
+
+def test_bpe_artifact_path_is_bit_equal(spark, tmp_path):
+    """apply via the at-rest trained-merges artifact == the
+    self-training path, and the artifact equals the train query."""
+    from pandas_reporter_spark.operators import text as T
+    from pandas_reporter_spark.tables import _session_key
+
+    sf = "/root/testdata/sf0.001"
+    key = (_session_key(spark), sf)
+    T._BPE_ART.pop(key, None)
+    fresh = sorted(tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, sf).collect())
+    T.materialize_bpe_merges(spark, sf, base=str(tmp_path))
+    assert T.bpe_merges(spark, sf) is not None
+    train = [tuple(r) for r in QUERIES["q_text_bpe_train"](spark, sf).collect()]
+    assert T.bpe_merges(spark, sf) == train
+    via_art = sorted(tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, sf).collect())
+    assert via_art == fresh
+    T._BPE_ART.pop(key, None)
