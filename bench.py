@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q_embed_pca_power",
     "q_stream_sample_weighted",
     "q_source_jsonl_roundtrip",
+    "q_pipeline_curriculum",
 ]
 
 

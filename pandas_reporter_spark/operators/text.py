@@ -3917,3 +3917,157 @@ def materialize_bpe_merges(spark, sf, base: str = "/dev/shm") -> None:
         ]
     except Exception:
         return
+
+
+_CURR_STAGES = 8
+
+_CURRICULUM_ORACLE = f"""
+    -- curriculum staging by exact octiles of the length-normalized
+    -- classifier score: per-occurrence virtual weights (the
+    -- q_text_quality_classifier model), q = trunc(1000*s/dl)
+    -- (sign-split: // floors here, DIV truncates in Spark; on |s|
+    -- they agree), octile boundaries b_k = min q with 8*cum >= k*N
+    -- over the BOUNDED value-domain histogram, stage = #boundaries
+    -- strictly below q
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substring(md5(concat('w#',
+                CAST((CAST(concat('0x', substring(md5(token), 1, 15))
+                      AS BIGINT) % {_QC_BUCKETS}) AS VARCHAR))), 1, 15))
+               AS BIGINT) % {_QC_WMOD}) - 128 AS w
+      FROM tok WHERE token <> ''
+    ), doc AS (
+      SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS dl
+      FROM feat GROUP BY doc_id
+    ), docq AS (
+      SELECT doc_id,
+             CASE WHEN s >= 0 THEN (s * 1000) // dl
+                  ELSE -(((-s) * 1000) // dl) END AS q
+      FROM doc
+    ), hist AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM docq GROUP BY q
+    ), cum AS (
+      SELECT q, CAST(SUM(c) OVER (ORDER BY q) AS BIGINT) AS cum
+      FROM hist
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docq),
+    ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k),
+    b AS (
+      SELECT k, MIN(q) AS bq FROM ks, cum, t
+      WHERE 8 * cum.cum >= k * t.n GROUP BY k
+    ),
+    st AS (
+      SELECT d.doc_id, d.q,
+             (SELECT COUNT(*) FROM b WHERE d.q > b.bq) AS stage
+      FROM docq d
+    )
+    SELECT CAST(stage AS INT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(q) AS q_min, MAX(q) AS q_max,
+           CAST(SUM(doc_id % 1000000007) AS BIGINT) AS id_check
+    FROM st GROUP BY 1
+    """
+
+
+@query("q_pipeline_curriculum", oracle=_CURRICULUM_ORACLE)
+def q_pipeline_curriculum(spark, sf):
+    """Curriculum staging (public shape: Bengio et al. 2009,
+    "Curriculum Learning" — order training data easy→hard): assign
+    every document to one of 8 EXACT score-octile stages of the
+    length-normalized classifier quality score, and report the
+    per-stage audit (counts, score range, id checksum) a curriculum
+    schedule consumes.
+
+    The scale trick is the BOUNDED VALUE DOMAIN: the normalized
+    score q = trunc(1000·s/dl) is confined to [-128000, 128000] by
+    the weight range regardless of corpus size, so EXACT octiles —
+    normally a global-sort problem — come from a ≤257k-row
+    value-domain histogram: one map-side-combined groupBy(q), a
+    window over the bounded dictionary (corpus-independent, unlike a
+    corpus-row window), and 7 boundary rows collected as a bounded
+    artifact. Stage assignment is then pure scan-stage expression
+    work against 7 literals. Boundary semantics are quantile-disc
+    (b_k = min q with 8·cum ≥ k·N; ties at a boundary fall to the
+    lower stage), so counts are equal up to value ties —
+    deterministic in both engines. The normalizing division is
+    sign-split (DuckDB // floors, Spark DIV truncates; on |s| both
+    truncate). Zero-token docs carry no score and are excluded by
+    construction (no occurrence rows) — documented, matching the
+    occurrence-form classifier.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+        % _QC_BUCKETS
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w#"), bucket.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _QC_WMOD
+        - 128
+    )
+    d = load(spark, sf, "documents")
+    doc = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("dl"),
+        )
+    )
+    docq = doc.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN s >= 0 THEN (s * 1000) DIV dl"
+            " ELSE -(((-s) * 1000) DIV dl) END"
+        ).alias("q"),
+    )
+    hist = docq.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = hist.select(
+        "q",
+        F.sum("c").over(W.orderBy("q")).cast("bigint").alias("cum"),
+    )
+    tot = docq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ks = spark.createDataFrame([(k,) for k in range(1, 8)], "k int")
+    b = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ks),
+            F.lit(8) * F.col("cum") >= F.col("k") * F.col("n"),
+        )
+        .groupBy("k")
+        .agg(F.min("q").alias("bq"))
+        .collect()  # bounded: 7 boundary rows (the merge-table discipline)
+    )
+    bs = sorted(r["bq"] for r in b)
+    stage = sum(
+        (F.when(F.col("q") > F.lit(bq), 1).otherwise(0) for bq in bs),
+        F.lit(0),
+    ).cast("int")
+    return (
+        docq.select("doc_id", "q", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+            F.sum(F.col("doc_id") % F.lit(1000000007))
+            .cast("bigint")
+            .alias("id_check"),
+        )
+    )

@@ -109,6 +109,7 @@ _PRIORITY = (
     "q_embed_pca_power",
     "q_stream_sample_weighted",
     "q_source_jsonl_roundtrip",
+    "q_pipeline_curriculum",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -156,7 +157,8 @@ _PRIORITY = (
     # q_embed_gram first record)
     # q_text_repetition joins the deferred r9 rows (slot given to the
     # new q_text_vocab_coverage first record)
-    "q_text_kl_divergence",
+    # q_text_kl_divergence joins the deferred r9 rows (slot given to
+    # the new q_pipeline_curriculum first record)
     # q_similarity_ann_lsh joins the deferred r9 rows (slot given to
     # the new q_stream_sample_weighted first record)
     # q_embed_quantize joins the deferred r9 rows (slot given to the

