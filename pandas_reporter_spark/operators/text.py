@@ -3989,7 +3989,12 @@ def q_pipeline_curriculum(spark, sf):
     window over the bounded dictionary (corpus-independent, unlike a
     corpus-row window), and 7 boundary rows collected as a bounded
     artifact. Stage assignment is then pure scan-stage expression
-    work against 7 literals. Boundary semantics are quantile-disc
+    work against 7 literals. The registered form tokenizes+scores the
+    corpus TWICE (once into the boundary histogram, once for
+    staging) — matching the oracle's CTE expansion; a pipeline run
+    caches the (doc_id, q) relation (~16 B/doc) or rides the
+    tokenize artifact to make it one pass. Boundary semantics are
+    quantile-disc
     (b_k = min q with 8·cum ≥ k·N; ties at a boundary fall to the
     lower stage), so counts are equal up to value ties —
     deterministic in both engines. The normalizing division is
@@ -4030,13 +4035,15 @@ def q_pipeline_curriculum(spark, sf):
             F.count(F.lit(1)).cast("bigint").alias("dl"),
         )
     )
+    from pyspark import StorageLevel
+
     docq = doc.select(
         "doc_id",
         F.expr(
             "CASE WHEN s >= 0 THEN (s * 1000) DIV dl"
             " ELSE -(((-s) * 1000) DIV dl) END"
         ).alias("q"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hist = docq.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     cum = hist.select(
         "q",
