@@ -3503,10 +3503,15 @@ def q_text_bpe_apply(spark, sf):
     # per-doc HOF 16.7 / 140 s, one-regex-pass-per-doc 17.8 / 158 s
     # (negative result: the cost IS the 9 corpus-size string passes,
     # not regex setup), dictionary form 3.5 / 11.9 s.
+    # persisted: the counts feed BOTH the distinct-word segmentation
+    # and the rollup join, and Catalyst does not reuse the exchange
+    # across the branches (measured: 0 ReusedExchange, corpus
+    # tokenized twice without this; dictionary×sources-sized cache)
     wcnt = (
         d.select("source", F.explode(toks).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
     # dictionary-level segmentation: one word per string, single-space
     # padding (no neighbor exists to share a pad space with)
