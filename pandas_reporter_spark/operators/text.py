@@ -3480,7 +3480,7 @@ def q_text_bpe_apply(spark, sf):
     corpus-level forms were measured and rejected — per-doc HOF
     16.7 s / 140 s at sf10/sf100, one-regex-pass-per-doc 17.8 / 158 s
     (the cost is the 9 corpus-size string passes, not regex setup);
-    the dictionary form runs 3.5 / 11.9 s against the oracle's 54 /
+    the dictionary form runs 3.1 / 8.7 s against the oracle's 54 /
     906 s per-doc spec (the q_dedup_fuzzy posture: the oracle states
     the naive spec, the engine implements the linear shape).
 
@@ -3502,7 +3502,7 @@ def q_text_bpe_apply(spark, sf):
     # trainer runs. Measured at sf10/sf100 vs two corpus-level forms:
     # per-doc HOF 16.7 / 140 s, one-regex-pass-per-doc 17.8 / 158 s
     # (negative result: the cost IS the 9 corpus-size string passes,
-    # not regex setup), dictionary form 3.5 / 11.9 s.
+    # not regex setup), dictionary form 3.1 / 8.7 s (with wcnt persisted).
     # persisted: the counts feed BOTH the distinct-word segmentation
     # and the rollup join, and Catalyst does not reuse the exchange
     # across the branches (measured: 0 ReusedExchange, corpus
