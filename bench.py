@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q_stream_sample_weighted",
     "q_source_jsonl_roundtrip",
     "q_pipeline_curriculum",
+    "q_sink_compaction",
 ]
 
 

@@ -371,3 +371,64 @@ def q_source_jsonl_roundtrip(spark, sf):
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum(h % F.lit(1000000007)).cast("bigint").alias("text_check"),
     )
+
+
+#: compaction target: text bytes per output file. 2 MB at test scale
+#: so the op exercises multi-file output on the driver snapshot; a
+#: production deployment sets ~128 MB (one HDFS/object-store block).
+_COMPACT_CHARS = 2_000_000
+
+
+@query(
+    "q_sink_compaction",
+    oracle=f"""
+    -- size-derived file count + full-fidelity checksum, computed on
+    -- the ORIGINAL: hash-matching after the compacted write/read
+    -- proves the re-layout preserved every row and byte
+    SELECT CAST(GREATEST(1, (SUM(n_chars) + {_COMPACT_CHARS} - 1)
+                 // {_COMPACT_CHARS}) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15))
+                    AS BIGINT) % 1000000007) AS BIGINT) AS text_check
+    FROM documents
+    """,
+)
+def q_sink_compaction(spark, sf):
+    """S12-family: COMPACTION — the small-files problem every
+    long-running ingest hits (thousands of tiny part files per
+    micro-batch/partition turn listing + open overhead into the
+    dominant scan cost). Re-lay the table out at a SIZE-DERIVED file
+    count: n_files = ceil(total_text_chars / target), rewrite via
+    repartition(n_files), read the compacted copy back and emit its
+    row count + char volume + md5-derived text checksum — which must
+    hash-match the oracle computed on the ORIGINAL, proving the
+    re-layout lost nothing.
+
+    Scale shape: one stats aggregate (map-side combined, one row
+    collected — bounded), one round-robin repartition exchange
+    (unavoidable: re-sizing files IS a data movement), one
+    streaming-codec write. The size proxy is SUM(n_chars) — a column
+    the table carries — rather than filesystem bytes, so the file
+    count is SQL-replayable and layout-independent (the same corpus
+    compacts to the same count whether it arrives as 3 files or
+    30,000). The exact-file-count assertion lives in tests (the
+    oracle checks values; the filesystem is Spark-side).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    st = d.agg(
+        F.sum("n_chars").cast("bigint").alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).collect()[0]
+    n_files = max(1, (int(st["sc"]) + _COMPACT_CHARS - 1) // _COMPACT_CHARS)
+    out = os.path.join(tempfile.gettempdir(), "prs_compaction")
+    d.repartition(n_files).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return back.agg(
+        F.lit(n_files).cast("bigint").alias("n_files"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(h % F.lit(1000000007)).cast("bigint").alias("text_check"),
+    )

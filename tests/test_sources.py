@@ -402,3 +402,23 @@ def test_live_cr_fetch_roundtrip_and_pivot_invariants(tmp_path):
     again = fetch_json(u, cache_dir=str(tmp_path), fetcher=counting_fetcher)
     assert calls["n"] == 1
     assert again == data
+
+
+def test_compaction_writes_exactly_the_derived_file_count(spark):
+    """The on-disk part-file count equals the size-derived n_files
+    (the oracle checks values; the filesystem is pinned here)."""
+    import glob
+    import os
+    import tempfile
+
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["q_sink_compaction"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    parts = glob.glob(
+        os.path.join(tempfile.gettempdir(), "prs_compaction", "part-*")
+    )
+    assert len(parts) == row["n_files"] >= 1
+    assert row["n_rows"] > 0
