@@ -2271,7 +2271,7 @@ _GRAM_DIM = 64
 #: the Gram SQL core, shared by the q_embed_gram oracle and the PCA
 #: power-iteration oracle's first CTE
 _GRAM_SQL = f"""
-    SELECT i, j,
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            CAST(SUM(xq[i + 1] * xq[j + 1]) AS BIGINT) AS g
     FROM (
       SELECT list_transform(embedding, x ->
@@ -2335,11 +2335,23 @@ def gram_df(spark, sf) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            if x.shape[1] != d:
+            col = pdf["embedding"]
+            # fail-loud policy of _KM_QUANT_CHECKED: a NULL or ragged
+            # embedding must raise a CHECKED error, not an opaque
+            # np.stack shape error (and never silently skip, which is
+            # what the oracle's list_transform(NULL) would do)
+            if col.isna().any():
                 raise ValueError(
-                    f"q_embed_gram: embedding dim {x.shape[1]} != {d}"
+                    f"q_embed_gram: embedding is NULL (expected"
+                    f" array<float> of dim {d})"
                 )
+            lens = col.map(len)
+            if (lens != d).any():
+                bad = int(lens[lens != d].iloc[0])
+                raise ValueError(
+                    f"q_embed_gram: embedding dim {bad} != {d}"
+                )
+            x = np.stack(col.to_numpy()).astype(np.float64)
             xq = np.floor(x * 1000.0 + 0.5).astype(np.int64)
             g = xq.T @ xq
             yield pd.DataFrame(

@@ -3490,7 +3490,8 @@ def q_text_bpe_apply(spark, sf):
     # at-rest trained tokenizer, when a session has materialized it
     # (materialize_bpe_merges — bit-equal by construction since the
     # artifact IS q_text_bpe_train's output; pinned in tests)
-    merges = bpe_merges(spark, sf) or _bpe_learn(spark, sf, _BPE_MERGES)
+    art = bpe_merges(spark, sf)
+    merges = art if art is not None else _bpe_learn(spark, sf, _BPE_MERGES)
     d = load(spark, sf, "documents")
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     # Heaps'-law move, applied to APPLICATION too: the fertility

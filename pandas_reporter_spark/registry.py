@@ -81,9 +81,10 @@ _PRIORITY = (
     # ---- ROUND-12 ROTATION (driver restarted the round; the interim
     # r12/r13 session records never landed, so the last official file
     # is CORRECTNESS_r11.json). Slot budget, in priority order:
-    # (1) first-ever records for the 13 queries added since r11
-    #     (six from the interim r12 session, seven from the interim
-    #     r13 session) — a missing record costs a round;
+    # (1) first-ever records for the 24 never-recorded queries:
+    #     six from the interim r12 session, seven from the interim
+    #     r13 session, eleven added this session — a missing record
+    #     costs a round;
     # (2) queries whose BODIES changed since the r11 record landed
     #     (AST-level diff vs commit 0abaadd, comments/docstrings
     #     stripped): the rewritten TPC-H trio q3/q5/q18 (pre-agg /

@@ -26,6 +26,23 @@ from pandas_reporter_spark.sources.varrep import (
 )
 from pandas_reporter_spark.tables import dsum, load
 
+
+def _scratch(name: str, sf: str) -> str:
+    """Per-process, per-sf scratch dir for roundtrip/compaction sinks.
+
+    A FIXED shared path races any concurrent session (one process's
+    mode('overwrite') deletes part files another is mid-read on — a
+    spurious correctness FAIL) and collides across users on a shared
+    /tmp. Keying by sf basename + pid makes the path private to this
+    process while staying STABLE within it (so Spark's per-path file-
+    listing cache sees overwrites by the same process, which
+    invalidate it correctly)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"prs_{name}_{os.path.basename(os.path.normpath(sf))}_{os.getpid()}",
+    )
+
+
 _FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
@@ -111,7 +128,7 @@ def q_source_csv_roundtrip(spark, sf):
     li = load(spark, sf, "lineitem").select(
         "l_returnflag", "l_quantity"
     )
-    out = os.path.join(tempfile.gettempdir(), "prs_csv_roundtrip")
+    out = _scratch("csv_roundtrip", sf)
     li.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.csv(out, header=True, schema="l_returnflag string, l_quantity double")
     return back.groupBy("l_returnflag").agg(
@@ -360,7 +377,7 @@ def q_source_jsonl_roundtrip(spark, sf):
     """
     configure(spark)
     d = load(spark, sf, "documents")
-    out = os.path.join(tempfile.gettempdir(), "prs_jsonl_roundtrip")
+    out = _scratch("jsonl_roundtrip", sf)
     d.write.mode("overwrite").json(out)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -422,7 +439,7 @@ def q_sink_compaction(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n"),
     ).collect()[0]
     n_files = max(1, (int(st["sc"]) + _COMPACT_CHARS - 1) // _COMPACT_CHARS)
-    out = os.path.join(tempfile.gettempdir(), "prs_compaction")
+    out = _scratch("compaction", sf)
     d.repartition(n_files).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")

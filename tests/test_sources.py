@@ -417,8 +417,10 @@ def test_compaction_writes_exactly_the_derived_file_count(spark):
     row = QUERIES["q_sink_compaction"](
         spark, "/root/testdata/sf0.001"
     ).collect()[0]
+    from pandas_reporter_spark.sources.queries import _scratch
+
     parts = glob.glob(
-        os.path.join(tempfile.gettempdir(), "prs_compaction", "part-*")
+        os.path.join(_scratch("compaction", "/root/testdata/sf0.001"), "part-*")
     )
     assert len(parts) == row["n_files"] >= 1
     assert row["n_rows"] > 0

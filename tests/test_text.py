@@ -591,9 +591,9 @@ def test_curriculum_octiles_are_balanced_and_ordered(spark):
     assert stages == list(range(len(stages)))
     # ranges ordered and disjoint
     for (_, a), (_, b) in zip(rows, rows[1:]):
-        assert a["q_max"] < b["q_min"] or (
-            a["q_max"] <= b["q_min"]
-        ), (a, b)
+        # strictly disjoint: stage is a function of q, so a boundary
+        # value belongs entirely to one stage
+        assert a["q_max"] < b["q_min"], (a, b)
     n = sum(r["n_docs"] for _, r in rows)
     assert n > 0
     # every stage nonempty on this corpus and none holds a majority
