@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q_source_jsonl_roundtrip",
     "q_pipeline_curriculum",
     "q_sink_compaction",
+    "q_text_fim",
 ]
 
 

@@ -4084,3 +4084,110 @@ def q_pipeline_curriculum(spark, sf):
             .alias("id_check"),
         )
     )
+
+
+@query(
+    "q_text_fim",
+    oracle="""
+    -- FIM (fill-in-the-middle) transformation: deterministic
+    -- hash-selected half of eligible docs, two hash-derived cut
+    -- points, PSM reorder <PRE>p<SUF>s<MID>m; per-source audit with
+    -- an md5 checksum of the TRANSFORMED text
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS L,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+               || ':fimsel'), 1, 15)) AS BIGINT) % 2 = 0 AS sel,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+               || ':fim1'), 1, 15)) AS BIGINT) AS h1,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+               || ':fim2'), 1, 15)) AS BIGINT) AS h2
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             CASE WHEN L >= 2 AND sel THEN 1 ELSE 0 END AS fim,
+             CASE WHEN L >= 2 AND sel THEN
+               '<PRE>' || substr(text, 1,
+                   CAST(LEAST(1 + h1 % (L - 1), 1 + h2 % (L - 1))
+                        AS INT))
+               || '<SUF>' || substr(text,
+                   CAST(GREATEST(1 + h1 % (L - 1), 1 + h2 % (L - 1))
+                        AS INT) + 1)
+               || '<MID>' || substr(text,
+                   CAST(LEAST(1 + h1 % (L - 1), 1 + h2 % (L - 1))
+                        AS INT) + 1,
+                   CAST(GREATEST(1 + h1 % (L - 1), 1 + h2 % (L - 1))
+                      - LEAST(1 + h1 % (L - 1), 1 + h2 % (L - 1))
+                        AS INT))
+             ELSE text END AS out_text
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fim) AS BIGINT) AS n_fim,
+           CAST(SUM(CAST(concat('0x', substring(md5(out_text), 1, 15))
+                    AS BIGINT) % 1000000007) AS BIGINT) AS out_check
+    FROM f GROUP BY source
+    """,
+)
+def q_text_fim(spark, sf):
+    """Fill-in-the-middle transformation (public method: Bavarian et
+    al. 2022, "Efficient Training of Language Models to Fill in the
+    Middle" — the data-level augmentation every code-LLM pipeline
+    runs): for a deterministic hash-selected half of the corpus,
+    split each document at two hash-derived character cut points and
+    reorder to the PSM format <PRE>prefix<SUF>suffix<MID>middle;
+    untransformed docs pass through. The per-source audit carries an
+    md5 checksum OF THE TRANSFORMED TEXT, so the oracle hash-match
+    pins the actual reordering byte-for-byte, not just the counts.
+
+    Scale shape: pure scan-stage string arithmetic (three substr, two
+    hashes, one parity draw — zero shuffles before the |sources|
+    rollup), and the transform is REPRODUCIBLE: cut points derive
+    from the salted portable doc_id hash (the q_pipeline_shard
+    discipline), so re-runs and the oracle replay the same document
+    surgery. Cut points c ∈ [1, L-1] (both cuts interior; equal cuts
+    give an empty middle — the paper's degenerate case, kept);
+    docs under 2 chars are ineligible by construction (the L-1
+    modulus needs L ≥ 2). substr semantics are 1-based and
+    codepoint-counted in both engines.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    from pandas_reporter_spark.operators.dedup import portable_token_hash
+
+    d = load(spark, sf, "documents")
+    ds = F.col("doc_id").cast("string")
+    sel = portable_token_hash(F.concat(ds, F.lit(":fimsel"))) % 2 == 0
+    h1 = portable_token_hash(F.concat(ds, F.lit(":fim1")))
+    h2 = portable_token_hash(F.concat(ds, F.lit(":fim2")))
+    L = F.length("text")
+    c1 = F.lit(1) + h1 % (L - F.lit(1)).cast("long")
+    c2 = F.lit(1) + h2 % (L - F.lit(1)).cast("long")
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
+    eligible = (L >= 2) & sel
+    fim_text = F.concat(
+        F.lit("<PRE>"),
+        F.substring(F.col("text"), 1, lo),
+        F.lit("<SUF>"),
+        F.col("text").substr(hi + F.lit(1), L),
+        F.lit("<MID>"),
+        F.col("text").substr(lo + F.lit(1), hi - lo),
+    )
+    out_text = F.when(eligible, fim_text).otherwise(F.col("text"))
+    h = F.conv(F.substring(F.md5(out_text), 1, 15), 16, 10).cast("long")
+    return (
+        d.select(
+            "source",
+            F.when(eligible, 1).otherwise(0).alias("fim"),
+            (h % F.lit(1000000007)).alias("hc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("fim").cast("bigint").alias("n_fim"),
+            F.sum("hc").cast("bigint").alias("out_check"),
+        )
+    )

@@ -112,6 +112,7 @@ _PRIORITY = (
     "q_source_jsonl_roundtrip",
     "q_pipeline_curriculum",
     "q_sink_compaction",
+    "q_text_fim",
     # (1) never recorded — interim r13 session
     "q_search_hybrid_rrf",
     "q_text_quality_classifier",
@@ -167,7 +168,8 @@ _PRIORITY = (
     # new q_text_bpe_train first record)
     # q_events_tumbling joins the deferred r9 rows (slot given to the
     # new q_sink_compaction first record)
-    "q_events_sliding",
+    # q_events_sliding joins the deferred r9 rows (slot given to the
+    # new q_text_fim first record)
     # q_events_late joins the deferred r9 rows (slot given to the new
     # q_sample_weighted first record)
     "q_events_stream_dedup",

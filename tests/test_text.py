@@ -599,3 +599,45 @@ def test_curriculum_octiles_are_balanced_and_ordered(spark):
     # every stage nonempty on this corpus and none holds a majority
     assert all(r["n_docs"] > 0 for _, r in rows)
     assert max(r["n_docs"] for _, r in rows) < n
+
+
+def test_fim_matches_hashlib_and_reassembles(spark):
+    """Third-opinion FIM: recompute every transformed doc with
+    hashlib + str slicing; the PSM parts must reassemble the original
+    and the per-source checksums must match the query."""
+    import hashlib
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    agg = {}
+    for doc_id, source, text in rows:
+        L = len(text)
+        sel = h60(f"{doc_id}:fimsel") % 2 == 0
+        if L >= 2 and sel:
+            c1 = 1 + h60(f"{doc_id}:fim1") % (L - 1)
+            c2 = 1 + h60(f"{doc_id}:fim2") % (L - 1)
+            lo, hi = min(c1, c2), max(c1, c2)
+            pre, mid, suf = text[:lo], text[lo:hi], text[hi:]
+            assert pre + mid + suf == text  # reassembly invariant
+            out = f"<PRE>{pre}<SUF>{suf}<MID>{mid}"
+            fim = 1
+        else:
+            out, fim = text, 0
+        n, nf, ck = agg.get(source, (0, 0, 0))
+        agg[source] = (n + 1, nf + fim, ck + h60(out) % 1000000007)
+    got = {
+        r["source"]: (r["n_docs"], r["n_fim"], r["out_check"])
+        for r in QUERIES["q_text_fim"](spark, sf).collect()
+    }
+    assert got == agg
+    # the draw actually transforms a nontrivial share
+    assert sum(v[1] for v in agg.values()) > 0
