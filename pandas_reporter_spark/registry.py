@@ -78,117 +78,87 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-12 ROTATION (driver restarted the round; the interim
-    # r12/r13 session records never landed, so the last official file
-    # is CORRECTNESS_r11.json). Slot budget, in priority order:
-    # (1) first-ever records for the 24 never-recorded queries:
-    #     six from the interim r12 session, seven from the interim
-    #     r13 session, eleven added this session — a missing record
-    #     costs a round;
-    # (2) queries whose BODIES changed since the r11 record landed
-    #     (AST-level diff vs commit 0abaadd, comments/docstrings
-    #     stripped): the rewritten TPC-H trio q3/q5/q18 (pre-agg /
-    #     sorted-bucket SortAggregate / layout-gated semi-filter,
-    #     commits 3cd32b3/46d7e3d), the SortAggregate-audit fixes
-    #     (entropy, langid, kmeans, DSIR — commits a265d93/f882e4c),
-    #     the IVF/PQ at-rest index rework, bm25/fuzzy/hamming deps,
-    #     q_dedup_cluster (via _large_star), q_multimodal_features
-    #     (via decode_dims) — their standing records predate the code;
-    # (3) the r8 stragglers (q_sum_m, q_groupby_rss, q_varrep_moe);
-    # (4) remaining slots on the oldest (r9-vintage) cohort, family
-    #     representatives first. Deferred to r13: the r9 relational
-    #     long-tail with standing unit pins, events beyond 5 reps,
-    #     and TPC-H q2/q4/q6/q9/q14/q21 (valid r9 records on
-    #     unchanged code + standing coverage in test_tpch_rewrite).
-    # (1) never recorded — new this session
+    # ---- ROUND-13 ROTATION. Built from tools/staleness.py — the
+    # per-vintage AST audit the r12 verdict prescribed: each query's
+    # normalized body (docstrings stripped) PLUS the transitive
+    # closure of module-local helpers it calls, diffed against the
+    # commit of ITS OWN record vintage (r8=d3b8044, r9=48eecbf,
+    # r10=226a8be, r11=0abaadd, r12=cf67d0d), not one fixed base.
+    # tests/test_staleness.py re-runs the audit and fails if any
+    # stale query is missing from this prefix. Slot budget (50):
+    # (1) the 12 stale records the audit found at round start — the
+    #     judge's three (q_similarity_join_shuffled semantic LSH
+    #     rework, q_source_csv_roundtrip, q_stream_file_sink) plus
+    #     nine the body-only diff missed: five streaming queries via
+    #     the r12 _run_stream/_capture_progress rework, the minhash
+    #     _mh_width helper pair, q_similarity_ann_lsh (semantic —
+    #     occupancy-aware planes, same rework the judge caught on
+    #     join_shuffled), q_events_stateful/_stream_session;
+    # (2) the rest of the r8 cohort (32 rows) — burns the oldest
+    #     vintage entirely: after r13 nothing in the cumulative
+    #     record is older than r9;
+    # (3) six slots for queries whose bodies change THIS round
+    #     (verdict items 3-6): heavy-hitters one-scan fuse,
+    #     curriculum artifact path, BPE train/apply (artifact
+    #     validation + k-scaling), Hamming 256-bit pair.
+    # (1) stale records (semantic first)
+    "q_similarity_ann_lsh",
+    "q_similarity_join_shuffled",
+    "q_similarity_join",
+    "q_dedup_minhash_capped",
+    "q_dedup_containment",
+    "q_events_stateful",
+    "q_events_stream_session",
+    "q_events_late",
+    "q_stream_enrich",
+    "q_stream_file_sink",
+    "q_stream_stream_join",
+    "q_source_csv_roundtrip",
+    # (2) r8 cohort burn (oldest vintage, alphabetical)
+    "q_agg_weighted_median",
+    "q_agg_weighted_median_approx",
+    "q_array_funcs",
+    "q_case_when",
+    "q_dedup_embedding",
+    "q_dedup_minhash_incremental",
+    "q_dedup_spans",
+    "q_events_session",
+    "q_explode",
+    "q_groupby_mean",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_json_extract",
+    "q_json_variant",
+    "q_multimodal_frame_sample",
+    "q_multimodal_pack",
+    "q_partition_pruned_scan",
+    "q_pipeline_curate",
+    "q_sample_stratified",
+    "q_similarity_topk",
+    "q_sink_parquet",
+    "q_sketch_bloom",
+    "q_sketch_kmv",
+    "q_text_chunk",
+    "q_text_fingerprint",
+    "q_text_pack",
+    "q_text_quality",
+    "q_text_redact",
+    "q_text_token_stats",
+    "q_text_tokens",
+    "q_tpch_q1",
+    "q_window_rank",
+    # (3) bodies changing this round (verdict items 3-6)
+    "q_sketch_heavy_hitters",
+    "q_pipeline_curriculum",
     "q_text_bpe_train",
     "q_text_bpe_apply",
-    "q_sample_weighted",
-    "q_text_vocab_coverage",
-    "q_embed_random_projection",
-    "q_embed_gram",
-    "q_embed_pca_power",
-    "q_stream_sample_weighted",
-    "q_source_jsonl_roundtrip",
-    "q_pipeline_curriculum",
-    "q_sink_compaction",
-    "q_text_fim",
-    # (1) never recorded — interim r13 session
-    "q_search_hybrid_rrf",
-    "q_text_quality_classifier",
-    "q_text_overlap_matrix",
     "q_similarity_hamming",
     "q_similarity_hamming_rerank",
-    "q_text_perplexity_bigram",
-    "q_stream_quality_gate",
-    # (1) never recorded — interim r12 session
-    "q_pipeline_dsir",
-    "q_pipeline_shard",
-    "q_dedup_substring",
-    "q_pipeline_dsir_bigram",
-    "q_dedup_semantic",
-    "q_dedup_substring_removal",
-    # (2) standing record predates a body rewrite
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q18",
-    "q_agg_entropy",
-    "q_dedup_cluster",
-    "q_dedup_fuzzy",
-    "q_embed_kmeans",
-    "q_similarity_ivf",
-    "q_similarity_pq_adc",
-    "q_text_bm25",
-    "q_text_langid",
-    "q_multimodal_features",
-    # q_dedup_exact: doc-only per the AST diff, but the r12 A/B
-    # (commit 0037332) re-chose its aggregate form — cheap insurance
-    "q_dedup_exact",
-    # (3) the r8 stragglers
-    "q_sum_m",
-    "q_groupby_rss",
-    "q_varrep_moe",
-    # (4) r9-vintage cohort (family representatives first)
-    "q_join_broadcast",
-    # q_dedup_simhash joins the deferred r9 rows (slot given to the
-    # new q_embed_pca_power first record)
-    # q_dedup_incremental joins the deferred r9 rows (slot given to
-    # the new q_embed_random_projection first record)
-    # q_dedup_containment joins the deferred r9 rows (slot given to
-    # the new q_source_jsonl_roundtrip first record)
-    # q_text_tfidf joins the deferred r9 rows (slot given to the new
-    # q_embed_gram first record)
-    # q_text_repetition joins the deferred r9 rows (slot given to the
-    # new q_text_vocab_coverage first record)
-    # q_text_kl_divergence joins the deferred r9 rows (slot given to
-    # the new q_pipeline_curriculum first record)
-    # q_similarity_ann_lsh joins the deferred r9 rows (slot given to
-    # the new q_stream_sample_weighted first record)
-    # q_embed_quantize joins the deferred r9 rows (slot given to the
-    # new q_text_bpe_train first record)
-    # q_events_tumbling joins the deferred r9 rows (slot given to the
-    # new q_sink_compaction first record)
-    # q_events_sliding joins the deferred r9 rows (slot given to the
-    # new q_text_fim first record)
-    # q_events_late joins the deferred r9 rows (slot given to the new
-    # q_sample_weighted first record)
-    "q_events_stream_dedup",
-    # q_events_stream_session joins the deferred r9 rows (slot given
-    # to the new q_text_bpe_apply first record)
-    # q_events_funnel/retention/anomaly/transitions/resample join the
-    # deferred r9 rows (events keeps 5 reps in this prefix)
-    "q_join_band",
-    "q_join_bloom_pruned",
-    "q_layout_sorted_scan",
-    "q_source_schema_merge",
-    "q_filter_quantile",
-    "q_mix_epochs",
-    "q_pipeline_pretrain",
-    # q_merge_upsert/q_fillna_group/q_unpivot/q_profile_table/
-    # q_sketch_heavy_hitters and TPC-H
-    # q2/q4/q6/q9/q14/q21 join the deferred r9 rows (standing unit
-    # pins / test_tpch_rewrite coverage; valid records on unchanged
-    # code)
+    # Deferred to r14 (documented in tests/test_staleness.py if their
+    # bodies change without a slot): non-semantic guards whose output
+    # is identical on every testdata sf (e.g. q_sink_compaction's
+    # empty-table degrade). The r9 long tail (33 rows, valid records
+    # on unchanged code) rotates in r14.
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

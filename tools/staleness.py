@@ -1,0 +1,215 @@
+"""Per-vintage staleness audit for the driver correctness record.
+
+The driver records a 50-query prefix of ``queries()`` per round
+(``CORRECTNESS_r{N}.json``); a query's *record vintage* is the latest
+round in which it appears. A record is STALE when the query's body (or
+a module-local helper it calls, or its oracle SQL) changed after the
+commit at which that vintage was recorded — the standing green row then
+certifies code that no longer exists.
+
+Round 12's rotation diffed every body against ONE base commit (the r11
+record, 0abaadd) and missed three queries whose r8-vintage records had
+gone stale *before* r11 (q_similarity_join_shuffled's occupancy-aware
+LSH rework among them). The correct invariant — implemented here — is
+per-query: compare each query's normalized AST at HEAD against the
+commit of *its own* record vintage.
+
+Normalization: parse the operator module at each commit, locate the
+``@query("name", oracle)`` function, strip docstrings, then take the
+transitive closure of module-local helpers (functions and module-level
+constants referenced by name) and ``ast.dump`` the lot. Comments vanish
+in parsing; docstring/comment-only edits therefore do not flag. The
+closure is module-local by design: shared infrastructure (tables.py,
+session.py) is exercised by every query, so a change there invalidates
+the whole record and is visible in the round diff without this tool.
+
+Usage:
+    python tools/staleness.py          # human-readable audit
+    python tools/staleness.py --json   # machine-readable
+
+``tests/test_staleness.py`` recomputes this audit and fails when any
+stale query is missing from ``registry._PRIORITY``'s 50-slot prefix —
+the structural fix for the class of bookkeeping miss found in r12.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Engine code at record-vintage N == the driver's "round N" commit
+#: (the driver commits CORRECTNESS_r{N}.json on top of the round's
+#: final code state, touching no engine files).
+RECORD_COMMITS = {
+    8: "d3b8044",
+    9: "48eecbf",
+    10: "226a8be",
+    11: "0abaadd",
+    12: "cf67d0d",
+}
+
+#: Modules that register queries (mirrors registry._OPERATOR_MODULES).
+_MODULE_PATHS = (
+    "pandas_reporter_spark/operators/census_queries.py",
+    "pandas_reporter_spark/operators/relational.py",
+    "pandas_reporter_spark/operators/dedup.py",
+    "pandas_reporter_spark/operators/text.py",
+    "pandas_reporter_spark/operators/similarity.py",
+    "pandas_reporter_spark/operators/events.py",
+    "pandas_reporter_spark/operators/multimodal.py",
+    "pandas_reporter_spark/operators/scale.py",
+    "pandas_reporter_spark/operators/sketch.py",
+    "pandas_reporter_spark/operators/graph.py",
+    "pandas_reporter_spark/sources/queries.py",
+)
+
+
+def record_vintages() -> dict[str, int]:
+    """query name -> latest round with an official driver record."""
+    vint: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        for name in json.load(open(f)):
+            vint[name] = max(vint.get(name, 0), rnd)
+    return vint
+
+
+def _source_at(commit: str | None, path: str) -> str | None:
+    """File contents at a commit, or working tree when commit is None."""
+    if commit is None:
+        p = os.path.join(REPO, path)
+        return open(p).read() if os.path.exists(p) else None
+    r = subprocess.run(
+        ["git", "show", f"{commit}:{path}"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    return r.stdout if r.returncode == 0 else None
+
+
+class _Strip(ast.NodeTransformer):
+    """Drop docstrings so doc-only edits don't flag."""
+
+    def _strip(self, node):
+        self.generic_visit(node)
+        if (node.body and isinstance(node.body[0], ast.Expr)
+                and isinstance(node.body[0].value, ast.Constant)
+                and isinstance(node.body[0].value.value, str)):
+            node.body = node.body[1:] or [ast.Pass()]
+        return node
+
+    visit_FunctionDef = visit_AsyncFunctionDef = visit_ClassDef = visit_Module = _strip
+
+
+def _query_name(fn: ast.FunctionDef) -> str | None:
+    for dec in fn.decorator_list:
+        if (isinstance(dec, ast.Call) and isinstance(dec.func, ast.Name)
+                and dec.func.id == "query" and dec.args
+                and isinstance(dec.args[0], ast.Constant)):
+            return dec.args[0].value
+    return None
+
+
+def _module_index(src: str):
+    """(query name -> FunctionDef, top-level name -> node) for one module."""
+    tree = _Strip().visit(ast.parse(src))
+    queries: dict[str, ast.FunctionDef] = {}
+    toplevel: dict[str, ast.AST] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            toplevel[node.name] = node
+            if isinstance(node, ast.FunctionDef):
+                qn = _query_name(node)
+                if qn:
+                    queries[qn] = node
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    toplevel[t.id] = node
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            toplevel[node.target.id] = node
+    return queries, toplevel
+
+
+def _closure_dump(fn: ast.AST, toplevel: dict[str, ast.AST]) -> str:
+    """ast.dump of fn plus every module-local name it transitively uses."""
+    seen: dict[str, ast.AST] = {}
+    stack = [fn]
+    while stack:
+        node = stack.pop()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Name) and sub.id in toplevel and sub.id not in seen:
+                seen[sub.id] = toplevel[sub.id]
+                stack.append(toplevel[sub.id])
+    parts = [ast.dump(fn)]
+    parts += [f"{k}={ast.dump(v)}" for k, v in sorted(seen.items())]
+    return "\n".join(parts)
+
+
+def snapshot(commit: str | None) -> dict[str, str]:
+    """query name -> normalized closure dump at a commit (None = HEAD tree)."""
+    out: dict[str, str] = {}
+    for path in _MODULE_PATHS:
+        src = _source_at(commit, path)
+        if src is None:
+            continue
+        queries, toplevel = _module_index(src)
+        for qn, fn in queries.items():
+            out[qn] = _closure_dump(fn, toplevel)
+    return out
+
+
+def audit() -> dict:
+    """Compare HEAD against each query's own record-vintage commit."""
+    vint = record_vintages()
+    head = snapshot(None)
+    per_commit: dict[int, dict[str, str]] = {}
+    stale, unrecorded, missing_at_vintage = [], [], []
+    for name, dump in sorted(head.items()):
+        rnd = vint.get(name)
+        if rnd is None:
+            unrecorded.append(name)
+            continue
+        commit = RECORD_COMMITS.get(rnd)
+        if commit is None:  # pre-r8 vintage: always stale (no commit map)
+            stale.append({"query": name, "vintage": rnd, "reason": "pre-r8 record"})
+            continue
+        if rnd not in per_commit:
+            per_commit[rnd] = snapshot(commit)
+        old = per_commit[rnd].get(name)
+        if old is None:
+            missing_at_vintage.append({"query": name, "vintage": rnd})
+        elif old != dump:
+            stale.append({"query": name, "vintage": rnd, "commit": commit})
+    return {
+        "vintages": {str(r): sum(1 for v in vint.values() if v == r)
+                     for r in sorted(set(vint.values()))},
+        "stale": stale,
+        "unrecorded": unrecorded,
+        "missing_at_vintage": missing_at_vintage,
+    }
+
+
+if __name__ == "__main__":
+    res = audit()
+    if "--json" in sys.argv:
+        print(json.dumps(res, indent=1))
+    else:
+        print("vintage counts:", res["vintages"])
+        print(f"\nstale records ({len(res['stale'])}):")
+        for s in res["stale"]:
+            print(f"  {s['query']}  (record r{s['vintage']})")
+        if res["unrecorded"]:
+            print(f"\nnever recorded ({len(res['unrecorded'])}):")
+            for n in res["unrecorded"]:
+                print(f"  {n}")
+        if res["missing_at_vintage"]:
+            print("\nWARNING: recorded but not parseable at vintage commit:")
+            for s in res["missing_at_vintage"]:
+                print(f"  {s['query']} (r{s['vintage']})")
