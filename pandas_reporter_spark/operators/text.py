@@ -3917,6 +3917,17 @@ def materialize_bpe_merges(spark, sf, base: str = "/dev/shm") -> None:
         rows = sorted(
             spark.read.parquet(out).collect(), key=lambda r: r["round"]
         )
+        # Validate BEFORE caching: the path is shared across processes
+        # (deliberately — a trained tokenizer is one artifact per
+        # snapshot), so a concurrent session's mode('overwrite') can
+        # let this read collect 0 or partial rows without raising.
+        # Caching such a read would silently change every later
+        # q_text_bpe_apply in this session. A complete artifact has
+        # rounds exactly 1..k; anything else (including a legitimately
+        # merge-exhausted tiny corpus, indistinguishable from a torn
+        # read) falls back to the self-training plan uncached.
+        if [r["round"] for r in rows] != list(range(1, _BPE_MERGES + 1)):
+            return
         _BPE_ART[key] = [
             (r["round"], r["lhs"], r["rhs"], r["pair_count"], r["merged"])
             for r in rows

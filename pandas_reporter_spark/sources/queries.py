@@ -438,7 +438,10 @@ def q_sink_compaction(spark, sf):
         F.sum("n_chars").cast("bigint").alias("sc"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     ).collect()[0]
-    n_files = max(1, (int(st["sc"]) + _COMPACT_CHARS - 1) // _COMPACT_CHARS)
+    # SUM over zero rows is NULL: an empty table degrades to a single
+    # empty file (n_files=1), matching the oracle's NULL-sum row,
+    # instead of raising on int(None)
+    n_files = max(1, (int(st["sc"] or 0) + _COMPACT_CHARS - 1) // _COMPACT_CHARS)
     out = _scratch("compaction", sf)
     d.repartition(n_files).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)

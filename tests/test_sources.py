@@ -424,3 +424,21 @@ def test_compaction_writes_exactly_the_derived_file_count(spark):
     )
     assert len(parts) == row["n_files"] >= 1
     assert row["n_rows"] > 0
+
+
+def test_compaction_degrades_on_empty_table(spark, tmp_path):
+    """SUM(n_chars) over zero rows is NULL: an empty documents table
+    compacts to one empty file instead of raising (ADVICE r12)."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(f"{sf}/documents.parquet")
+    row = QUERIES["q_sink_compaction"](spark, sf).collect()[0]
+    assert row["n_files"] == 1
+    assert row["n_rows"] == 0
+    assert row["sum_chars"] is None and row["text_check"] is None

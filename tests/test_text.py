@@ -453,7 +453,11 @@ def test_sample_weighted_matches_hashlib_reference(spark):
 
     def key_nano(doc_id, w):
         h = int(hashlib.md5(f"{doc_id}:wsample".encode()).hexdigest()[:15], 16)
-        return round(math.log((h + 1.0) / float(1 << 60)) / float(w) * 1e9)
+        x = math.log((h + 1.0) / float(1 << 60)) / float(w) * 1e9
+        # half-away-from-zero, matching Spark F.round and DuckDB round
+        # (Python's round() is banker's and would diverge on an
+        # exact-.5 key)
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
     expect = sorted(
         ((d, s, n, key_nano(d, n)) for d, s, n in rows),
@@ -576,6 +580,40 @@ def test_bpe_artifact_path_is_bit_equal(spark, tmp_path):
     assert T.bpe_merges(spark, sf) == train
     via_art = sorted(tuple(r) for r in QUERIES["q_text_bpe_apply"](spark, sf).collect())
     assert via_art == fresh
+    T._BPE_ART.pop(key, None)
+
+
+def test_bpe_artifact_rejects_torn_read(spark, tmp_path):
+    """A concurrent overwrite can let the shared-artifact read collect
+    0 or partial rows without raising (ADVICE r12): such reads must
+    never be cached — apply falls back to self-training."""
+    import os
+
+    from pandas_reporter_spark.operators import text as T
+    from pandas_reporter_spark.tables import _session_key
+
+    sf = "/root/testdata/sf0.001"
+    key = (_session_key(spark), sf)
+    src_tag = int(os.path.getmtime(os.path.join(sf, "documents.parquet")))
+    out = os.path.join(str(tmp_path), f"prs_bpe_sf0.001_{src_tag}")
+    for rows in ([], [(1, "a", "b", 3, "ab"), (2, "c", "d", 2, "cd")]):
+        T._BPE_ART.pop(key, None)
+        spark.createDataFrame(
+            rows,
+            "round int, lhs string, rhs string, pair_count bigint,"
+            " merged string",
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        T.materialize_bpe_merges(spark, sf, base=str(tmp_path))
+        assert T.bpe_merges(spark, sf) is None, rows
+    # a complete artifact (rounds exactly 1..k) IS accepted
+    full = [(i + 1, f"l{i}", f"r{i}", 9 - i, f"l{i}r{i}")
+            for i in range(T._BPE_MERGES)]
+    spark.createDataFrame(
+        full,
+        "round int, lhs string, rhs string, pair_count bigint, merged string",
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    T.materialize_bpe_merges(spark, sf, base=str(tmp_path))
+    assert T.bpe_merges(spark, sf) == full
     T._BPE_ART.pop(key, None)
 
 
