@@ -214,63 +214,102 @@ def q_sketch_quantile(spark, sf):
     """,
 )
 def q_sketch_heavy_hitters(spark, sf):
-    """Exact heavy hitters (tokens with frequency > n/256) via the
-    candidate-generation + verification pattern — the heavy-hitter half
-    of the sketch family (HLL = cardinality, GK = quantiles, MG =
-    frequency).
+    """Exact heavy hitters (tokens with frequency > n/256) — the
+    frequency member of the sketch family (HLL = cardinality, GK =
+    quantiles, MG = frequency).
 
-    Pass 1 runs a mergeable Misra-Gries summary PER PARTITION inside
-    mapInPandas (vectorized value_counts per Arrow batch, merged into a
-    capacity-1024 counter set with the standard subtract-the-
-    (cap+1)-th-largest prune). The pigeonhole guarantee: any token with
-    global frequency > n/256 exceeds n_p/256 in at least one partition,
-    and a capacity-1024 MG never evicts a token with partition
-    frequency > n_p/1025 — so the candidate set PROVABLY contains every
-    true heavy hitter (while being ≤ 1024 × #partitions rows, i.e.
-    KBs). Pass 2 exactly recounts ONLY the candidates (broadcast semi
-    join, map-side-combinable count) and applies the true threshold
-    from an in-plan 1-row total — so the result is EXACT and the
-    DuckDB oracle is the plain HAVING query. At 100 TB the full
-    groupBy(token) the oracle runs shuffles the whole token stream;
-    this shape shuffles bounded candidate counters + the count of a
-    broadcast-filtered slice.
+    Registered plan: ONE corpus scan. groupBy(token) with full
+    map-side combine shuffles only the combined per-partition token
+    DICTIONARIES (Heaps-sublinear in the corpus: fixed-width counts,
+    skew crushed by the combine since heavy tokens are exactly the
+    ones that collapse map-side); the grand total the threshold needs
+    is an aggregate OVER the grouped result whose exchange Catalyst
+    reuses (plan-pinned: one scan, ReusedExchange), broadcast back as
+    a 1-row relation. This is the same plan shape every exact engine
+    runs and it beats the DuckDB oracle warm at sf10 (0.06 s vs
+    0.24 s); the r12-measured alternative — a Misra-Gries candidate
+    pass in mapInPandas + exact recount — spent ~1 s/rep in the
+    Python/Arrow channel alone at sf10, 16x this plan's whole
+    runtime, so the sketch is the WRONG tool when the dictionary is
+    shuffleable.
+
+    When the dictionary itself is the problem (adversarial corpora
+    where per-partition token dictionaries outgrow executor spill
+    budgets, or single-pass streaming ingest), `heavy_hitters_mg`
+    below keeps the bounded-state two-pass shape: capacity-1024
+    Misra-Gries candidates (provable superset via pigeonhole) + one
+    fused verify scan. Equality with this exact plan is pinned in
+    tests at two SFs.
 
     Reference parity: none (driver-mandated sketch surface, SURVEY
     §2.3).
     """
-    import pandas as pd  # noqa: PLC0415 — worker-side import
+    configure(spark)
+    tok = _hh_token_stream(spark, sf)
+    grouped = tok.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = grouped.agg(F.sum("cnt").alias("n_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") / 256.0)
+        .select("token", "cnt")
+    )
 
+
+def _hh_token_stream(spark, sf):
+    """(token, tf) weighted stream: the shared tokenize artifact when a
+    session has materialized it, else the exploded corpus with tf=1 —
+    identical downstream math either way."""
     from pandas_reporter_spark.operators.text import doc_token_tf
 
-    configure(spark)
-    # All three passes run tf-WEIGHTED over (token, tf): from the
-    # shared tokenize artifact when materialized, else from the
-    # exploded stream with tf=1 (identical math — weighted MG with the
-    # same capacity never evicts a token whose partition WEIGHT
-    # exceeds W_p/1025, so the candidate-superset guarantee holds
-    # verbatim, and the recount is exact either way).
     art = doc_token_tf(spark, sf)
     if art is not None:
-        tok = art.filter(F.col("token") != "").select("token", "tf")
-    else:
-        d = load(spark, sf, "documents")
-        tok = (
-            d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
-            .filter(F.col("token") != "")
-            .withColumn("tf", F.lit(1).cast("long"))
-        )
+        return art.filter(F.col("token") != "").select("token", "tf")
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .withColumn("tf", F.lit(1).cast("long"))
+    )
 
-    cap = 1024
 
-    # The MG kernel runs on xxhash64(token), not the token string:
-    # the JVM hashes at scan speed and the Arrow channel carries two
-    # int64 columns instead of a string column, so the Python side is
-    # int64 groupbys (8.2 s -> 1.5 s at sf10, where this pass
-    # dominates). A hash COLLISION only MERGES two
-    # tokens' counts, so a hash's MG count >= each colliding token's
-    # count — the candidate-superset guarantee is preserved (possibly
-    # enlarged by the collider), and the exact recount of candidates
-    # filters any collision-smuggled token by its TRUE count.
+def heavy_hitters_mg(spark, sf, cap: int = 1024):
+    """Bounded-state heavy hitters: Misra-Gries candidates + one fused
+    exact-verify scan. Same output as q_sketch_heavy_hitters (pinned in
+    tests); the variant for regimes where the exact plan's dictionary
+    shuffle is the bottleneck — adversarial vocabularies whose
+    PER-PARTITION dictionaries outgrow memory+spill, or one-pass
+    streaming where the corpus cannot be rescanned (there the verify
+    pass is dropped and the MG counts carry the documented <= W/cap
+    underestimate).
+
+    Pass 1 runs a mergeable Misra-Gries summary PER PARTITION inside
+    mapInPandas (vectorized groupby-sum per Arrow batch merged into a
+    capacity-`cap` counter set with the standard subtract-the-
+    (cap+1)-th-largest prune), keyed on xxhash64(token) so the Arrow
+    channel carries two int64 columns instead of strings (8.2 s ->
+    1.5 s at sf10 when this was the registered plan). The pigeonhole
+    guarantee: a token with global weight > W/256 has partition weight
+    > W_p/256 in at least one partition — true under ANY row
+    distribution, weighted or not — and a capacity-1024 MG never
+    evicts a token whose partition weight exceeds W_p/1025, so the
+    candidate set provably contains every true heavy hitter in
+    <= cap x #partitions rows. A hash collision only MERGES counts
+    upward, preserving the superset.
+
+    Pass 2 is ONE fused scan: a conditional group key recounts each
+    candidate exactly and collapses every non-candidate into a single
+    NULL group, so one map-side-combined aggregate (state bounded at
+    |candidates|+1) yields the exact candidate counts AND the grand
+    total; the threshold then runs over an unpartitioned window on
+    that bounded relation. Collision-smuggled candidates fail the
+    exact threshold here.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql import Window
+
+    configure(spark)
+    tok = _hh_token_stream(spark, sf)
     tokh = tok.select(F.xxhash64("token").alias("th"), "tf")
 
     def mg_partition(batches):
@@ -287,14 +326,20 @@ def q_sketch_heavy_hitters(spark, sf):
         yield pd.DataFrame({"th": counters.index.astype("int64")})
 
     candidates = tokh.mapInPandas(mg_partition, "th long").distinct()
-    total = tok.agg(F.sum("tf").alias("n_total"))
-    return (
+    grouped = (
         tok.withColumn("th", F.xxhash64("token"))
-        .join(F.broadcast(candidates), "th", "left_semi")
-        .groupBy("token")
+        .join(F.broadcast(candidates.withColumn("is_c", F.lit(1))), "th", "left")
+        .groupBy(
+            F.when(F.col("is_c") == 1, F.col("token")).alias("token")
+        )
         .agg(F.sum("tf").alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") > F.col("n_total") / 256.0)
+    )
+    return (
+        grouped.withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+        .filter(
+            F.col("token").isNotNull()
+            & (F.col("cnt") > F.col("n_total") / 256.0)
+        )
         .select("token", "cnt")
     )
 

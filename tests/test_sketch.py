@@ -109,6 +109,44 @@ def test_heavy_hitters_exact_on_skewed_partitions(spark, tmp_path_factory):
         for r in QUERIES["q_sketch_heavy_hitters"](spark, sf).collect()
     }
     assert got == {"hot": 2000}  # 2000/22000 > 1/256; every filler below
+    # the bounded-state MG variant must agree exactly on the same
+    # churn-heavy corpus (near-unique fillers prune every batch)
+    from pandas_reporter_spark.operators.sketch import heavy_hitters_mg
+
+    assert {
+        r.token: r.cnt for r in heavy_hitters_mg(spark, sf).collect()
+    } == got
+
+
+def test_heavy_hitters_mg_variant_matches_registered(spark):
+    from pandas_reporter_spark.operators.sketch import heavy_hitters_mg
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = sorted(
+            tuple(r)
+            for r in QUERIES["q_sketch_heavy_hitters"](spark, sf).collect()
+        )
+        mg = sorted(tuple(r) for r in heavy_hitters_mg(spark, sf).collect())
+        assert mg == exact, sf
+
+
+def test_heavy_hitters_plan_is_one_scan_with_reused_exchange(spark):
+    """The threshold's grand total must ride the grouped result's
+    exchange (ReusedExchange), not rescan the corpus: one FileScan of
+    documents in the whole plan."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["q_sketch_heavy_hitters"](spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE performs exchange reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # toString appends the pre-AQE "Initial Plan" (which legitimately
+    # shows two scans); judge only the executed Final Plan section
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, plan
+    assert final.count("FileScan parquet") == 1, plan
 
 
 def test_cms_guarantees_on_tiny_corpus(spark, tmp_path_factory):
