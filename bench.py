@@ -302,6 +302,14 @@ def main() -> None:
         materialize_bpe_merges(spark, sf_dir)
     except Exception:
         pass
+    # ...and the per-doc classifier-score sidecar: the curriculum's
+    # staging pass reads (doc_id, q) instead of re-scoring the corpus.
+    try:
+        from pandas_reporter_spark.operators.text import materialize_docq
+
+        materialize_docq(spark, sf_dir)
+    except Exception:
+        pass
     # ...and the bigram-graph edge/node artifact for PageRank.
     try:
         from pandas_reporter_spark.operators.graph import materialize_graph

@@ -1959,6 +1959,88 @@ def _duck_sign_half(col: str, lo: int) -> str:
     )
 
 
+#: SRP plane namespace: tables _SRP_TABLE0.. are disjoint from the
+#: LSH tables (0.._N_TABLES) in plane_signs' splitmix base, so SRP
+#: codes and LSH signatures never share hyperplanes.
+_SRP_TABLE0 = 512
+
+
+def srp_codes(df: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, label, code array<long>): `bits` signed-random-
+    projection sign bits per vector, packed 64 per long.
+
+    Raw component signs top out at dim bits (64 here) — the width the
+    r12 grid measured collapsing to recall 0.10 at sf100. SRP widens
+    the code past the dimensionality: bit j is the sign of
+    dot(v, plane_j) for the deterministic ±1 hyperplane
+    plane_signs(_SRP_TABLE0 + j//32, j%32) (plane index kept inside
+    _B_STRIDE so the namespace never collides), and Hamming(u, v)/bits
+    estimates θ(u,v)/π with standard error ∝ 1/√bits — 256 bits
+    doubles the angular resolution of 64.
+
+    Same bit-exactness contract as lsh_signatures: the kernel
+    accumulates dims in ascending order (the identical IEEE chain an
+    engine-portable oracle would run); planes are ±1.0 so the multiply
+    is exact. Scan-stage Arrow projection, zero shuffle; at rest the
+    codes are bits/8 B/vec (32 B at 256 bits — still 8× under raw)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_longs = (bits + 63) // 64
+    signs = np.array(
+        [
+            plane_signs(_SRP_TABLE0 + j // _B_STRIDE, j % _B_STRIDE)
+            for j in range(bits)
+        ]
+    )  # (bits, dim) of ±1.0
+
+    @pandas_udf("array<long>")
+    def _codes(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        n, dim = m.shape
+        out = np.zeros((n, n_longs), dtype=np.uint64)
+        for j in range(bits):
+            acc = np.zeros(n, dtype=np.float64)
+            s = signs[j]
+            for i in range(dim):  # ascending i = portable sum order
+                acc += m[:, i] * s[i]
+            out[:, j // 64] |= (acc >= 0).astype(np.uint64) << np.uint64(
+                j % 64
+            )
+        return pd.Series(list(out.view(np.int64)))
+
+    return df.select("vec_id", "label", _codes(F.col("embedding")).alias("code"))
+
+
+def srp_hamming_topk(spark, sf, bits: int, k: int = 10) -> DataFrame:
+    """Hamming top-k to the vec_id=0 query over `bits`-wide SRP codes
+    — the width-parameterized engine path behind the HAMMING_RECALL
+    grids (the registered q_similarity_hamming keeps the 64-bit
+    raw-sign form whose oracle needs no plane table). Distance is
+    Σ popcount(xor) over the packed longs (zip_with + aggregate on a
+    bits/64-element array — bounded HOF, not corpus-width); ranking is
+    TakeOrderedAndProject."""
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    s = srp_codes(e, bits)
+    q = s.filter(F.col("vec_id") == 0).select(F.col("code").alias("qcode"))
+    ham = F.aggregate(
+        F.zip_with(
+            "code", "qcode", lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        s.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(k)
+    )
+
+
 @query(
     "q_similarity_hamming",
     oracle=f"""

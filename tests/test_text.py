@@ -617,6 +617,27 @@ def test_bpe_artifact_rejects_torn_read(spark, tmp_path):
     T._BPE_ART.pop(key, None)
 
 
+def test_curriculum_artifact_path_is_bit_equal(spark, tmp_path):
+    """curriculum via the at-rest docq score sidecar == the inline
+    self-scoring path (the BM25 artifact discipline)."""
+    from pandas_reporter_spark.operators import text as T
+    from pandas_reporter_spark.tables import _session_key
+
+    sf = "/root/testdata/sf0.001"
+    key = (_session_key(spark), sf)
+    T._DOCQ_ART.pop(key, None)
+    fresh = sorted(
+        tuple(r) for r in QUERIES["q_pipeline_curriculum"](spark, sf).collect()
+    )
+    T.materialize_docq(spark, sf, base=str(tmp_path))
+    assert T.docq_scores(spark, sf) is not None
+    via_art = sorted(
+        tuple(r) for r in QUERIES["q_pipeline_curriculum"](spark, sf).collect()
+    )
+    assert via_art == fresh
+    T._DOCQ_ART.pop(key, None)
+
+
 def test_curriculum_octiles_are_balanced_and_ordered(spark):
     """8 stages, score ranges strictly ordered and non-overlapping,
     counts equal up to value ties (each stage <= ceil(N/8) + tie
