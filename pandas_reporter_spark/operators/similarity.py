@@ -2013,17 +2013,67 @@ def srp_codes(df: DataFrame, bits: int) -> DataFrame:
     return df.select("vec_id", "label", _codes(F.col("embedding")).alias("code"))
 
 
+#: (session, sf, bits) -> at-rest SRP code DataFrame (see
+#: materialize_srp_codes)
+_SRP_ART: dict = {}
+
+
+def srp_codes_at_rest(spark, sf, bits: int):
+    """The materialized (vec_id, label, code) relation, or None."""
+    from pandas_reporter_spark.tables import _session_key
+
+    return _SRP_ART.get((_session_key(spark), sf, bits))
+
+
+def materialize_srp_codes(spark, sf, bits: int = 256,
+                          base: str = "/dev/shm") -> None:
+    """Pack once per snapshot and persist the SRP sign codes — the
+    production posture for the binary tier: packing is ingest-time
+    work (256 plane dots/vec), queries scan bits/8 B/vec codes (32 B
+    at 256 bits, 8× under the raw vectors) and never touch the float
+    embeddings. Same tmpfs + source-mtime fingerprint discipline as
+    the PQ/IVF indexes; failures leave queries on the inline pack."""
+    import os
+
+    from pandas_reporter_spark.tables import _session_key
+
+    key = (_session_key(spark), sf, bits)
+    if key in _SRP_ART or not os.path.isdir(base):
+        return
+    try:
+        src_tag = int(os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
+    except OSError:
+        src_tag = 0
+    out = os.path.join(
+        base,
+        f"prs_srp{bits}_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
+    )
+    try:
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            e = load(spark, sf, "embeddings")
+            srp_codes(e, bits).write.mode("overwrite").parquet(out)
+        _SRP_ART[key] = spark.read.parquet(out)
+    except Exception:
+        return
+
+
 def srp_hamming_topk(spark, sf, bits: int, k: int = 10) -> DataFrame:
     """Hamming top-k to the vec_id=0 query over `bits`-wide SRP codes
-    — the width-parameterized engine path behind the HAMMING_RECALL
-    grids (the registered q_similarity_hamming keeps the 64-bit
-    raw-sign form whose oracle needs no plane table). Distance is
-    Σ popcount(xor) over the packed longs (zip_with + aggregate on a
-    bits/64-element array — bounded HOF, not corpus-width); ranking is
-    TakeOrderedAndProject."""
+    — the width-parameterized engine path behind the HAMMING_AB grid
+    (the registered q_similarity_hamming keeps the 64-bit raw-sign
+    form whose oracle needs no plane table; docs/HAMMING_AB_r13.json
+    demotes that width to the planted-duplicate regime and makes
+    256-bit the moderate-similarity tier). Rides the at-rest codes
+    when a session has materialized them (materialize_srp_codes —
+    bit-equal by construction, the artifact IS srp_codes' output);
+    else packs inline. Distance is Σ popcount(xor) over the packed
+    longs (zip_with + aggregate on a bits/64-element array — bounded
+    HOF, not corpus-width); ranking is TakeOrderedAndProject."""
     configure(spark)
-    e = load(spark, sf, "embeddings")
-    s = srp_codes(e, bits)
+    s = srp_codes_at_rest(spark, sf, bits)
+    if s is None:
+        e = load(spark, sf, "embeddings")
+        s = srp_codes(e, bits)
     q = s.filter(F.col("vec_id") == 0).select(F.col("code").alias("qcode"))
     ham = F.aggregate(
         F.zip_with(

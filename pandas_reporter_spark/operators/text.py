@@ -3332,10 +3332,31 @@ def q_text_bpe_train(spark, sf):
     )
 
 
+#: Checkpoint cadence for the BPE merge loop: every R rounds the
+#: rewritten dictionary's lineage is truncated (localCheckpoint, the
+#: pagerank discipline), so round r re-executes at most R-1 chained
+#: replaces instead of r — the O(k²) replay the r12 verdict flagged
+#: becomes O(k·R). At the registered k=8 no checkpoint fires (same
+#: plan as before); the k=64 grid row rides it (docs/BPE_K_r13.json).
+_BPE_CKPT_EVERY = 8
+
+
 def _bpe_learn(spark, sf, k):
     """The k-round merge loop shared by train (returns the table) and
     apply (segments the corpus with it). Returns the collected merge
-    tuples [(round, lhs, rhs, pair_count, merged), ...]."""
+    tuples [(round, lhs, rhs, pair_count, merged), ...].
+
+    Scale ceiling (measured, docs/BPE_K_r13.json): each round is one
+    dictionary-scale Spark job (pair-count aggregate + 1-row argmax
+    collect), so wall time is ~k × the per-job floor regardless of
+    corpus size — fine for the registered k=8, linear-but-floor-bound
+    at k=64, and the wrong engine shape at a production k≈30k. There
+    the dictionary (Heaps: ~10⁷ rows at 100 TB) COLLECTS to the
+    driver once (~400 MB) and the merge loop runs in-process over
+    int arrays (bpe_learn_local below — bit-identical merges, pinned
+    in tests); Spark's job is corpus→dictionary compression and
+    corpus-wide APPLICATION, not the serial argmax recurrence. The
+    measured crossover sits at k≈16 even at sf10 (SCALING.md)."""
     d = load(spark, sf, "documents")
     w = d.select(
         F.explode(
@@ -3401,7 +3422,56 @@ def _bpe_learn(spark, sf, k):
             ).alias("s"),
             "c",
         )
+        if (rnd + 1) % _BPE_CKPT_EVERY == 0 and rnd + 1 < k:
+            # truncate the replace-chain lineage so later rounds replay
+            # at most _BPE_CKPT_EVERY-1 replaces, not rnd of them
+            cur = cur.localCheckpoint(eager=True)
     base.unpersist()
+    return merges
+
+
+def bpe_learn_local(spark, sf, k):
+    """Driver-side BPE merge loop over the collected word dictionary —
+    the production shape for real vocabulary sizes (k≈30k), where the
+    Spark loop's one-job-per-round floor dominates (_bpe_learn
+    docstring). ONE distributed pass compresses the corpus to the
+    weighted word dictionary (the same Heaps'-law move the Spark loop
+    starts with); the serial argmax recurrence then runs in-process.
+    Merge semantics are bit-identical to _bpe_learn — boundary-
+    anchored left-to-right non-overlapping literal replace with the
+    (count DESC, pair ASC) tie-break — pinned in tests at two SFs."""
+    d = load(spark, sf, "documents")
+    w = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w")
+    )
+    rows = (
+        w.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    )
+    # symbol strings mirror the distributed base relation exactly
+    dic = {}
+    for r in rows:
+        s = " ".join(r["w"]) + " " + _BPE_MARK
+        dic[s] = dic.get(s, 0) + int(r["c"])
+    merges = []
+    for rnd in range(k):
+        pc: dict = {}
+        for s, c in dic.items():
+            t = s.split(" ")
+            for j in range(len(t) - 1):
+                pc[(t[j], t[j + 1])] = pc.get((t[j], t[j + 1]), 0) + c
+        if not pc:
+            break
+        (lhs, rhs), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd + 1, lhs, rhs, n, lhs + rhs))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        nxt: dict = {}
+        for s, c in dic.items():
+            s2 = f" {s} ".replace(pat, rep).strip()
+            nxt[s2] = nxt.get(s2, 0) + c
+        dic = nxt
     return merges
 
 

@@ -97,10 +97,15 @@ _PRIORITY = (
     # (2) the rest of the r8 cohort (32 rows) — burns the oldest
     #     vintage entirely: after r13 nothing in the cumulative
     #     record is older than r9;
-    # (3) six slots for queries whose bodies change THIS round
-    #     (verdict items 3-6): heavy-hitters one-scan fuse,
-    #     curriculum artifact path, BPE train/apply (artifact
-    #     validation + k-scaling), Hamming 256-bit pair.
+    # (3) six slots for queries whose bodies changed THIS round:
+    #     heavy-hitters one-scan rewrite, curriculum artifact path,
+    #     BPE train/apply (artifact validation + checkpoint cadence),
+    #     TPC-H Q9 (filter below derived partsupp — Q9_AB_r13), and
+    #     one r9 family rep (tfidf). The Hamming pair stayed 64-bit
+    #     raw-sign (HAMMING_AB_r13: the synthesis, not the width, is
+    #     the recall@10 story; SRP-256 ships as the separate at-rest
+    #     path srp_hamming_topk), so their records stand and the two
+    #     planned slots went to q9 + tfidf.
     # (1) stale records (semantic first)
     "q_similarity_ann_lsh",
     "q_similarity_join_shuffled",
@@ -152,8 +157,8 @@ _PRIORITY = (
     "q_pipeline_curriculum",
     "q_text_bpe_train",
     "q_text_bpe_apply",
-    "q_similarity_hamming",
-    "q_similarity_hamming_rerank",
+    "q_tpch_q9",
+    "q_text_tfidf",
     # Deferred to r14 (documented in tests/test_staleness.py if their
     # bodies change without a slot): non-semantic guards whose output
     # is identical on every testdata sf (e.g. q_sink_compaction's

@@ -407,6 +407,44 @@ def test_hamming_identical_and_negated_vectors(spark, tmp_path):
     assert 0 < by_id[3] < 64
 
 
+def test_srp_codes_identity_negation_and_at_rest_path(spark, tmp_path):
+    """256-bit SRP pins: an exact copy of the query is Hamming-0 and
+    ranks first; the negation flips every plane sign (distance =
+    bits); the at-rest artifact path returns the identical ranking
+    (bit-equal by construction)."""
+    from pandas_reporter_spark.operators import similarity as S
+    from pandas_reporter_spark.tables import _session_key
+
+    base = _base_vec(7)
+    rows = [
+        (0, [float(v) for v in base], 0),
+        (1, [float(v) for v in base], 1),
+        (2, [float(-v) for v in base], 2),
+        (3, [float(v) for v in _base_vec(8)], 3),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+    got = S.srp_hamming_topk(spark, sf, 256).collect()
+    by_id = {r["vec_id"]: r["hamming"] for r in got}
+    assert got[0]["vec_id"] == 1 and by_id[1] == 0
+    assert by_id[2] == 256  # dot flips sign on every plane
+    assert 0 < by_id[3] < 256
+    key = (_session_key(spark), sf, 256)
+    S._SRP_ART.pop(key, None)
+    S.materialize_srp_codes(spark, sf, 256, base=str(tmp_path / "art"))
+    # base dir doesn't exist -> no artifact; create and retry
+    import os
+
+    os.makedirs(str(tmp_path / "art"), exist_ok=True)
+    S.materialize_srp_codes(spark, sf, 256, base=str(tmp_path / "art"))
+    assert S.srp_codes_at_rest(spark, sf, 256) is not None
+    at_rest = S.srp_hamming_topk(spark, sf, 256).collect()
+    assert [tuple(r) for r in at_rest] == [tuple(r) for r in got]
+    S._SRP_ART.pop(key, None)
+
+
 def test_random_projection_identical_vector_is_rank_one(spark):
     """vec 0 (the query) projects onto itself: d_rp = 0 at rank 1;
     distances are non-decreasing and int64-exact."""

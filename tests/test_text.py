@@ -583,6 +583,18 @@ def test_bpe_artifact_path_is_bit_equal(spark, tmp_path):
     T._BPE_ART.pop(key, None)
 
 
+def test_bpe_local_loop_matches_distributed(spark):
+    """The driver-side production merge loop (bpe_learn_local — the
+    k≈30k path SCALING.md documents) must produce bit-identical merge
+    tables to the distributed loop at k beyond the checkpoint cadence
+    (so the localCheckpoint lineage truncation is covered too)."""
+    from pandas_reporter_spark.operators import text as T
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        k = T._BPE_CKPT_EVERY + 4  # crosses one checkpoint boundary
+        assert T.bpe_learn_local(spark, sf, k) == T._bpe_learn(spark, sf, k), sf
+
+
 def test_bpe_artifact_rejects_torn_read(spark, tmp_path):
     """A concurrent overwrite can let the shared-artifact read collect
     0 or partial rows without raising (ADVICE r12): such reads must
