@@ -29,11 +29,14 @@ N_FILES = 30  # one per day of the synthetic 30-day span
 FILES_PER_TRIGGER = 1
 
 
-def run(spark, sf_dir: str) -> dict:
+def _landing(spark, sf_dir: str) -> str:
+    """Time-ordered landing files for sf_dir's events (built once per
+    (sf, N_FILES)): range-partitioned by ts, ascending mtimes so the
+    file source admits them in event-time order — the arrival property
+    a real ingest directory has by construction."""
     from pyspark.sql import functions as F
 
-    import pandas_reporter_spark.operators.events as ev
-    from pandas_reporter_spark.tables import load, normalize_ts
+    from pandas_reporter_spark.tables import load
 
     e = load(spark, sf_dir, "events")
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{N_FILES}"
@@ -61,6 +64,17 @@ def run(spark, sf_dir: str) -> dict:
         base_t = time.time() - 2 * len(parts)
         for i, f in enumerate(parts):
             os.utime(os.path.join(src, f), (base_t + 2 * i, base_t + 2 * i))
+    return src
+
+
+def run(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    import pandas_reporter_spark.operators.events as ev
+    from pandas_reporter_spark.tables import load, normalize_ts
+
+    src = _landing(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
     schema = spark.read.parquet(src).schema
     total = e.count()
     s = (
@@ -121,6 +135,126 @@ def run(spark, sf_dir: str) -> dict:
     }
 
 
+def run_join(spark, sf_dir: str) -> dict:
+    """VERDICT r12 item 7: the interval view x click join under the
+    PRODUCTION configuration — time-ordered landing files, bounded
+    file admission, 30-minute watermarks on both sides. The join
+    condition upper-bounds click.ts relative to view.ts, so the
+    symmetric hash join can evict a buffered view once the click-side
+    watermark passes view.ts + 30min: state must track the WATERMARK
+    HORIZON (events in the last ~2 windows x arrival skew), not the
+    corpus — the degenerate single-batch grid (SCALE_STREAM_r10) held
+    1.02 GB at sf10 because nothing could evict inside one batch.
+    Zero-loss check: emitted rows equal the batch interval self-join
+    count on the same data."""
+    from pyspark.sql import functions as F
+
+    import pandas_reporter_spark.operators.events as ev
+    from pandas_reporter_spark.tables import load, normalize_ts
+
+    src = _landing(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    total = e.count()
+    # batch truth for the zero-loss check (same expression as the
+    # registered query's oracle)
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    expect = (
+        v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).count()
+    )
+    schema = spark.read.parquet(src).schema
+    s = normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = "demoj" + uuid.uuid4().hex[:8]
+    ckpt = f"/dev/shm/prs_ckpt_{name}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    t0 = time.time()
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        ev._capture_progress(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    wall = time.time() - t0
+    got = spark.table(name).count()
+    spark.catalog.dropTempView(name)
+    state = [
+        op["numRowsTotal"]
+        for p in ev.LAST_PROGRESS
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    mem = [
+        op["memoryUsedBytes"]
+        for p in ev.LAST_PROGRESS
+        for op in p.get("stateOperators", [])
+        if op.get("memoryUsedBytes") is not None
+    ]
+    return {
+        "op": "interval_join",
+        "sf": sf_dir,
+        "total_events": total,
+        "rows_expected": expect,
+        "rows_emitted": got,
+        "zero_loss": got == expect,
+        "batches": len(ev.LAST_PROGRESS),
+        "max_state_rows": max(state) if state else None,
+        "final_state_rows": state[-1] if state else None,
+        "max_state_bytes": max(mem) if mem else None,
+        "wall_s": round(wall, 2),
+        "state_bound_ratio": (
+            round(max(state) / total, 4) if state and total else None
+        ),
+        "n_files": N_FILES,
+    }
+
+
 def main():
     from pandas_reporter_spark.session import get_session
 
@@ -131,6 +265,9 @@ def main():
         r = run(spark, sf)
         rows.append(r)
         print(json.dumps(r), flush=True)
+        rj = run_join(spark, sf)
+        rows.append(rj)
+        print(json.dumps(rj), flush=True)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
