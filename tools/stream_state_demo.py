@@ -273,6 +273,17 @@ def main():
         "docs",
         "STREAM_STATE_DEMO.json",
     )
+    # MERGE with standing rows (a partial re-run must not drop the
+    # other SFs'/ops' records); (sf, op, n_files) keys this run
+    # refreshes are replaced
+    try:
+        with open(out) as f:
+            old = json.load(f)
+    except Exception:
+        old = []
+    key = lambda r: (r.get("sf"), r.get("op", "dedup"), r.get("n_files"))
+    fresh = {key(r) for r in rows}
+    rows = [r for r in old if key(r) not in fresh] + rows
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
 
