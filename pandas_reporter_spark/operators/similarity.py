@@ -2637,3 +2637,123 @@ def q_embed_pca_power(spark, sf):
         .orderBy(F.col("proj").desc(), "vec_id")
         .limit(10)
     )
+
+
+#: anchors for contrastive mining: the first _HN_ANCHORS vec_ids
+_HN_ANCHORS = 8
+
+
+@query(
+    "q_embed_hard_negatives",
+    oracle=f"""
+    -- contrastive-pair mining: for each anchor, nearest same-label
+    -- vector (positive) and nearest OTHER-label vector (hard
+    -- negative) by exact cosine, deterministic (cos DESC, vec_id)
+    WITH a AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id < {_HN_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.qid, a.qlabel, e.vec_id, e.label,
+             {_duck_cos('e.embedding', 'a.qv')} AS c,
+             (e.label = a.qlabel) AS is_pos
+      FROM embeddings e JOIN a ON e.vec_id <> a.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, vec_id, c, is_pos,
+             ROW_NUMBER() OVER (PARTITION BY qid, is_pos
+                                ORDER BY c DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT p.qid AS qid, p.qlabel,
+           p.vec_id AS pos_id, round(p.c, 6) AS pos_cos,
+           n.vec_id AS neg_id, round(n.c, 6) AS neg_cos
+    FROM ranked p JOIN ranked n ON p.qid = n.qid
+    WHERE p.is_pos AND p.rn = 1 AND (NOT n.is_pos) AND n.rn = 1
+    ORDER BY p.qid
+    """,
+)
+def q_embed_hard_negatives(spark, sf):
+    """Contrastive-pair mining — for each anchor vector, the nearest
+    SAME-label vector (the positive) and the nearest OTHER-label
+    vector (the hard negative) by exact cosine: the training-data
+    prep every contrastive retrieval/embedding fine-tune runs
+    (in-batch negatives are easy; the pairs that move the loss are
+    the nearest wrong-label ones — Karpukhin et al. 2020, DPR, §4).
+
+    Plan shape: the anchor set broadcasts (a literal handful of
+    rows); ONE corpus scan computes all anchor cosines at scan stage
+    (BroadcastNestedLoopJoin fan-out of 8 rows/vector), and the
+    argmax collapses through a map-side-combined MAX over
+    struct(c, -vec_id) into ≤ 2·|anchors| groups — the corpus is
+    never shuffled, no per-group row_number sort exists on the Spark
+    side (the oracle's window IS the spec, not the plan). The struct
+    max's lexicographic order encodes the (cos DESC, vec_id ASC)
+    tie-break exactly: both engines compute the identical
+    ascending-index IEEE cosine chain, so the winner is engine-
+    identical, not just approximately.
+
+    At 100 TB with anchor sets beyond broadcast (mining pairs for
+    EVERY training example), the same argmax rides the ANN tier:
+    IVF cells or the at-rest SRP codes shortlist candidates per
+    anchor and this exact scan runs within the shortlist — the
+    tiered discipline of q_similarity_hamming_rerank.
+
+    Reference parity: none (driver-mandated pipeline surface).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    a = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    # norms hoist OUT of the 8-anchor fan-out: each side's norm is
+    # computed once (corpus rows in the pre-join projection, anchors
+    # in the broadcast build), and cos = dot/(rn*qn) is bit-identical
+    # to the oracle's per-pair recomputation — sqrt over the same
+    # ascending-index IEEE chain yields the same double wherever it
+    # runs. 8 dots + 1 norm per row instead of 8 dots + 16 norms
+    # (measured: 1.93 -> 0.98 s at sf10).
+    en = e.select("vec_id", "label", "embedding", norm("embedding").alias("rn"))
+    an = a.select("qid", "qlabel", "qv", norm("qv").alias("qn"))
+    scored = (
+        en.crossJoin(F.broadcast(an))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            (dot(F.col("embedding"), F.col("qv"))
+             / (F.col("rn") * F.col("qn"))).alias("c"),
+            (F.col("label") == F.col("qlabel")).alias("is_pos"),
+        )
+    )
+    # ONE conditional aggregate finds both argmaxes: the ordering key
+    # struct(c, -vec_id) encodes (cos DESC, vec_id ASC) and the WHEN
+    # nulls route each row to exactly one max_by (null keys are
+    # skipped). The struct buffer demotes this to SortAggregate — and
+    # the r13 A/B KEPT it: the hash-aggregable two-pass alternative
+    # (max(c) then broadcast join-back + min id) must compute the
+    # interpreted-HOF cosine fan-out TWICE and measured 2x slower
+    # (28.7 vs 15.1 s at sf100, equal results). The sort is map-side
+    # over the fan-out with 8 groups; the cosine compute dominates.
+    key = F.struct(F.col("c"), (-F.col("vec_id")).alias("nid"))
+    res = (
+        scored.groupBy("qid", "qlabel")
+        .agg(
+            F.max_by("vec_id", F.when(F.col("is_pos"), key)).alias("pos_id"),
+            F.round(
+                F.max(F.when(F.col("is_pos"), F.col("c"))), 6
+            ).alias("pos_cos"),
+            F.max_by("vec_id", F.when(~F.col("is_pos"), key)).alias("neg_id"),
+            F.round(
+                F.max(F.when(~F.col("is_pos"), F.col("c"))), 6
+            ).alias("neg_cos"),
+        )
+        # a label with no same-label (or no other-label) candidate has
+        # no pair — the oracle's inner join drops it identically
+        .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+        .orderBy("qid")
+    )
+    return res

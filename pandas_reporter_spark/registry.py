@@ -151,7 +151,11 @@ _PRIORITY = (
     "q_text_token_stats",
     "q_text_tokens",
     "q_tpch_q1",
-    "q_window_rank",
+    # q_window_rank defers to r14 (r8 record on unchanged code; its
+    # slot funds the FIRST record of the round's new operator — a
+    # missing first record costs a round, a valid-but-old re-record
+    # costs nothing)
+    "q_embed_hard_negatives",
     # (3) bodies changing this round (verdict items 3-6)
     "q_sketch_heavy_hitters",
     "q_pipeline_curriculum",

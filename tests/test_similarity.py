@@ -570,3 +570,48 @@ def test_pca_power_direction_matches_numpy_eig(spark):
     a = [tuple(r) for r in QUERIES["q_embed_pca_power"](spark, sf).collect()]
     b = [tuple(r) for r in QUERIES["q_embed_pca_power"](spark, sf).collect()]
     assert a == b and len(a) == 10
+
+
+def test_hard_negatives_hand_corpus_and_plan(spark, tmp_path):
+    """Planted geometry: anchor 0's positive must be the same-label
+    near-copy, its hard negative the other-label near-copy (not the
+    far one); vec_id tie-break pinned via two identical vectors. Plan
+    pin: the argmax is a map-side-combined aggregate — no Window, no
+    corpus sort on the Spark side."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    q = _base_vec(3)
+    near = [v + (0.001 if i == 0 else 0.0) for i, v in enumerate(q)]
+    far = [-v for v in q]
+    rows = [
+        (0, [float(v) for v in q], 1),       # anchor (label 1)
+        # same-label candidates: a near copy and an anti-copy
+        (30, [float(v) for v in near], 1),
+        (31, [float(v) for v in far], 1),
+        # other-label: two IDENTICAL near copies (tie -> lower id)
+        (40, [float(v) for v in near], 2),
+        (41, [float(v) for v in near], 2),
+        (42, [float(v) for v in far], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["qid"]: r
+        for r in QUERIES["q_embed_hard_negatives"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0]["pos_id"] == 30
+    assert got[0]["neg_id"] == 40  # tie between 40/41 -> lower vec_id
+    assert got[0]["pos_cos"] > 0.99 and got[0]["neg_cos"] > 0.99
+    df = QUERIES["q_embed_hard_negatives"](spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no per-group row_number sort (the oracle's window is the spec,
+    # not the plan) and ONE pass over the fan-out: the max_by struct
+    # key demotes to SortAggregate, and the r13 A/B KEPT that form —
+    # the hash-able two-pass alternative recomputes the interpreted
+    # cosine fan-out and measured 2x slower (28.7 vs 15.1 s at sf100)
+    assert "Window" not in plan, plan
+    assert plan.count("FileScan parquet") == 2, plan  # anchors + corpus
