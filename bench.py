@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "q_pipeline_curriculum",
     "q_sink_compaction",
     "q_text_fim",
+    # round-13 addition: contrastive hard-negative mining (anchor
+    # broadcast, one fan-out scan, conditional max_by argmax)
+    "q_embed_hard_negatives",
 ]
 
 

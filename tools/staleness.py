@@ -116,11 +116,24 @@ def _query_name(fn: ast.FunctionDef) -> str | None:
     return None
 
 
+#: module name -> repo path, for resolving cross-module operator
+#: imports inside query closures. Shared infrastructure (tables.py,
+#: session.py, registry.py, functions/*) is deliberately EXCLUDED:
+#: every query depends on it, so a change there invalidates the whole
+#: record and is visible in the round diff without this tool — and
+#: including it would flag all 200+ queries on any tables.py edit.
+_MODULE_BY_NAME = {
+    p[:-3].replace("/", "."): p for p in _MODULE_PATHS
+}
+
+
 def _module_index(src: str):
-    """(query name -> FunctionDef, top-level name -> node) for one module."""
+    """(query name -> FunctionDef, top-level name -> node,
+    import alias -> (module, remote name)) for one module."""
     tree = _Strip().visit(ast.parse(src))
     queries: dict[str, ast.FunctionDef] = {}
     toplevel: dict[str, ast.AST] = {}
+    imports: dict[str, tuple[str, str]] = {}
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             toplevel[node.name] = node
@@ -134,34 +147,77 @@ def _module_index(src: str):
                     toplevel[t.id] = node
         elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
             toplevel[node.target.id] = node
-    return queries, toplevel
+    # import aliases, wherever they appear (the repo does worker-side
+    # imports inside function bodies)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module in _MODULE_BY_NAME:
+            for alias in node.names:
+                imports[alias.asname or alias.name] = (
+                    node.module, alias.name,
+                )
+    return queries, toplevel, imports
 
 
-def _closure_dump(fn: ast.AST, toplevel: dict[str, ast.AST]) -> str:
-    """ast.dump of fn plus every module-local name it transitively uses."""
-    seen: dict[str, ast.AST] = {}
-    stack = [fn]
-    while stack:
-        node = stack.pop()
-        for sub in ast.walk(node):
-            if isinstance(sub, ast.Name) and sub.id in toplevel and sub.id not in seen:
-                seen[sub.id] = toplevel[sub.id]
-                stack.append(toplevel[sub.id])
-    parts = [ast.dump(fn)]
-    parts += [f"{k}={ast.dump(v)}" for k, v in sorted(seen.items())]
-    return "\n".join(parts)
+class _Snapshot:
+    """Closure dumps against one commit, with cross-module resolution:
+    a name imported from another operator module pulls THAT module's
+    definition (and its own transitive closure) into the dump, so a
+    helper change anywhere in the operator package flags every query
+    that reaches it — the r12 miss-class, closed across module
+    boundaries too."""
+
+    def __init__(self, commit: str | None):
+        self.commit = commit
+        self._mods: dict[str, tuple] = {}
+
+    def _module(self, path: str):
+        if path not in self._mods:
+            src = _source_at(self.commit, path)
+            self._mods[path] = _module_index(src) if src is not None else None
+        return self._mods[path]
+
+    def closure_dump(self, fn: ast.AST, path: str) -> str:
+        seen: dict[str, ast.AST] = {}
+        stack: list[tuple[ast.AST, str]] = [(fn, path)]
+        while stack:
+            node, npath = stack.pop()
+            mod = self._module(npath)
+            if mod is None:
+                continue
+            _, toplevel, imports = mod
+            for sub in ast.walk(node):
+                if not isinstance(sub, ast.Name):
+                    continue
+                if sub.id in toplevel:
+                    key = f"{npath}:{sub.id}"
+                    if key not in seen:
+                        seen[key] = toplevel[sub.id]
+                        stack.append((toplevel[sub.id], npath))
+                elif sub.id in imports:
+                    rmod, rname = imports[sub.id]
+                    rpath = _MODULE_BY_NAME[rmod]
+                    remote = self._module(rpath)
+                    if remote and rname in remote[1]:
+                        key = f"{rpath}:{rname}"
+                        if key not in seen:
+                            seen[key] = remote[1][rname]
+                            stack.append((remote[1][rname], rpath))
+        parts = [ast.dump(fn)]
+        parts += [f"{k}={ast.dump(v)}" for k, v in sorted(seen.items())]
+        return "\n".join(parts)
 
 
 def snapshot(commit: str | None) -> dict[str, str]:
     """query name -> normalized closure dump at a commit (None = HEAD tree)."""
     out: dict[str, str] = {}
+    snap = _Snapshot(commit)
     for path in _MODULE_PATHS:
-        src = _source_at(commit, path)
-        if src is None:
+        mod = snap._module(path)
+        if mod is None:
             continue
-        queries, toplevel = _module_index(src)
+        queries, _, _ = mod
         for qn, fn in queries.items():
-            out[qn] = _closure_dump(fn, toplevel)
+            out[qn] = snap.closure_dump(fn, path)
     return out
 
 
