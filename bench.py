@@ -159,9 +159,11 @@ BENCH_QUERIES = [
     "q_pipeline_curriculum",
     "q_sink_compaction",
     "q_text_fim",
-    # round-13 addition: contrastive hard-negative mining (anchor
-    # broadcast, one fan-out scan, conditional max_by argmax)
+    # round-13 additions: contrastive hard-negative mining (anchor
+    # broadcast, one fan-out scan, conditional max_by argmax) and the
+    # SRP-256 binary tier (rides the at-rest codes when primed)
     "q_embed_hard_negatives",
+    "q_similarity_srp",
 ]
 
 
@@ -311,6 +313,16 @@ def main() -> None:
         from pandas_reporter_spark.operators.text import materialize_docq
 
         materialize_docq(spark, sf_dir)
+    except Exception:
+        pass
+    # ...and the 256-bit SRP sign codes: packing is ingest-time work;
+    # the binary-tier query scans 32 B/vec codes.
+    try:
+        from pandas_reporter_spark.operators.similarity import (
+            materialize_srp_codes,
+        )
+
+        materialize_srp_codes(spark, sf_dir)
     except Exception:
         pass
     # ...and the bigram-graph edge/node artifact for PageRank.

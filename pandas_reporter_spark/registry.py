@@ -101,7 +101,10 @@ _PRIORITY = (
     #     heavy-hitters one-scan rewrite, curriculum artifact path,
     #     BPE train/apply (artifact validation + checkpoint cadence),
     #     TPC-H Q9 (filter below derived partsupp — Q9_AB_r13), and
-    #     one r9 family rep (tfidf). The Hamming pair stayed 64-bit
+    #     one r9 family rep (tfidf), plus first records for the two
+    #     queries ADDED this round (q_embed_hard_negatives,
+    #     q_similarity_srp — each funded by deferring one
+    #     unchanged-code r8 row). The Hamming pair stayed 64-bit
     #     raw-sign (HAMMING_AB_r13: the synthesis, not the width, is
     #     the recall@10 story; SRP-256 ships as the separate at-rest
     #     path srp_hamming_topk), so their records stand and the two
@@ -133,7 +136,10 @@ _PRIORITY = (
     "q_join_bucketed",
     "q_join_salted",
     "q_json_extract",
-    "q_json_variant",
+    # q_json_variant defers to r14 (r8 record on unchanged code; slot
+    # funds q_similarity_srp's first record — same trade as
+    # q_window_rank/q_embed_hard_negatives)
+    "q_similarity_srp",
     "q_multimodal_frame_sample",
     "q_multimodal_pack",
     "q_partition_pruned_scan",
