@@ -617,6 +617,11 @@ def test_no_sort_aggregates_in_registry_plans(spark):
         "q_dedup_exact",
         "q_pipeline_curate",
         "q_pipeline_pretrain",
+        # r13 A/B-kept: the argmax's struct ordering key (cos DESC,
+        # id ASC) demotes to SortAggregate; the hash-able two-pass
+        # recomputes the interpreted cosine fan-out and measured 2x
+        # slower at sf100 (28.7 vs 15.1 s) — similarity.py docstring
+        "q_embed_hard_negatives",
     }
     offenders = {}
     for name, fn in QUERIES.items():
