@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     # SRP-256 binary tier (rides the at-rest codes when primed)
     "q_embed_hard_negatives",
     "q_similarity_srp",
+    "q_embed_matryoshka",
 ]
 
 

@@ -2833,3 +2833,129 @@ def q_similarity_srp(spark, sf):
     Reference parity: none (driver-mandated similarity surface).
     """
     return srp_hamming_topk(spark, sf, _SRP_BITS)
+
+
+#: Matryoshka prefix widths probed by q_embed_matryoshka
+_MRL_WIDTHS = (8, 16, 32, 64)
+
+
+def _duck_prefix_cos(a: str, b: str, w: int) -> str:
+    d = (f"list_aggregate(list_transform(range(1, {w + 1}), "
+         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')")
+    na = (f"sqrt(list_aggregate(list_transform(range(1, {w + 1}), "
+          f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))")
+    nb = (f"sqrt(list_aggregate(list_transform(range(1, {w + 1}), "
+          f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum'))")
+    return f"({d} / ({na} * {nb}))"
+
+
+def _prefix_cos(w: int):
+    """Cosine over the first w dims (prefix norm on BOTH sides — the
+    Matryoshka convention), same ascending-index IEEE chain as the
+    oracle's list sums."""
+    a = F.expr(f"slice(embedding, 1, {w})")
+    b = F.expr(f"slice(qv, 1, {w})")
+    d = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.zip_with(a, a, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with(b, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return d / (na * nb)
+
+
+def _mrl_oracle() -> str:
+    branches = []
+    for w in _MRL_WIDTHS:
+        branches.append(f"""
+    SELECT {w} AS width, rnk, vec_id, cosw FROM (
+      SELECT e.vec_id,
+             round({_duck_prefix_cos('e.embedding', 'q.qv', w)}, 6) AS cosw,
+             ROW_NUMBER() OVER (
+               ORDER BY {_duck_prefix_cos('e.embedding', 'q.qv', w)} DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ) WHERE rnk <= 10""")
+    union = "\n    UNION ALL".join(branches)
+    return f"""
+    -- Matryoshka truncation fidelity: top-10 by prefix-dim cosine at
+    -- each width, flagged against the full-width top-10
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ranked AS ({union}),
+    full10 AS (SELECT vec_id FROM ranked WHERE width = 64)
+    SELECT r.width, r.rnk AS rank, r.vec_id, r.cosw AS cos,
+           CAST(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS in_full_top10
+    FROM ranked r LEFT JOIN full10 f ON r.vec_id = f.vec_id
+    ORDER BY r.width, r.rnk
+    """
+
+
+@query("q_embed_matryoshka", oracle=_mrl_oracle())
+def q_embed_matryoshka(spark, sf):
+    """Matryoshka truncation fidelity (Kusupati et al. 2022, MRL) —
+    for each prefix width w ∈ 8/16/32/64, the top-10 neighbors of the
+    vec_id=0 query by PREFIX-dim cosine, each row flagged by whether
+    it appears in the full-width top-10. This is the diagnostic
+    behind shipping truncated embeddings: the width where the flag
+    column stops degrading is the width the at-rest store can keep —
+    the adaptive-retrieval counterpart of the fixed-codebook ladder
+    (int8 / PQ / SRP-binary / JL) this module already measures.
+
+    Plan shape: each width is an independent TakeOrderedAndProject
+    leg over the same scan (legs share nothing and schedule
+    concurrently — the RRF discipline); the full-width top-10 is one
+    of the legs, broadcast back as the flag's build side; the final
+    rank window runs over 40 rows. Prefix cosines are the identical
+    ascending-index IEEE chain in both engines (slice + zip_with vs
+    list_transform over range), so ranks are engine-identical, not
+    approximately so.
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    from pyspark.sql import Window as W
+
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    legs = []
+    for w in _MRL_WIDTHS:
+        legs.append(
+            scored.select(
+                F.lit(w).alias("width"),
+                "vec_id",
+                _prefix_cos(w).alias("c"),
+            )
+            .orderBy(F.col("c").desc(), "vec_id")
+            .limit(10)
+        )
+    ranked = legs[0]
+    for leg in legs[1:]:
+        ranked = ranked.unionAll(leg)
+    rnk = F.row_number().over(
+        W.partitionBy("width").orderBy(F.col("c").desc(), "vec_id")
+    )
+    ranked = ranked.select("width", "vec_id", "c", rnk.alias("rank"))
+    full10 = ranked.filter(F.col("width") == 64).select(
+        F.col("vec_id").alias("fid")
+    )
+    return (
+        ranked.join(
+            F.broadcast(full10), ranked["vec_id"] == full10["fid"], "left"
+        )
+        .select(
+            "width",
+            "rank",
+            "vec_id",
+            F.round("c", 6).alias("cos"),
+            F.col("fid").isNotNull().cast("bigint").alias("in_full_top10"),
+        )
+        .orderBy("width", "rank")
+    )

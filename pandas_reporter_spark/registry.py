@@ -131,7 +131,10 @@ _PRIORITY = (
     "q_dedup_minhash_incremental",
     "q_dedup_spans",
     "q_events_session",
-    "q_explode",
+    # q_explode defers to r14 (r8 record on unchanged code; slot funds
+    # q_embed_matryoshka's first record — same trade as the other
+    # round-13 additions)
+    "q_embed_matryoshka",
     "q_groupby_mean",
     "q_join_bucketed",
     "q_join_salted",

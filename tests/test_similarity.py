@@ -615,3 +615,50 @@ def test_hard_negatives_hand_corpus_and_plan(spark, tmp_path):
     # cosine fan-out and measured 2x slower (28.7 vs 15.1 s at sf100)
     assert "Window" not in plan, plan
     assert plan.count("FileScan parquet") == 2, plan  # anchors + corpus
+
+
+def test_matryoshka_full_width_is_exact_topk_and_flags_monotone(spark):
+    """The w=64 leg must equal q_similarity_topk's ids in order; every
+    w=64 row carries in_full_top10=1; and each leg has exactly 10
+    ranked rows 1..10."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q_embed_matryoshka"](spark, sf).collect()
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["width"], []).append(r)
+    assert set(by_w) == {8, 16, 32, 64}
+    for w, rs in by_w.items():
+        assert [r["rank"] for r in rs] == list(range(1, 11)), w
+    full = [r["vec_id"] for r in by_w[64]]
+    topk = [r["vec_id"] for r in QUERIES["q_similarity_topk"](spark, sf).collect()]
+    assert full == topk
+    assert all(r["in_full_top10"] == 1 for r in by_w[64])
+
+
+def test_matryoshka_prefix_ignores_suffix_dims(spark, tmp_path):
+    """Two vectors identical in dims 1-8 but opposite in dims 9-64
+    must tie at w=8 (tie -> lower vec_id first) and split at w=64."""
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    q = _base_vec(5)
+    a = list(q)
+    b = q[:8] + [-v for v in q[8:]]
+    rows = [
+        (0, [float(v) for v in q], 0),
+        (7, [float(v) for v in a], 1),   # full copy
+        (9, [float(v) for v in b], 2),   # prefix-only copy
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = QUERIES["q_embed_matryoshka"](spark, str(tmp_path)).collect()
+    w8 = sorted((r["rank"], r["vec_id"]) for r in got if r["width"] == 8)
+    w64 = sorted((r["rank"], r["vec_id"]) for r in got if r["width"] == 64)
+    assert w8 == [(1, 7), (2, 9)]   # identical prefix cos: id tiebreak
+    assert w64 == [(1, 7), (2, 9)]  # full copy strictly ahead
+    c8 = {r["vec_id"]: r["cos"] for r in got if r["width"] == 8}
+    assert c8[7] == c8[9]           # exact tie at the prefix width
