@@ -35,6 +35,11 @@ KNOWN_DEFERRED: dict[str, str] = {
         "r13: empty-table degrade guard (ADVICE r12) — output identical "
         "on every non-empty documents table; re-record in r14"
     ),
+    "q_text_perplexity_bigram": (
+        "r13: bigram-stream persist (perf-only, 15.4->8.9 s at sf10; "
+        "values identical, oracle re-verified this session) — r12 "
+        "record stands on identical output; re-record in r14"
+    ),
 }
 
 
