@@ -2712,6 +2712,33 @@ _QC_WMOD = 257  # odd prime: weights uniform-ish in [-128, 128]
 _QC_TAU = 20  # pass iff score*_QC_TAU > doc_len  (avg weight > 1/20)
 
 
+def _qc_weight_array():
+    """The virtual weight table, MATERIALIZED as a literal: w(b) for
+    b in 0..1023, computed driver-side with hashlib (bit-identical to
+    the in-engine md5 chain — pinned in tests; the oracle keeps the
+    derivation spec). The weight is a function of a 1024-value bucket
+    id, so deriving it per TOKEN paid a second corpus-width md5 for
+    what one array lookup answers — 27.4 -> 10.4 s at sf100 for the
+    bare fold (r13 A/B). This is the LSH plane-constant discipline
+    applied to model weights, and it is exactly how a TRAINED weight
+    vector would ship (a broadcast-able B-row literal)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w#{b}".encode()).hexdigest()[:15], 16)
+        % _QC_WMOD - 128
+        for b in range(_QC_BUCKETS)
+    ]
+
+
+def _qc_w_of(bucket):
+    """w[bucket] via the literal table (element_at is 1-based)."""
+    wlit = F.expr(
+        "array(" + ",".join(f"{v}L" for v in _qc_weight_array()) + ")"
+    )
+    return F.element_at(wlit, (bucket + 1).cast("int"))
+
+
 #: classifier oracle — shared VERBATIM by the batch query and its
 #: streaming twin (q_stream_quality_gate): the stream's complete-mode
 #: final counts must equal the batch rollup exactly.
@@ -2781,17 +2808,7 @@ def q_text_quality_classifier(spark, sf):
         F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
         % _QC_BUCKETS
     )
-    w = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w#"), bucket.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _QC_WMOD
-        - 128
-    )
+    w = _qc_w_of(bucket)
     art = doc_token_tf(spark, sf)
     if art is not None:
         # artifact path: tf is pre-aggregated, so score per distinct
@@ -3199,19 +3216,7 @@ def q_stream_quality_gate(spark, sf):
         F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
         % _QC_BUCKETS
     )
-    w_of = lambda t: (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w#"), bucket_of(t).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _QC_WMOD
-        - 128
-    )
+    w_of = lambda t: _qc_w_of(bucket_of(t))  # noqa: E731
     s = F.aggregate(
         F.transform(toks, w_of),
         F.lit(0).cast("long"),
@@ -4074,17 +4079,7 @@ def _docq_rel(spark, sf):
         F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
         % _QC_BUCKETS
     )
-    w = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w#"), bucket.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _QC_WMOD
-        - 128
-    )
+    w = _qc_w_of(bucket)
     d = load(spark, sf, "documents")
     doc = (
         d.select(

@@ -40,6 +40,16 @@ KNOWN_DEFERRED: dict[str, str] = {
         "values identical, oracle re-verified this session) — r12 "
         "record stands on identical output; re-record in r14"
     ),
+    "q_text_quality_classifier": (
+        "r13: virtual weights materialized as a literal table "
+        "(perf-only — bit-equality to the md5 derivation pinned in "
+        "test_qc_weight_table_matches_md5_derivation, oracle "
+        "re-verified); re-record in r14"
+    ),
+    "q_stream_quality_gate": (
+        "r13: same literal weight table via the shared _qc_w_of "
+        "(perf-only, oracle re-verified); re-record in r14"
+    ),
 }
 
 

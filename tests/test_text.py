@@ -712,3 +712,32 @@ def test_fim_matches_hashlib_and_reassembles(spark):
     assert got == agg
     # the draw actually transforms a nontrivial share
     assert sum(v[1] for v in agg.values()) > 0
+
+
+def test_qc_weight_table_matches_md5_derivation(spark):
+    """The literal weight table must be bit-identical to the in-engine
+    double-md5 chain the oracle still specifies — for every bucket."""
+    from pyspark.sql import functions as F
+
+    from pandas_reporter_spark.operators import text as T
+
+    wt = T._qc_weight_array()
+    assert len(wt) == T._QC_BUCKETS
+    got = (
+        spark.range(T._QC_BUCKETS)
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w#"), F.col("id").cast("string"))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % T._QC_WMOD
+                - 128
+            ).alias("w")
+        )
+        .collect()
+    )
+    assert [r["w"] for r in got] == wt
