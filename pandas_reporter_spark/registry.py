@@ -78,105 +78,79 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-13 ROTATION. Built from tools/staleness.py — the
-    # per-vintage AST audit the r12 verdict prescribed: each query's
-    # normalized body (docstrings stripped) PLUS the transitive
-    # closure of module-local helpers it calls, diffed against the
-    # commit of ITS OWN record vintage (r8=d3b8044, r9=48eecbf,
-    # r10=226a8be, r11=0abaadd, r12=cf67d0d), not one fixed base.
-    # tests/test_staleness.py re-runs the audit and fails if any
-    # stale query is missing from this prefix. Slot budget (50):
-    # (1) the 12 stale records the audit found at round start — the
-    #     judge's three (q_similarity_join_shuffled semantic LSH
-    #     rework, q_source_csv_roundtrip, q_stream_file_sink) plus
-    #     nine the body-only diff missed: five streaming queries via
-    #     the r12 _run_stream/_capture_progress rework, the minhash
-    #     _mh_width helper pair, q_similarity_ann_lsh (semantic —
-    #     occupancy-aware planes, same rework the judge caught on
-    #     join_shuffled), q_events_stateful/_stream_session;
-    # (2) the rest of the r8 cohort (32 rows) — burns the oldest
-    #     vintage entirely: after r13 nothing in the cumulative
-    #     record is older than r9;
-    # (3) six slots for queries whose bodies changed THIS round:
-    #     heavy-hitters one-scan rewrite, curriculum artifact path,
-    #     BPE train/apply (artifact validation + checkpoint cadence),
-    #     TPC-H Q9 (filter below derived partsupp — Q9_AB_r13), and
-    #     one r9 family rep (tfidf), plus first records for the two
-    #     queries ADDED this round (q_embed_hard_negatives,
-    #     q_similarity_srp — each funded by deferring one
-    #     unchanged-code r8 row). The Hamming pair stayed 64-bit
-    #     raw-sign (HAMMING_AB_r13: the synthesis, not the width, is
-    #     the recall@10 story; SRP-256 ships as the separate at-rest
-    #     path srp_hamming_topk), so their records stand and the two
-    #     planned slots went to q9 + tfidf.
-    # (1) stale records (semantic first)
-    "q_similarity_ann_lsh",
-    "q_similarity_join_shuffled",
-    "q_similarity_join",
-    "q_dedup_minhash_capped",
-    "q_dedup_containment",
-    "q_events_stateful",
-    "q_events_stream_session",
-    "q_events_late",
-    "q_stream_enrich",
-    "q_stream_file_sink",
-    "q_stream_stream_join",
-    "q_source_csv_roundtrip",
-    # (2) r8 cohort burn (oldest vintage, alphabetical)
-    "q_agg_weighted_median",
-    "q_agg_weighted_median_approx",
-    "q_array_funcs",
-    "q_case_when",
-    "q_dedup_embedding",
-    "q_dedup_minhash_incremental",
-    "q_dedup_spans",
-    "q_events_session",
-    # q_explode defers to r14 (r8 record on unchanged code; slot funds
-    # q_embed_matryoshka's first record — same trade as the other
-    # round-13 additions)
-    "q_embed_matryoshka",
-    "q_groupby_mean",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_json_extract",
-    # q_json_variant defers to r14 (r8 record on unchanged code; slot
-    # funds q_similarity_srp's first record — same trade as
-    # q_window_rank/q_embed_hard_negatives)
-    "q_similarity_srp",
-    "q_multimodal_frame_sample",
-    "q_multimodal_pack",
-    "q_partition_pruned_scan",
-    "q_pipeline_curate",
-    "q_sample_stratified",
-    "q_similarity_topk",
-    "q_sink_parquet",
-    "q_sketch_bloom",
-    "q_sketch_kmv",
-    "q_text_chunk",
-    "q_text_fingerprint",
-    "q_text_pack",
-    "q_text_quality",
-    "q_text_redact",
-    "q_text_token_stats",
-    "q_text_tokens",
-    "q_tpch_q1",
-    # q_window_rank defers to r14 (r8 record on unchanged code; its
-    # slot funds the FIRST record of the round's new operator — a
-    # missing first record costs a round, a valid-but-old re-record
-    # costs nothing)
-    "q_embed_hard_negatives",
-    # (3) bodies changing this round (verdict items 3-6)
-    "q_sketch_heavy_hitters",
-    "q_pipeline_curriculum",
-    "q_text_bpe_train",
+    # ---- ROUND-14 ROTATION. Built from tools/staleness.py with the
+    # r13 vintage (0d9b6f0) added. Audit state at round start: stale =
+    # exactly the four r13 KNOWN_DEFERRED perf-only changes; nothing
+    # unrecorded. Slot budget (50):
+    # (1) the four deferrals — first official records on their
+    #     post-change bodies (KNOWN_DEFERRED drained back to empty);
+    # (2) the whole r9 cohort (30 rows) — burns the oldest vintage:
+    #     after r14 nothing in the cumulative record is older than r10;
+    # (3) the three AST-frozen r8 survivors (q_explode, q_json_variant,
+    #     q_window_rank) — records valid, but re-recording retires the
+    #     r8 vintage entirely;
+    # (4) bodies changing THIS round (verdict items 2/3/5/6): the
+    #     q_dedup_fuzzy hot-variant cap, the classifier rollup fusion
+    #     (already slot (1)), the dictionary-join BPE apply, and the
+    #     q_similarity_hamming_rerank re-pin;
+    # (5) remaining slots to r10 rows resident in the modules this
+    #     round churns (text.py / dedup.py / similarity.py), so any
+    #     accidental helper-closure drift lands on a fresh record.
+    # (1) r13 deferrals — record their post-change bodies
+    "q_sink_compaction",
+    "q_text_perplexity_bigram",
+    "q_text_quality_classifier",
+    "q_stream_quality_gate",
+    # (2) r9 cohort burn (oldest vintage, alphabetical)
+    "q_agg_histogram",
+    "q_agg_mode",
+    "q_agg_stringagg",
+    "q_dedup_incremental",
+    "q_dedup_simhash",
+    "q_embed_quantize",
+    "q_events_anomaly",
+    "q_events_funnel",
+    "q_events_resample",
+    "q_events_retention",
+    "q_events_sliding",
+    "q_events_transitions",
+    "q_events_tumbling",
+    "q_fillna_group",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_merge_upsert",
+    "q_null_funcs",
+    "q_profile_table",
+    "q_text_kl_divergence",
+    "q_text_repetition",
+    "q_tpch_q14",
+    "q_tpch_q2",
+    "q_tpch_q21",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_unpivot",
+    "q_window_firstlast",
+    "q_window_ntile",
+    "q_window_rolling",
+    # (3) r8 retirement (AST-frozen, records valid — vintage hygiene)
+    "q_explode",
+    "q_json_variant",
+    "q_window_rank",
+    # (4) bodies changing this round
+    "q_dedup_fuzzy",
     "q_text_bpe_apply",
-    "q_tpch_q9",
-    "q_text_tfidf",
-    # Deferred to r14 (documented in tests/test_staleness.py if their
-    # bodies change without a slot): non-semantic guards whose output
-    # is identical on every testdata sf (e.g. q_sink_compaction's
-    # empty-table degrade). The r9 long tail (33 rows, valid records
-    # on unchanged code) rotates in r14.
+    "q_similarity_hamming_rerank",
+    # (5) r10 rows in churn-prone modules
+    "q_text_chi2",
+    "q_text_decontaminate",
+    "q_text_logprob",
+    "q_text_normalize",
+    "q_text_vocab_overlap",
+    "q_mix_temperature",
+    "q_split_train_val",
+    "q_dedup_ngram_jaccard",
+    "q_similarity_maxsim",
+    "q_embed_centroids",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

@@ -31,25 +31,8 @@ RECORD_WINDOW = 50
 #: the audit exceeds the window. Each entry must say WHY deferral is
 #: safe (non-semantic: byte-identical output on every testdata sf).
 KNOWN_DEFERRED: dict[str, str] = {
-    "q_sink_compaction": (
-        "r13: empty-table degrade guard (ADVICE r12) — output identical "
-        "on every non-empty documents table; re-record in r14"
-    ),
-    "q_text_perplexity_bigram": (
-        "r13: bigram-stream persist (perf-only, 15.4->8.9 s at sf10; "
-        "values identical, oracle re-verified this session) — r12 "
-        "record stands on identical output; re-record in r14"
-    ),
-    "q_text_quality_classifier": (
-        "r13: virtual weights materialized as a literal table "
-        "(perf-only — bit-equality to the md5 derivation pinned in "
-        "test_qc_weight_table_matches_md5_derivation, oracle "
-        "re-verified); re-record in r14"
-    ),
-    "q_stream_quality_gate": (
-        "r13: same literal weight table via the shared _qc_w_of "
-        "(perf-only, oracle re-verified); re-record in r14"
-    ),
+    # r14: drained — all four r13 deferrals lead registry._PRIORITY
+    # and get official records this round.
 }
 
 
@@ -91,9 +74,17 @@ def test_every_unrecorded_query_is_scheduled(audit):
 
 
 def test_deferred_entries_are_actually_stale_or_gone(audit):
-    """KNOWN_DEFERRED must not accumulate dead entries: every name must
-    currently be registered, and flagging one that the audit considers
-    fresh is a sign the deferral should be deleted."""
+    """KNOWN_DEFERRED must not accumulate dead entries (ADVICE r13):
+    every name must currently be registered AND still be flagged by the
+    audit — a deferral for a query that has gone fresh (re-recorded)
+    silently exempts its future staleness and must be deleted."""
     registry.load_all()
+    vint = staleness.record_vintages()
+    flagged = {s["query"] for s in audit["stale"]}
+    flagged |= {n for n in registry.QUERIES if n not in vint}
     for name in KNOWN_DEFERRED:
         assert name in registry.QUERIES, f"deferred entry not registered: {name}"
+        assert name in flagged, (
+            f"KNOWN_DEFERRED entry {name!r} is fresh (re-recorded or "
+            f"unchanged since its record vintage) — delete this deferral"
+        )

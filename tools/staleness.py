@@ -53,6 +53,7 @@ RECORD_COMMITS = {
     10: "226a8be",
     11: "0abaadd",
     12: "cf67d0d",
+    13: "0d9b6f0",
 }
 
 #: Modules that register queries (mirrors registry._OPERATOR_MODULES).
