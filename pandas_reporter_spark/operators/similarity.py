@@ -2052,7 +2052,15 @@ def materialize_srp_codes(spark, sf, bits: int = 256,
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             e = load(spark, sf, "embeddings")
             srp_codes(e, bits).write.mode("overwrite").parquet(out)
-        _SRP_ART[key] = spark.read.parquet(out)
+        art = spark.read.parquet(out)
+        # Validate BEFORE caching (the BPE-artifact discipline): a
+        # concurrent session's mode('overwrite') on this shared path
+        # can expose a torn artifact. srp_codes is one code row per
+        # embedding, so a complete artifact matches the source count
+        # exactly; both counts are parquet-footer reads.
+        if art.count() != load(spark, sf, "embeddings").count():
+            return
+        _SRP_ART[key] = art
     except Exception:
         return
 

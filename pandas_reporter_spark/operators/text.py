@@ -2987,6 +2987,12 @@ def q_text_overlap_matrix(spark, sf):
     )
 
 
+#: Previous q_text_perplexity_bigram invocation's persisted bigram
+#: stream, retired on the next call (the plan is returned lazy, so the
+#: function itself can never unpersist its own cache).
+_PPL_BG_HANDLES: list = []
+
+
 @query(
     "q_text_perplexity_bigram",
     oracle="""
@@ -3109,7 +3115,18 @@ def q_text_perplexity_bigram(spark, sf):
     # pipeline materializes at ingest).
     from pyspark import StorageLevel
 
+    # The returned plan is lazy (the caller collects it), so the cache
+    # cannot be released inside this function; instead each invocation
+    # retires the previous one's handle (ADVICE r13 — without this a
+    # bench session accumulates abandoned cached blocks until the
+    # ContextCleaner happens to GC them).
+    while _PPL_BG_HANDLES:
+        try:
+            _PPL_BG_HANDLES.pop().unpersist()
+        except Exception:
+            pass
     bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    _PPL_BG_HANDLES.append(bg)
     # c1 derives from the c12 DICTIONARY, not from a second pass over
     # the corpus bigram stream: h1 is functionally dependent on h12
     # (a bigram determines its predecessor; min() resolves the
@@ -4065,7 +4082,17 @@ def materialize_docq(spark, sf, base: str = "/dev/shm") -> None:
     try:
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             _docq_rel(spark, sf).write.mode("overwrite").parquet(out)
-        _DOCQ_ART[key] = spark.read.parquet(out)
+        art = spark.read.parquet(out)
+        # Validate BEFORE caching (the BPE-artifact discipline): the
+        # path is shared across processes, so a concurrent session's
+        # mode('overwrite') can expose a torn artifact — partial row
+        # groups read without error. A complete docq has exactly one
+        # row per document (every doc contributes >= 1 token; a corpus
+        # where that fails just stays on the inline plan). Both counts
+        # are parquet-footer reads — the primed win is untouched.
+        if art.count() != load(spark, sf, "documents").count():
+            return
+        _DOCQ_ART[key] = art
     except Exception:
         return
 
