@@ -1279,73 +1279,210 @@ def connected_components(nodes, pairs, src: str, dst: str):
     """,
 )
 def q_dedup_fuzzy(spark, sf):
-    """Fuzzy entity matching at edit distance <= 1 via the SymSpell
-    delete-variant join — the linear-scale exact algorithm for the
-    O(n²) levenshtein self-join the oracle runs.
+    """Fuzzy entity matching at edit distance <= 1 via the
+    POSITION-TAGGED deletion-variant join — the linear-scale exact
+    algorithm for the O(n²) levenshtein self-join the oracle runs.
 
-    Each name emits itself + its |name| single-deletion variants
-    (one flat transform); two names within edit distance 1 ALWAYS
-    share a variant (equal -> identity; substitution -> same-position
-    deletion from both; insert/delete -> the shorter string itself),
-    so an equi-join on the variant finds every true pair, and a
-    residual levenshtein filter kills the distance-2 survivors (e.g.
-    adjacent transpositions sharing a deletion). dropDuplicates
-    collapses pairs that share several variants. At 100 TB: the
-    shuffle key is the variant — (len+1)x linear replication instead
-    of a quadratic nested loop; hot variants (short strings) are the
-    known skew, handled by AQE or a length->=m gate.
+    An ED<=1 pair is exactly one of three shapes, each with its own
+    equi-join branch:
+      (0) equal strings            -> identity-hash self-join;
+      (1) substitution at pos i    -> both names' deletion-at-i
+          variants are equal, so they meet on key (i, variant) —
+          and ONLY at i (deleting j != i keeps the differing column);
+      (2) insertion/deletion       -> the shorter name IS a deletion
+          variant of the longer: identity-vs-deletion join.
+    Union of the three is complete; a residual levenshtein guard
+    keeps hash collisions from admitting false pairs.
+
+    Folding the position into the substitution join key is the skew
+    fix the r13 verdict demanded, and it is intrinsic rather than a
+    recall-losing cap: an untagged variant group collects every name
+    that reaches the variant by deleting ANY position (the r13 plan's
+    measured 125.7M candidate pairs vs 39.75M true pairs at sf10,
+    max group 141), while a (pos, variant) group only holds names
+    that differ from the variant by an insertion at that one slot —
+    its size is bounded by the ALPHABET, for any data. Because a
+    substitution pair meets at exactly one position and branch (1)
+    excludes equal names, the union is duplicate-free without the
+    old plan's 125M-row string-keyed dropDuplicates shuffle; only
+    the tiny cross-length branch dedups (a run of equal chars in the
+    longer name yields the same variant from several positions).
+
+    The cross-length branch re-shuffles the deletion stream on an
+    untagged hash, so it is gated by a bounded driver artifact: the
+    set of distinct name lengths (<= a few dozen rows). A corpus with
+    no adjacent lengths — every fixed-width entity key, including
+    this one — skips the branch at plan time.
+
+    At 100 TB: replication is (len+1)x linear, every shuffle key is
+    an 8-byte xxhash64, every join group is alphabet-bounded, and
+    join output ~= true output (no candidate blowup to dedup).
+    Measured at sf10 (1.5M names, 39.75M true pairs):
+    57.2 s -> see docs/FUZZY_AB_r14.json.
 
     Reference parity: none (driver-mandated dedup surface, SURVEY
     §2.3; the entity-resolution cousin of document near-dup).
     """
     configure(spark)
     c = load(spark, sf, "customer").select("c_custkey", "c_name")
-    variants = F.expr(
-        "array_union(array(c_name), transform(sequence(1, length(c_name)),"
-        " i -> concat(substring(c_name, 1, i-1), substring(c_name, i+1))))"
+
+    # Bounded driver artifact (one agg, three values): the corpus'
+    # distinct name lengths — gates the cross-length branch — and the
+    # GLOBAL longest common prefix, via the sorted-extremes identity
+    # lcp(all) = lcp(min, max). Entity-key corpora share a long
+    # constant prefix ("Customer#00…" is 11 of 18 chars at sf10), and
+    # no substitution pair can differ inside a prefix every name
+    # shares — so deletion positions <= lcp can never join two
+    # DIFFERENT names and need not be generated at all: 18 -> 7
+    # variant rows per name here, generically 0 savings when names
+    # share nothing.
+    stats = c.agg(
+        F.min("c_name").alias("lo"),
+        F.max("c_name").alias("hi"),
+        F.collect_set(F.length("c_name")).alias("lens"),
+    ).collect()[0]
+    lens = set(stats["lens"] or [])
+    lcp = 0
+    for x, y in zip(stats["lo"] or "", stats["hi"] or ""):
+        if x != y:
+            break
+        lcp += 1
+
+    # (1) substitution: deletion variants tagged with their position,
+    # position folded into the 8-byte shuffle key. BOTH join inputs
+    # are the SAME relation (aliased), so the exchange canonicalizes
+    # identically and ReuseExchange writes the variant shuffle once;
+    # SHUFFLE_HASH skips the two big sorts a sort-merge self-join
+    # would pay (per-partition build side ~1M rows at sf10 —
+    # comfortably in executor memory at any SF once the key carries
+    # the partition count).
+    dele = c.filter(F.length("c_name") > lcp).select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(f"sequence({lcp + 1}, length(c_name))")
+        ).alias("pos"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        "pos",
+        F.xxhash64(
+            "pos",
+            F.expr("concat(substring(c_name, 1, pos-1),"
+                   " substring(c_name, pos+1))"),
+        ).alias("vhp"),
     )
-    # join key = xxhash64(variant), not the variant string: the
-    # shuffle moves 8-byte longs instead of ~|name|-char strings, and
-    # a hash collision can only ADD a candidate pair, which the
-    # residual levenshtein filter below kills — exactness unaffected.
-    v = c.select(
-        "c_custkey", "c_name", F.explode(variants).alias("variant")
-    ).select("c_custkey", "c_name", F.xxhash64("variant").alias("vh"))
-    a = v.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("c_name").alias("name_a"),
-        "vh",
-    )
-    b = v.select(
-        F.col("c_custkey").alias("key_b"),
-        F.col("c_name").alias("name_b"),
-        "vh",
-    )
-    return (
-        a.join(b, "vh")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .drop("vh")
-        # dropDuplicates BEFORE levenshtein, deliberately: the dedup is
-        # a map-side-combinable aggregate, so the hot-variant pair
-        # multiplicity collapses inside the join's own stage, and the
-        # (comparatively expensive) levenshtein runs once per DISTINCT
-        # pair — filtering first instead measured 2× slower at sf0.1
-        # names join the dedup KEY (they're functionally dependent on
-        # the custkeys, so the row set is unchanged): with only the
-        # keys listed, dropDuplicates compiles to first(name_a)/
-        # first(name_b) aggregates whose var-length string buffers
-        # demote the pair dedup to a SortAggregate (r12 plan audit);
-        # as group keys the strings are fine and the agg stays hash
-        .dropDuplicates(["key_a", "key_b", "name_a", "name_b"])
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
+    a, b = dele.alias("a"), dele.alias("b")
+    # The guard is the branch's structural invariant, not levenshtein:
+    # same tagged position and equal prefix/suffix around it <=> the
+    # names differ at exactly that slot (dist 1 given names differ).
+    # True pairs satisfy it by construction; an xxhash64 collision
+    # fails it — exactness without 2x O(len²) DP per output row.
+    # The prefix/suffix checks are spelled <=AND>= ON PURPOSE: as ==
+    # they are equi-join keys to Catalyst (ExtractEquiJoinKeys), which
+    # folds both substrings into the shuffle/hash key — every build,
+    # probe, AND partitioner row then allocates and hashes two
+    # substrings, measured 18.1 s vs 3.6 s at sf10. As inequalities
+    # they stay a residual join condition, evaluated only on the
+    # 8-byte-hash matches, which are almost all true pairs.
+    pre_a = F.expr("substring(a.c_name, 1, a.pos - 1)")
+    pre_b = F.expr("substring(b.c_name, 1, b.pos - 1)")
+    suf_a = F.expr("substring(a.c_name, a.pos + 1)")
+    suf_b = F.expr("substring(b.c_name, b.pos + 1)")
+    sub = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.vhp") == F.col("b.vhp"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (F.col("a.c_name") != F.col("b.c_name"))
+            & (F.col("a.pos") <= F.col("b.pos"))
+            & (F.col("a.pos") >= F.col("b.pos"))
+            & (pre_a <= pre_b) & (pre_a >= pre_b)
+            & (suf_a <= suf_b) & (suf_a >= suf_b),
+        )
         .select(
-            "key_a",
-            "key_b",
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.lit(1).alias("dist"),
         )
     )
+
+    # (0) equal strings (dist 0) — kept out of branch (1) so the
+    # union stays duplicate-free; string equality IS the exact guard
+    ih = c.select("c_custkey", "c_name", F.xxhash64("c_name").alias("nh"))
+    ia, ib = ih.alias("ia"), ih.alias("ib")
+    dup = (
+        ia.join(ib.hint("shuffle_hash"), F.col("ia.nh") == F.col("ib.nh"))
+        .filter(
+            (F.col("ia.c_custkey") < F.col("ib.c_custkey"))
+            & (F.col("ia.c_name") == F.col("ib.c_name"))
+        )
+        .select(
+            F.col("ia.c_custkey").alias("key_a"),
+            F.col("ib.c_custkey").alias("key_b"),
+            F.col("ia.c_name").alias("name_a"),
+            F.col("ib.c_name").alias("name_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    out = sub.unionByName(dup)
+
+    # (2) insertion/deletion, only when adjacent name lengths exist
+    # (from the same bounded pre-scan)
+    long_lens = sorted(l for l in lens if l - 1 in lens)
+    if long_lens:
+        dvar = (
+            c.filter(F.length("c_name").isin(long_lens))
+            .select(
+                "c_custkey",
+                "c_name",
+                F.explode(F.expr("sequence(1, length(c_name))")).alias("pos"),
+            )
+            .select(
+                "c_custkey",
+                "c_name",
+                F.xxhash64(
+                    F.expr("concat(substring(c_name, 1, pos-1),"
+                           " substring(c_name, pos+1))")
+                ).alias("vh"),
+            )
+        )
+        ident = c.filter(
+            F.length("c_name").isin([l - 1 for l in long_lens])
+        ).select(
+            F.col("c_custkey").alias("kb"),
+            F.col("c_name").alias("nb"),
+            F.xxhash64("c_name").alias("vh"),
+        )
+        # shuffle_hash with the identity side as build, EXPLICITLY:
+        # Catalyst's size estimate for a Generate (explode) child can
+        # undercount so badly that it broadcast the 29M-row variant
+        # side at sf10 (BuildLeft, 15.8 s of an 18 s wall); two 8-byte
+        # hash shuffles and a build on the smaller identity side is
+        # the scale-safe shape at any corpus size.
+        cross = (
+            dvar.join(ident.hint("shuffle_hash"), "vh")
+            .filter(F.col("c_custkey") != F.col("kb"))
+            .select(
+                F.least("c_custkey", "kb").alias("key_a"),
+                F.greatest("c_custkey", "kb").alias("key_b"),
+                F.when(F.col("c_custkey") < F.col("kb"), F.col("c_name"))
+                .otherwise(F.col("nb")).alias("name_a"),
+                F.when(F.col("c_custkey") < F.col("kb"), F.col("nb"))
+                .otherwise(F.col("c_name")).alias("name_b"),
+            )
+            .dropDuplicates(["key_a", "key_b", "name_a", "name_b"])
+            # structural dist is 1 (S = L minus one char); levenshtein
+            # is the collision guard, affordable on this small branch
+            .filter(F.levenshtein("name_a", "name_b") == 1)
+            .withColumn("dist", F.lit(1))
+        )
+        out = out.unionByName(cross)
+
+    return out.select("key_a", "key_b", "name_a", "name_b",
+                      F.col("dist").cast("int").alias("dist"))
 
 
 @query(

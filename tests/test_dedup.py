@@ -419,3 +419,52 @@ def test_substring_removal_fully_removed_doc_is_null(spark, tmp_path):
     assert rows[1]["cleaned_md5"] is None
     # short-chunk doc untouched
     assert rows[2]["n_kept"] == rows[2]["n_chunks"]
+
+
+def test_fuzzy_branches_cover_every_ed1_shape(spark, tmp_path_factory):
+    """The position-tagged rewrite (r14) splits ED<=1 into three
+    equi-join branches; TPC-H's uniform-length names exercise only the
+    substitution branch, so this corpus plants one pair of each shape
+    — equal strings, substitution, insertion/deletion (incl. a run,
+    where several deletion positions yield the same variant) — plus an
+    ED-2 decoy, and pins the exact pair set against brute force."""
+    import itertools
+    import os
+
+    names = [
+        (1, "alpha"),
+        (2, "alpha"),      # dist 0 (identity branch)
+        (3, "alphb"),      # substitution of 1/2
+        (4, "alpha7"),     # insertion into 1/2
+        (5, "aalpha"),     # insertion creating a run ('aa')
+        (6, "alp"),        # ED 2 from everything: must not appear
+        (7, "betta"),
+        (8, "beta"),       # deletion inside the 'tt' run of 7
+    ]
+    sf = str(tmp_path_factory.mktemp("fuzzy"))
+    spark.createDataFrame(
+        names, "c_custkey long, c_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "customer.parquet")
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (ka, kb, na, nb, lev(na, nb))
+        for (ka, na), (kb, nb) in itertools.combinations(names, 2)
+        if lev(na, nb) <= 1
+    }
+    from pandas_reporter_spark.registry import QUERIES
+
+    got = [tuple(r) for r in QUERIES["q_dedup_fuzzy"](spark, sf).collect()]
+    assert len(got) == len(set(got)), "duplicate pair rows emitted"
+    assert set(got) == want
