@@ -2739,6 +2739,25 @@ def _qc_w_of(bucket):
     return F.element_at(wlit, (bucket + 1).cast("int"))
 
 
+def _qc_fold_cols():
+    """(s, dl) as per-ROW expressions: the whole hashed-feature score
+    Σ w[md5(token) mod B] folds inside one array HOF — no occurrence
+    explode, no per-doc exchange; scoring lives in the scan stage's
+    codegen. Shared by the batch classifier's fresh path and the
+    streaming gate (same fold, same oracle)."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bucket_of = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % _QC_BUCKETS
+    )
+    s = F.aggregate(
+        F.transform(toks, lambda t: _qc_w_of(bucket_of(t))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return s, F.size(toks).cast("long")
+
+
 #: classifier oracle — shared VERBATIM by the batch query and its
 #: streaming twin (q_stream_quality_gate): the stream's complete-mode
 #: final counts must equal the batch rollup exactly.
@@ -2827,28 +2846,18 @@ def q_text_quality_classifier(spark, sf):
             )
         )
     else:
-        # fresh path: OCCURRENCE form — Σ_occurrences w ≡ Σ_distinct
-        # tf·w and dl = occurrence count, so the (doc, source, token)
-        # pre-aggregation buys nothing and costs a full exchange of
-        # the token stream; scoring per occurrence removes it (sf10
-        # 2.31 → 1.68 s, sf100 19.7 → 13.3 s, results asserted
-        # identical in-run — r13 A/B). The md5 work moves from
-        # distinct-token rows to occurrence rows and still loses to
-        # the exchange it saves.
+        # fresh path (r14): the stream gate's per-ROW fold — the whole
+        # per-doc score is one array HOF in the scan stage, so the
+        # r13 occurrence explode AND its per-doc exchange disappear;
+        # the only exchange left is the |sources|-row rollup (the
+        # verdict's "collapse the audit into the score pass"). Same
+        # oracle as the gate, which already pinned the fold's
+        # bit-equality to the explode form. A/B:
+        # docs/QC_FOLD_r14.json.
         d = load(spark, sf, "documents")
-        doc = (
-            d.select(
-                "doc_id",
-                "source",
-                F.explode(F.split(F.lower("text"), " ")).alias("token"),
-            )
-            .filter(F.col("token") != "")
-            .select("doc_id", "source", w.alias("w"))
-            .groupBy("doc_id", "source")
-            .agg(
-                F.sum("w").cast("bigint").alias("s"),
-                F.count(F.lit(1)).cast("bigint").alias("dl"),
-            )
+        s, dl = _qc_fold_cols()
+        doc = d.select("source", s.alias("s"), dl.alias("dl")).filter(
+            F.col("dl") > 0
         )
     return doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -3228,18 +3237,7 @@ def q_stream_quality_gate(spark, sf):
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf)
         )
-    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    bucket_of = lambda t: (  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-        % _QC_BUCKETS
-    )
-    w_of = lambda t: _qc_w_of(bucket_of(t))  # noqa: E731
-    s = F.aggregate(
-        F.transform(toks, w_of),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    dl = F.size(toks).cast("long")
+    s, dl = _qc_fold_cols()
     scored = src.select(
         "source", s.alias("s"), dl.alias("dl")
     ).filter(F.col("dl") > 0)
