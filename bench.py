@@ -238,109 +238,15 @@ def main() -> None:
     except Exception:
         pass  # originals still work
 
-    # Shared tokenize artifact: five text queries derive from the same
-    # (doc, token, tf) relation; a pipeline tokenizes once at ingest
-    # (SCALING.md). Checkpointed to tmpfs in the prime phase; consumers
-    # fall back to their standalone plans when absent.
+    # At-rest sidecars: ONE ingest contract builds every artifact
+    # (pandas_reporter_spark.ingest.MATERIALIZERS — tokenize relation,
+    # inverted token index, trained BPE table, docq scores, LSH/IVF/PQ/
+    # SRP embedding tiers, minhash signatures, bigram graph, weighted-
+    # median stats). Idempotent; consumers self-derive on any failure.
     try:
-        from pandas_reporter_spark.operators.text import materialize_doc_tokens
+        from pandas_reporter_spark.ingest import ingest
 
-        materialize_doc_tokens(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the at-rest inverted token index (bucket-partitioned
-    # postings + doc-length sidecar + corpus stats): the BM25/RRF
-    # posting probe becomes a static partition-pruned scan.
-    try:
-        from pandas_reporter_spark.operators.text import (
-            materialize_token_index,
-        )
-
-        materialize_token_index(spark, sf_dir)
-    except Exception:
-        pass
-    # Same policy for the LSH-signature artifact: three embedding
-    # queries consume the identical (vec_id, tbl, sig) relation.
-    try:
-        from pandas_reporter_spark.operators.similarity import (
-            materialize_lsh_signatures,
-        )
-
-        materialize_lsh_signatures(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the minhash shingle-hash + band-signature artifacts.
-    try:
-        from pandas_reporter_spark.operators.dedup import materialize_minhash
-
-        materialize_minhash(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the at-rest PQ index (codes + codebook): train+encode is
-    # an ingest-time cost; the query path scans ~25 B/vec codes
-    # instead of ~263 B/vec raw vectors (docs/PQ_MEMORY_r12.json).
-    try:
-        from pandas_reporter_spark.operators.similarity import (
-            materialize_pq_index,
-        )
-
-        materialize_pq_index(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the at-rest IVF index (centroids + cell-partitioned
-    # corpus): the probe becomes a static partition-pruned scan.
-    try:
-        from pandas_reporter_spark.operators.similarity import (
-            materialize_ivf_index,
-        )
-
-        materialize_ivf_index(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the trained BPE merge table: a tokenizer trains once at
-    # corpus build time; the apply pass reads the 8-row artifact
-    # (bit-equal to self-training, pinned in tests).
-    try:
-        from pandas_reporter_spark.operators.text import (
-            materialize_bpe_merges,
-        )
-
-        materialize_bpe_merges(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the per-doc classifier-score sidecar: the curriculum's
-    # staging pass reads (doc_id, q) instead of re-scoring the corpus.
-    try:
-        from pandas_reporter_spark.operators.text import materialize_docq
-
-        materialize_docq(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the 256-bit SRP sign codes: packing is ingest-time work;
-    # the binary-tier query scans 32 B/vec codes.
-    try:
-        from pandas_reporter_spark.operators.similarity import (
-            materialize_srp_codes,
-        )
-
-        materialize_srp_codes(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the bigram-graph edge/node artifact for PageRank.
-    try:
-        from pandas_reporter_spark.operators.graph import materialize_graph
-
-        materialize_graph(spark, sf_dir)
-    except Exception:
-        pass
-    # ...and the ANALYZE-style range/total statistics the weighted-
-    # median sketch's production pass reads instead of a first scan.
-    try:
-        from pandas_reporter_spark.operators.relational import (
-            materialize_wm_stats,
-        )
-
-        materialize_wm_stats(spark, sf_dir)
+        ingest(spark, sf_dir)
     except Exception:
         pass
     # Opt-in at-rest co-bucketed fact layout (SCALING.md round-10 A/B:

@@ -3559,6 +3559,68 @@ def _bpe_apply_oracle(k: int) -> str:
     """
 
 
+#: merge-table size above which the apply switches from the compiled
+#: literal-replace chain to the Arrow kernel: a production merge table
+#: (k≈30k) cannot compile as 30k nested JVM expressions, and the
+#: measured chain-vs-kernel crossover at dictionary scale sits well
+#: below the codegen limit anyway (docs/BPE_APPLY_K_r14.json).
+_BPE_CHAIN_MAX = 64
+
+
+def bpe_segment_nsub(merges, mode: str | None = None):
+    """Subtoken COUNT column for a single-word column `w` under the
+    replace-chain BPE apply semantics, at any merge-table size.
+
+    ``chain`` (k <= _BPE_CHAIN_MAX): the char-spacing regex + k
+    chained literal replaces, fully JVM-side. ``kernel``: one
+    Arrow-batched pandas UDF that runs the SAME left-to-right
+    non-overlapping literal replaces per word — CPython str.replace
+    shares that contract with Spark's UTF8String.replace and DuckDB's
+    replace (the bpe_learn_local equivalence this repo already pins),
+    so the two modes are bit-equal; tests pin it over a real corpus
+    dictionary. `mode` forces a path (tests / A-B); default picks by
+    table size. Both run at DICTIONARY scale — the caller applies
+    this to distinct words only."""
+    if mode is None:
+        mode = "chain" if len(merges) <= _BPE_CHAIN_MAX else "kernel"
+    if mode == "chain":
+        applied = F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace("w", r"([\s\S])", "$1 ")),
+            F.lit(" " + _BPE_MARK + " "),
+        )
+        for _, lhs, rhs, _, merged in merges:
+            applied = F.replace(
+                applied, F.lit(f" {lhs} {rhs} "), F.lit(f" {merged} ")
+            )
+        return F.size(
+            F.filter(F.split(applied, " "), lambda x: x != "")
+        ).cast("bigint")
+
+    import pandas as pd  # noqa: F401  (Arrow batch type)
+
+    pats = [
+        (f" {lhs} {rhs} ", f" {merged} ")
+        for _, lhs, rhs, _, merged in merges
+    ]
+    mark = _BPE_MARK
+
+    @F.pandas_udf("bigint")
+    def _nsub(ws):
+        out = []
+        for w in ws:
+            s = " " + " ".join(w) + " " + mark + " "
+            for pat, rep in pats:
+                if pat in s:
+                    s = s.replace(pat, rep)
+            # split(" ") + truthy filter, NOT split(): symbols may
+            # contain non-space whitespace the engine never splits on
+            out.append(sum(1 for x in s.split(" ") if x))
+        return pd.Series(out, dtype="int64")
+
+    return _nsub(F.col("w"))
+
+
 @query("q_text_bpe_apply", oracle=_bpe_apply_oracle(_BPE_MERGES))
 def q_text_bpe_apply(spark, sf):
     """Apply the corpus-trained BPE merge table corpus-wide and report
@@ -3616,21 +3678,11 @@ def q_text_bpe_apply(spark, sf):
         .persist()
     )
     # dictionary-level segmentation: one word per string, single-space
-    # padding (no neighbor exists to share a pad space with)
-    applied = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace("w", r"([\s\S])", "$1 ")),
-        F.lit(" " + _BPE_MARK + " "),
-    )
-    for _, lhs, rhs, _, merged in merges:
-        applied = F.replace(
-            applied, F.lit(f" {lhs} {rhs} "), F.lit(f" {merged} ")
-        )
+    # padding (no neighbor exists to share a pad space with); the
+    # registered k=8 compiles as the JVM replace chain, a production
+    # merge table takes the Arrow kernel inside the same helper
     seg = wcnt.select("w").distinct().select(
-        "w",
-        F.size(F.filter(F.split(applied, " "), lambda x: x != ""))
-        .cast("bigint")
-        .alias("n_sub"),
+        "w", bpe_segment_nsub(merges).alias("n_sub")
     )
     tok_agg = (
         wcnt.join(seg, "w")

@@ -1,0 +1,70 @@
+"""The at-rest ingest contract (VERDICT r13 item 4).
+
+Coverage: every materialize_* function anywhere in the engine must be
+registered in ingest.MATERIALIZERS (or listed in _NON_INGEST with a
+reason) — a sidecar that exists but never primes is dead weight, and
+one that primes outside the contract re-opens the eleven-idiom drift
+this module closed. Behavior: ingest() builds everything on a tiny
+snapshot and the consumers actually see their artifacts.
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+import pkgutil
+
+import pandas_reporter_spark.operators as ops_pkg
+from pandas_reporter_spark import ingest as ing
+
+
+def _engine_materializers():
+    found = {}
+    mods = [
+        importlib.import_module(f"{ops_pkg.__name__}.{m.name}")
+        for m in pkgutil.iter_modules(ops_pkg.__path__)
+    ]
+    mods.append(importlib.import_module("pandas_reporter_spark.sources.queries"))
+    for mod in mods:
+        for name, fn in inspect.getmembers(mod, inspect.isfunction):
+            if name.startswith("materialize_") and fn.__module__ == mod.__name__:
+                found[f"{mod.__name__}.{name}"] = fn
+    return found
+
+
+def test_every_materializer_is_in_the_contract():
+    registered = set()
+    for build, _ in ing.MATERIALIZERS.values():
+        # _m closures carry (modname, fn) in their cell contents
+        cells = {
+            k: v.cell_contents
+            for k, v in zip(build.__code__.co_freevars, build.__closure__)
+        }
+        registered.add(f"{cells['modname']}.{cells['fn']}")
+    missing = [
+        qual
+        for qual in _engine_materializers()
+        if qual not in registered
+        and qual.rsplit(".", 1)[1] not in ing._NON_INGEST
+    ]
+    assert not missing, (
+        f"materializers outside the ingest contract (register in "
+        f"MATERIALIZERS or document in _NON_INGEST): {missing}"
+    )
+
+
+def test_ingest_builds_and_primes_consumers(spark):
+    report = ing.ingest(spark, "/root/testdata/sf0.001")
+    assert set(report) == set(ing.MATERIALIZERS)
+    failed = [n for n, r in report.items() if not r["ok"]]
+    assert not failed, failed
+    # spot-check three consumer-visible artifacts
+    from pandas_reporter_spark.operators.similarity import srp_codes_at_rest
+    from pandas_reporter_spark.operators.text import bpe_merges, docq_scores
+
+    assert bpe_merges(spark, "/root/testdata/sf0.001") is not None
+    assert docq_scores(spark, "/root/testdata/sf0.001") is not None
+    assert srp_codes_at_rest(spark, "/root/testdata/sf0.001", 256) is not None
+    # idempotent: second call is a fast no-op for already-cached keys
+    report2 = ing.ingest(spark, "/root/testdata/sf0.001")
+    assert all(r["ok"] for r in report2.values())

@@ -741,3 +741,45 @@ def test_qc_weight_table_matches_md5_derivation(spark):
         .collect()
     )
     assert [r["w"] for r in got] == wt
+
+
+def test_bpe_segment_kernel_bit_equal_to_chain(spark):
+    """The Arrow kernel (production-k apply path) must be bit-equal to
+    the compiled replace chain — per DISTINCT WORD, on a real corpus
+    dictionary with a k=16 merge table trained on that corpus (twice
+    the registered k, deep enough that later merges consume earlier
+    merges' output symbols and the consumed-space replace subtlety is
+    exercised)."""
+    from pyspark.sql import functions as F
+
+    from pandas_reporter_spark.operators.text import (
+        bpe_learn_local,
+        bpe_segment_nsub,
+    )
+    from pandas_reporter_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    merges = bpe_learn_local(spark, sf, 16)
+    assert len(merges) == 16
+    words = (
+        load(spark, sf, "documents")
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("w")
+        )
+        .distinct()
+    )
+    both = words.select(
+        "w",
+        bpe_segment_nsub(merges, mode="chain").alias("a"),
+        bpe_segment_nsub(merges, mode="kernel").alias("b"),
+    )
+    diff = both.filter(F.col("a") != F.col("b"))
+    assert diff.count() == 0, diff.limit(5).collect()
+    # and the kernel actually compresses (merges fired somewhere)
+    stats = both.agg(
+        F.sum("a").alias("sa"),
+        F.sum(F.length("w") + 1).alias("raw"),
+    ).collect()[0]
+    assert stats["sa"] < stats["raw"]
