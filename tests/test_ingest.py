@@ -53,8 +53,17 @@ def test_every_materializer_is_in_the_contract():
     )
 
 
-def test_ingest_builds_and_primes_consumers(spark):
-    report = ing.ingest(spark, "/root/testdata/sf0.001")
+def test_ingest_builds_and_primes_consumers(spark, tmp_path_factory):
+    # a PRIVATE copy of the snapshot: priming the canonical sf0.001
+    # path would flip other tests' plan-shape pins (artifact-primed
+    # plans legitimately drop the tokenize explode) for the rest of
+    # the shared session
+    import shutil
+
+    sf = str(tmp_path_factory.mktemp("ingest_sf"))
+    shutil.rmtree(sf)
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    report = ing.ingest(spark, sf)
     assert set(report) == set(ing.MATERIALIZERS)
     failed = [n for n, r in report.items() if not r["ok"]]
     assert not failed, failed
@@ -62,9 +71,9 @@ def test_ingest_builds_and_primes_consumers(spark):
     from pandas_reporter_spark.operators.similarity import srp_codes_at_rest
     from pandas_reporter_spark.operators.text import bpe_merges, docq_scores
 
-    assert bpe_merges(spark, "/root/testdata/sf0.001") is not None
-    assert docq_scores(spark, "/root/testdata/sf0.001") is not None
-    assert srp_codes_at_rest(spark, "/root/testdata/sf0.001", 256) is not None
+    assert bpe_merges(spark, sf) is not None
+    assert docq_scores(spark, sf) is not None
+    assert srp_codes_at_rest(spark, sf, 256) is not None
     # idempotent: second call is a fast no-op for already-cached keys
-    report2 = ing.ingest(spark, "/root/testdata/sf0.001")
+    report2 = ing.ingest(spark, sf)
     assert all(r["ok"] for r in report2.values())

@@ -47,6 +47,11 @@ def main():
         "q_similarity_ann_lsh",
         "q_similarity_ivf",
         "q_similarity_pq_adc",
+        # binary tiers (r14, VERDICT r13 item 8): 64-bit raw sign
+        # codes (near-dup regime) and the 256-bit SRP at-rest tier
+        # (moderate-similarity regime) — docs/HAMMING_AB_r13.json
+        "q_similarity_hamming",
+        "q_similarity_srp",
     ]
 
     def t_best(fn):

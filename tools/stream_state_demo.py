@@ -25,8 +25,15 @@ import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_FILES = 30  # one per day of the synthetic 30-day span
+#: default one file per day of the synthetic 30-day span; raise via
+#: env (e.g. 300 = admission-control granularity, ~2.4 h per file) to
+#: pin that state tracks the WATERMARK HORIZON, not batch size
+N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "30"))
 FILES_PER_TRIGGER = 1
+#: comma-set of ops to run: dedup,join (default both)
+OPS = set(
+    os.environ.get("SPARK_GRAFT_STREAM_OPS", "dedup,join").split(",")
+)
 
 
 def _landing(spark, sf_dir: str) -> str:
@@ -262,12 +269,14 @@ def main():
     spark = get_session("stream_state_demo")
     rows = []
     for sf in sfs:
-        r = run(spark, sf)
-        rows.append(r)
-        print(json.dumps(r), flush=True)
-        rj = run_join(spark, sf)
-        rows.append(rj)
-        print(json.dumps(rj), flush=True)
+        if "dedup" in OPS:
+            r = run(spark, sf)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+        if "join" in OPS:
+            rj = run_join(spark, sf)
+            rows.append(rj)
+            print(json.dumps(rj), flush=True)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
