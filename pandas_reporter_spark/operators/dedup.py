@@ -1433,12 +1433,22 @@ def q_dedup_fuzzy(spark, sf):
     # (from the same bounded pre-scan)
     long_lens = sorted(l for l in lens if l - 1 in lens)
     if long_lens:
+        # deletions inside the global prefix P can be pruned here too,
+        # with one representative kept: if delete(L, i) with i <= lcp
+        # equals some NAME S, then S starts with P (every name does),
+        # which forces P[i..lcp] to be a uniform run continued by
+        # L[lcp+1] — and then delete(L, i) == delete(L, lcp) exactly.
+        # So positions max(lcp, 1)..len lose nothing (proof inline
+        # since the sub branch's "no pair differs inside P" argument
+        # does NOT apply across lengths).
         dvar = (
             c.filter(F.length("c_name").isin(long_lens))
             .select(
                 "c_custkey",
                 "c_name",
-                F.explode(F.expr("sequence(1, length(c_name))")).alias("pos"),
+                F.explode(
+                    F.expr(f"sequence({max(lcp, 1)}, length(c_name))")
+                ).alias("pos"),
             )
             .select(
                 "c_custkey",

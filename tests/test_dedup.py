@@ -468,3 +468,44 @@ def test_fuzzy_branches_cover_every_ed1_shape(spark, tmp_path_factory):
     got = [tuple(r) for r in QUERIES["q_dedup_fuzzy"](spark, sf).collect()]
     assert len(got) == len(set(got)), "duplicate pair rows emitted"
     assert set(got) == want
+
+
+def test_fuzzy_cross_branch_prefix_run_pruning(spark, tmp_path_factory):
+    """Cross-length pairs whose only deletion position sits INSIDE the
+    global common prefix must survive the lcp position pruning via the
+    delete-at-lcp representative (delete(L, i<=lcp) == delete(L, lcp)
+    whenever the variant is a real name). Corpus: lcp('aaab','aacd')
+    = 2, and ('aab', 'aaab') differ by a deletion at position 1 — in
+    the prefix run."""
+    import itertools
+    import os
+
+    names = [(1, "aab"), (2, "aaab"), (3, "aacd"), (4, "aa")]
+    sf = str(tmp_path_factory.mktemp("fuzzylcp"))
+    spark.createDataFrame(
+        names, "c_custkey long, c_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "customer.parquet")
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (ka, kb, na, nb, lev(na, nb))
+        for (ka, na), (kb, nb) in itertools.combinations(names, 2)
+        if lev(na, nb) <= 1
+    }
+    assert (1, 2, "aab", "aaab", 1) in want  # the in-prefix deletion pair
+    from pandas_reporter_spark.registry import QUERIES
+
+    got = [tuple(r) for r in QUERIES["q_dedup_fuzzy"](spark, sf).collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == want
