@@ -1317,8 +1317,10 @@ def q_dedup_fuzzy(spark, sf):
     At 100 TB: replication is (len+1)x linear, every shuffle key is
     an 8-byte xxhash64, every join group is alphabet-bounded, and
     join output ~= true output (no candidate blowup to dedup).
-    Measured at sf10 (1.5M names, 39.75M true pairs):
-    57.2 s -> see docs/FUZZY_AB_r14.json.
+    Measured (docs/FUZZY_AB_r14.json, row-identical to the r13 plan):
+    sf0.1 4.3 -> 0.67 s; sf10 (1.5M mixed-length names, 41.2M pairs)
+    51.7 -> 4.9 s; sf100 (15M names, 489M pairs) 559 -> 61 s —
+    linear across the two measured decades.
 
     Reference parity: none (driver-mandated dedup surface, SURVEY
     §2.3; the entity-resolution cousin of document near-dup).
