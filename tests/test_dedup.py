@@ -509,3 +509,53 @@ def test_fuzzy_cross_branch_prefix_run_pruning(spark, tmp_path_factory):
     got = [tuple(r) for r in QUERIES["q_dedup_fuzzy"](spark, sf).collect()]
     assert len(got) == len(set(got))
     assert set(got) == want
+
+
+def test_fuzzy_matches_brute_force_on_random_corpora(spark, tmp_path_factory):
+    """Seeded randomized pin of the r14 three-branch rewrite (the
+    repo's hypothesis-without-respawning-Spark pattern): small-alphabet
+    corpora maximize ED<=1 density — runs of equal chars (shared
+    deletion variants), duplicates (dist 0), adjacent lengths
+    including the empty string (cross-length at the boundary) — and
+    the full pair set must equal brute force exactly."""
+    import itertools
+    import os
+    import random
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    from pandas_reporter_spark.registry import QUERIES
+
+    for seed in (7, 21, 1914):
+        rng = random.Random(seed)
+        names = [
+            (k, "".join(rng.choice("ab") for _ in range(rng.randint(0, 5))))
+            for k in range(1, 41)
+        ]
+        sf = str(tmp_path_factory.mktemp(f"fuzzrand{seed}"))
+        spark.createDataFrame(
+            names, "c_custkey long, c_name string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf, "customer.parquet")
+        )
+        want = {
+            (ka, kb, na, nb, lev(na, nb))
+            for (ka, na), (kb, nb) in itertools.combinations(names, 2)
+            if lev(na, nb) <= 1
+        }
+        got = [
+            tuple(r) for r in QUERIES["q_dedup_fuzzy"](spark, sf).collect()
+        ]
+        assert len(got) == len(set(got)), f"seed {seed}: duplicate rows"
+        assert set(got) == want, (
+            f"seed {seed}: missing={sorted(want - set(got))[:5]} "
+            f"extra={sorted(set(got) - want)[:5]}"
+        )
