@@ -77,3 +77,53 @@ def test_ingest_builds_and_primes_consumers(spark, tmp_path_factory):
     # idempotent: second call is a fast no-op for already-cached keys
     report2 = ing.ingest(spark, sf)
     assert all(r["ok"] for r in report2.values())
+
+
+def test_torn_artifact_is_rejected_not_cached(spark, tmp_path_factory):
+    """The r14 validate-before-cache guard (ADVICE r13): a torn
+    artifact — fewer rows than the source table, as a concurrent
+    mode('overwrite') can expose — must be rejected (consumer stays on
+    its inline plan) and a subsequent rebuild must prime normally."""
+    import os
+    import shutil
+
+    from pandas_reporter_spark.operators import similarity as S
+    from pandas_reporter_spark.operators import text as T
+
+    sf = str(tmp_path_factory.mktemp("torn_sf"))
+    shutil.rmtree(sf)
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    base = str(tmp_path_factory.mktemp("torn_base"))
+
+    tag = int(os.path.getmtime(os.path.join(sf, "documents.parquet")))
+    torn = os.path.join(
+        base, f"prs_docq_{os.path.basename(os.path.normpath(sf))}_{tag}"
+    )
+    # a torn docq: half the docs, but structurally valid parquet with
+    # a _SUCCESS marker — indistinguishable from complete without the
+    # count check
+    T._docq_rel(spark, sf).limit(250).write.mode("overwrite").parquet(torn)
+    assert os.path.exists(os.path.join(torn, "_SUCCESS"))
+    T.materialize_docq(spark, sf, base=base)
+    assert T.docq_scores(spark, sf) is None, "torn docq was cached"
+
+    # same for the SRP codes
+    etag = int(os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
+    storn = os.path.join(
+        base, f"prs_srp256_{os.path.basename(os.path.normpath(sf))}_{etag}"
+    )
+    from pandas_reporter_spark.tables import load
+
+    S.srp_codes(load(spark, sf, "embeddings").limit(100), 256).write.mode(
+        "overwrite"
+    ).parquet(storn)
+    S.materialize_srp_codes(spark, sf, base=base)
+    assert S.srp_codes_at_rest(spark, sf, 256) is None, "torn codes cached"
+
+    # rebuild from scratch -> both prime
+    shutil.rmtree(torn)
+    shutil.rmtree(storn)
+    T.materialize_docq(spark, sf, base=base)
+    S.materialize_srp_codes(spark, sf, base=base)
+    assert T.docq_scores(spark, sf) is not None
+    assert S.srp_codes_at_rest(spark, sf, 256) is not None
