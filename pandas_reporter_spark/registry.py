@@ -150,7 +150,11 @@ _PRIORITY = (
     "q_split_train_val",
     "q_dedup_ngram_jaccard",
     "q_similarity_maxsim",
-    "q_embed_centroids",
+    # first record for the round's new operator (funds its slot by
+    # dropping the q_embed_centroids r10 filler — fresh-by-audit, a
+    # missing first record costs a round, a valid-but-old re-record
+    # costs nothing)
+    "q_similarity_topk_batch",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

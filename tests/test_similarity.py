@@ -662,3 +662,43 @@ def test_matryoshka_prefix_ignores_suffix_dims(spark, tmp_path):
     assert w64 == [(1, 7), (2, 9)]  # full copy strictly ahead
     c8 = {r["vec_id"]: r["cos"] for r in got if r["width"] == 8}
     assert c8[7] == c8[9]           # exact tie at the prefix width
+
+
+def test_topk_batch_contains_single_query_answer_and_forms_agree(spark):
+    """The batch op's qid=0 block must equal q_similarity_topk's
+    answer exactly (same discipline, same tiebreak), and the two
+    engine forms — concurrent legs vs salted one-scan — must produce
+    the identical top-k set per query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pandas_reporter_spark.operators.similarity import (
+        _TOPKB_K,
+        topk_batch_salted,
+    )
+    from pandas_reporter_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = QUERIES["q_similarity_topk_batch"](spark, sf)
+    b0 = {
+        (r["vec_id"], r["label"], r["cos"])
+        for r in batch.filter(F.col("qid") == 0).collect()
+    }
+    single = {
+        tuple(r) for r in QUERIES["q_similarity_topk"](spark, sf).collect()
+    }
+    assert b0 == single
+
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("c").desc(), "vec_id")
+    )
+    salted = (
+        topk_batch_salted(spark, sf)
+        .withColumn("rank", rnk.cast("bigint"))
+        .filter(F.col("rank") <= _TOPKB_K)
+        .select("qid", "rank", "vec_id", "label",
+                F.round("c", 6).alias("cos"))
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
