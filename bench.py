@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "q_embed_hard_negatives",
     "q_similarity_srp",
     "q_embed_matryoshka",
+    # round-14 addition: batched multi-query retrieval (zero-shuffle
+    # Arrow scan kernel, docs/TOPK_BATCH_r14.json)
+    "q_similarity_topk_batch",
 ]
 
 
