@@ -48,7 +48,7 @@ MATERIALIZERS: dict[str, tuple[Callable, str]] = {
     ),
     "token_index": (
         _m(f"{_OPS}.text", "materialize_token_index"),
-        "q_text_bm25 q_similarity_hybrid_rrf (partition-pruned posting "
+        "q_text_bm25 q_search_hybrid_rrf (partition-pruned posting "
         "probe)",
     ),
     "bpe_merges": (
@@ -96,12 +96,56 @@ _NON_INGEST: dict[str, str] = {
     # none currently — every at-rest artifact is snapshot-derived
 }
 
+#: name -> (module, session cache attr). Every materializer registers
+#: its consumer-visible artifact in a module-level dict keyed on
+#: (_session_key(spark), sf, ...); `primed` below probes that dict
+#: rather than trusting a clean return — materializers also return
+#: silently when validation rejects a torn artifact (e.g. the docq
+#: count mismatch), and a clean return then does NOT mean the consumer
+#: will read the sidecar.
+_CACHES: dict[str, tuple[str, str]] = {
+    "doc_tokens": (f"{_OPS}.text", "_TF_ART"),
+    "token_index": (f"{_OPS}.text", "_TOKIDX_ART"),
+    "bpe_merges": (f"{_OPS}.text", "_BPE_ART"),
+    "docq": (f"{_OPS}.text", "_DOCQ_ART"),
+    "lsh_signatures": (f"{_OPS}.similarity", "_SIG_ART"),
+    "ivf_index": (f"{_OPS}.similarity", "_IVF_ART"),
+    "pq_index": (f"{_OPS}.similarity", "_PQ_ART"),
+    "srp_codes": (f"{_OPS}.similarity", "_SRP_ART"),
+    "minhash": (f"{_OPS}.dedup", "_MH_ART"),
+    "graph": (f"{_OPS}.graph", "_GRAPH_ART"),
+    "wm_stats": (f"{_OPS}.relational", "_WM_STATS_ART"),
+}
+
+
+def _primed(spark: SparkSession, sf: str, name: str) -> bool:
+    """True when `name`'s artifact is registered in its module cache
+    for this (session, sf) — i.e. the consumer query will actually
+    read the sidecar instead of self-deriving. Cache keys start with
+    (session_key, sf); extra elements (mtime tags, srp bits) are
+    ignored."""
+    import importlib
+
+    from pandas_reporter_spark.tables import _session_key
+
+    mod, attr = _CACHES[name]
+    cache = getattr(importlib.import_module(mod), attr, None)
+    if not isinstance(cache, dict):
+        return False
+    sk = _session_key(spark)
+    return any(
+        isinstance(k, tuple) and len(k) >= 2 and k[0] == sk and k[1] == sf
+        for k in cache
+    )
+
 
 def ingest(spark: SparkSession, sf: str) -> dict[str, dict]:
     """Build every registered sidecar for snapshot `sf`. Idempotent
     (each materializer no-ops when its fingerprinted artifact already
-    exists and validates). Returns {name: {ok, seconds}}; failures are
-    contained — consumers self-derive."""
+    exists and validates). Returns {name: {ok, primed, seconds}};
+    `ok` = the builder returned without raising, `primed` = the
+    artifact is actually consumer-visible in this session (see
+    `_primed`). Failures are contained — consumers self-derive."""
     report: dict[str, dict] = {}
     for name, (build, _) in MATERIALIZERS.items():
         t0 = time.time()
@@ -110,5 +154,9 @@ def ingest(spark: SparkSession, sf: str) -> dict[str, dict]:
             ok = True
         except Exception:
             ok = False
-        report[name] = {"ok": ok, "seconds": round(time.time() - t0, 3)}
+        report[name] = {
+            "ok": ok,
+            "primed": _primed(spark, sf, name),
+            "seconds": round(time.time() - t0, 3),
+        }
     return report

@@ -90,7 +90,8 @@ _PRIORITY = (
     #     q_window_rank) — records valid, but re-recording retires the
     #     r8 vintage entirely;
     # (4) bodies changing THIS round (verdict items 2/3/5/6): the
-    #     q_dedup_fuzzy hot-variant cap, the classifier rollup fusion
+    #     q_dedup_fuzzy position-tagged deletion-variant join rewrite
+    #     (three-branch; no cap exists), the classifier rollup fusion
     #     (already slot (1)), the dictionary-join BPE apply, and the
     #     q_similarity_hamming_rerank re-pin;
     # (5) remaining slots to r10 rows resident in the modules this

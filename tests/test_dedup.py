@@ -470,6 +470,41 @@ def test_fuzzy_branches_cover_every_ed1_shape(spark, tmp_path_factory):
     assert set(got) == want
 
 
+def test_fuzzy_substitution_join_keys_exclude_substrings(spark):
+    """Plan-shape pin (ADVICE r14): the substitution branch's exactness
+    guard is spelled as `<= AND >=` pairs SPECIFICALLY so Catalyst's
+    ExtractEquiJoinKeys does NOT fold the prefix/suffix substrings into
+    the shuffle/hash keys — as equi-keys, every build/probe/partitioner
+    row allocates and hashes two substrings (measured 18.1 s vs 3.6 s
+    at sf10, dedup.py). A future optimizer rule canonicalizing
+    `x<=y AND x>=y` to `x==y` would silently restore the 5x regression;
+    this pin fails loudly instead: every hash-join key list in the
+    fuzzy plan must be substring-free, and the vhp-keyed join must
+    still carry the substring guard as a residual condition."""
+    import re
+
+    from pandas_reporter_spark.registry import QUERIES
+
+    df = QUERIES["q_dedup_fuzzy"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)"
+        r" \[([^\]]*)\], \[([^\]]*)\](.*)",
+        plan,
+    )
+    assert joins, "no hash joins found in the fuzzy plan"
+    vhp_joins = [j for j in joins if "vhp" in j[1]]
+    assert vhp_joins, "substitution branch join (vhp keys) not found"
+    for kind, lk, rk, rest in joins:
+        assert "substring" not in lk and "substring" not in rk, (
+            f"substring folded into {kind} keys — the <=/>= guard was "
+            f"canonicalized to equality: [{lk}], [{rk}]"
+        )
+    assert any("substring" in j[3] for j in vhp_joins), (
+        "substring guard missing from the vhp join's residual condition"
+    )
+
+
 def test_fuzzy_cross_branch_prefix_run_pruning(spark, tmp_path_factory):
     """Cross-length pairs whose only deletion position sits INSIDE the
     global common prefix must survive the lcp position pruning via the

@@ -67,6 +67,10 @@ def test_ingest_builds_and_primes_consumers(spark, tmp_path_factory):
     assert set(report) == set(ing.MATERIALIZERS)
     failed = [n for n, r in report.items() if not r["ok"]]
     assert not failed, failed
+    # ok means "didn't raise"; primed means "the consumer will actually
+    # read the sidecar" (ADVICE r14) — on a clean build both hold
+    unprimed = [n for n, r in report.items() if not r["primed"]]
+    assert not unprimed, unprimed
     # spot-check three consumer-visible artifacts
     from pandas_reporter_spark.operators.similarity import srp_codes_at_rest
     from pandas_reporter_spark.operators.text import bpe_merges, docq_scores
@@ -106,6 +110,9 @@ def test_torn_artifact_is_rejected_not_cached(spark, tmp_path_factory):
     assert os.path.exists(os.path.join(torn, "_SUCCESS"))
     T.materialize_docq(spark, sf, base=base)
     assert T.docq_scores(spark, sf) is None, "torn docq was cached"
+    # the ingest report's primed probe sees through the clean return
+    # (ADVICE r14: ok=True alone would claim the sidecar is live)
+    assert ing._primed(spark, sf, "docq") is False
 
     # same for the SRP codes
     etag = int(os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
@@ -127,3 +134,5 @@ def test_torn_artifact_is_rejected_not_cached(spark, tmp_path_factory):
     S.materialize_srp_codes(spark, sf, base=base)
     assert T.docq_scores(spark, sf) is not None
     assert S.srp_codes_at_rest(spark, sf, 256) is not None
+    assert ing._primed(spark, sf, "docq") is True
+    assert ing._primed(spark, sf, "srp_codes") is True

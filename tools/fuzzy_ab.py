@@ -92,9 +92,23 @@ def main():
                 t0 = time.time()
                 run()
                 best = min(best, time.time() - t0)
-            row[tag] = {"spark": round(best, 3), "rows": fn().count()}
+            # order-insensitive content hash (ADVICE r14): bare counts
+            # would pass a count-preserving pair swap between plans
+            from pyspark.sql import functions as F
+
+            df = fn()
+            agg = df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            row[tag] = {
+                "spark": round(best, 3),
+                "rows": agg["n"],
+                "hash": agg["h"],
+            }
             print(label, tag, json.dumps(row[tag]), flush=True)
         assert row["r13_untagged"]["rows"] == row["r14_postagged"]["rows"]
+        assert row["r13_untagged"]["hash"] == row["r14_postagged"]["hash"]
         res["grid"][label] = row
 
     with open(out_path, "w") as f:

@@ -54,6 +54,7 @@ RECORD_COMMITS = {
     11: "0abaadd",
     12: "cf67d0d",
     13: "0d9b6f0",
+    14: "04b1608",
 }
 
 #: Modules that register queries (mirrors registry._OPERATOR_MODULES).
