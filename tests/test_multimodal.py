@@ -133,3 +133,184 @@ def test_png_roundtrip_valid_for_external_decoders():
     assert png[37:41] == b"IDAT"
     raw = zlib.decompress(png[41 : 41 + idat_len])
     assert raw == (b"\x00" + bytes(7)) * 3
+
+
+def test_decode_pixels_roundtrip_all_content():
+    """Full pixel round-trip: make_png (compress/pack) -> decode_pixels
+    (inflate/unpack/defilter) on arbitrary content — independent code
+    paths, so this exercises both directions of the format."""
+    import hashlib
+
+    from pandas_reporter_spark.operators.multimodal import (
+        decode_pixels,
+        make_png,
+    )
+
+    px = hashlib.sha256(b"phash").digest() + bytes(range(40))  # 72 bytes
+    w, h, got = decode_pixels(make_png(9, 8, px))
+    assert (w, h) == (9, 8) and got == px
+    # historical zero-pixel default unchanged
+    assert decode_pixels(make_png(4, 2)) == (4, 2, bytes(8))
+
+
+def test_decode_pixels_all_five_filters():
+    """The defilter implements the whole public spec (§9), not just the
+    filter-0 our builder emits: craft one scanline per filter type and
+    pin the decoded grid against a hand-computed reference."""
+    import struct
+    import zlib
+
+    from pandas_reporter_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_pixels,
+    )
+
+    def chunk(tag, payload):
+        data = tag + payload
+        return (
+            struct.pack(">I", len(payload))
+            + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+
+    w = 3
+    # rows (filter, filtered bytes) and the expected decoded pixels:
+    # r0 None  [10, 20, 30]                      -> 10 20 30
+    # r1 Sub   [5, 5, 5]   +left                 -> 5 10 15
+    # r2 Up    [1, 2, 3]   +above(5,10,15)       -> 6 12 18
+    # r3 Avg   [4, 4, 4]   +floor((left+above)/2)-> 7 13 19
+    #          (7=4+3, 13=4+floor((7+12)/2)=4+9, 19=4+floor((13+18)/2)=4+15)
+    # r4 Paeth [2, 2, 2]   predictor(a,b,c)      -> 9 15 21
+    #          (9=2+7, 15=2+13, 21=2+19 — left wins each tie-break)
+    raw = bytes(
+        [0, 10, 20, 30, 1, 5, 5, 5, 2, 1, 2, 3, 3, 4, 4, 4, 4, 2, 2, 2]
+    )
+    png = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_pixels(png) == (
+        3,
+        5,
+        bytes([10, 20, 30, 5, 10, 15, 6, 12, 18, 7, 13, 19, 9, 15, 21]),
+    )
+
+
+def test_decode_pixels_rejects_torn_and_corrupt():
+    import pytest
+
+    from pandas_reporter_spark.operators.multimodal import (
+        decode_pixels,
+        make_png,
+    )
+
+    png = make_png(9, 8, bytes(range(72)))
+    bad = bytearray(png)
+    bad[45] ^= 0xFF  # flip an IDAT byte -> chunk CRC mismatch
+    with pytest.raises(ValueError):
+        decode_pixels(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_pixels(b"not a png")
+
+
+def test_phash_planted_near_dup_recall(spark, tmp_path_factory):
+    """Planted-recall pin for q_dedup_phash: an exact duplicate
+    (Hamming 0), a near-duplicate within the radius (one sampled byte
+    bumped -> <= 3 gradient bits flip), and an unrelated doc. The
+    banded join must recover both planted pairs (keep-lowest-id drops
+    the higher ids) and keep the rest."""
+    import os
+
+    from pandas_reporter_spark.operators.multimodal import (
+        dhash_halves,
+        phash_grid,
+    )
+    from pandas_reporter_spark.registry import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    # bump ONE character mid-string: stride sampling hits it at most
+    # once, flipping at most 2 adjacent gradient bits
+    near = base[:90] + "~" + base[91:]
+    other = "completely different content with its own words " * 4
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1 -> dropped
+        (3, near),          # near dup of 1 -> dropped if within radius
+        (4, other),         # kept
+    ]
+    # confirm the plant is actually within the radius via the engine's
+    # own python primitives (independent of the Spark plan)
+    def ham(x, y):
+        a = dhash_halves(phash_grid(x.encode()))
+        b = dhash_halves(phash_grid(y.encode()))
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(base, base) == 0
+    assert 1 <= ham(base, near) <= 3, ham(base, near)
+    assert ham(base, other) > 3
+
+    sf = str(tmp_path_factory.mktemp("phash"))
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in QUERIES["q_dedup_phash"](spark, sf).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_phash_matches_brute_force_on_random_corpus(spark, tmp_path_factory):
+    """Property pin: the banded join's verdict equals brute force over
+    every pair (it must — 4x16 bands are exact for radius 3) on a
+    corpus of seeded near-mutations."""
+    import os
+    import random
+
+    from pandas_reporter_spark.operators.multimodal import (
+        dhash_halves,
+        phash_grid,
+    )
+    from pandas_reporter_spark.registry import QUERIES
+
+    rng = random.Random(15)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota".split()
+    docs = []
+    for i in range(40):
+        if docs and rng.random() < 0.4:
+            # mutate an earlier doc: tweak 0-3 characters
+            src = docs[rng.randrange(len(docs))][1]
+            s = list(src)
+            for _ in range(rng.randrange(4)):
+                s[rng.randrange(len(s))] = chr(rng.randrange(33, 127))
+            docs.append((i, "".join(s)))
+        else:
+            docs.append(
+                (i, " ".join(rng.choice(words) for _ in range(30)))
+            )
+
+    sig = {
+        i: dhash_halves(phash_grid(t.encode())) for i, t in docs
+    }
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    want = {
+        i: not any(
+            j < i and ham(sig[j], sig[i]) <= 3 for j, _ in docs
+        )
+        for i, _ in docs
+    }
+    sf = str(tmp_path_factory.mktemp("phash_prop"))
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in QUERIES["q_dedup_phash"](spark, sf).collect()
+    }
+    assert got == want
+    assert not all(got.values()), "corpus planted no dups — test is vacuous"
