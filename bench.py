@@ -173,6 +173,13 @@ BENCH_QUERIES = [
     # round-14 addition: batched multi-query retrieval (zero-shuffle
     # Arrow scan kernel, docs/TOPK_BATCH_r14.json)
     "q_similarity_topk_batch",
+    # round-15 additions: perceptual-hash dedup (multimodal x dedup),
+    # the engine-only xxhash64 classifier tier (bench-only row —
+    # oracle-incomparable, determinism pinned in tests; see
+    # _bench_overrides), and the at-rest kNN graph consumer
+    "q_dedup_phash",
+    "q_text_qc_production",
+    "q_similarity_knn_graph",
 ]
 
 
@@ -197,11 +204,19 @@ def _bench_overrides():
     )
     from pandas_reporter_spark.operators.sketch import hll_estimates
 
+    from pandas_reporter_spark.operators.text import qc_scores_production
+
     return {
         "q_sketch_hll": hll_estimates,
         # same shape: registered form verifies |est-exact| <= binw/2
         # in-plan; the production path is the two-scan sketch alone
         "q_agg_weighted_median_approx": weighted_median_sketch,
+        # engine-only production classifier tier (xxhash64 bucketing):
+        # not a registered query at all — oracle-incomparable (DuckDB
+        # has no xxhash64); the registered md5 form stays the
+        # correctness gate, this row shows the portable-hash floor
+        # vanish (VERDICT r14 item 5)
+        "q_text_qc_production": qc_scores_production,
     }
 
 

@@ -76,6 +76,11 @@ MATERIALIZERS: dict[str, tuple[Callable, str]] = {
         _m(f"{_OPS}.similarity", "materialize_srp_codes"),
         "q_similarity_srp (32 B/vec sign codes)",
     ),
+    "knn_graph": (
+        _m(f"{_OPS}.similarity", "materialize_knn_graph"),
+        "q_similarity_knn_graph (top-k in-cell neighbor rows; feeds "
+        "SemDeDup-style clustering and graph ops at ~k rows/vec)",
+    ),
     "minhash": (
         _m(f"{_OPS}.dedup", "materialize_minhash"),
         "q_dedup_minhash q_dedup_minhash_capped q_dedup_minhash_incremental",
@@ -112,6 +117,7 @@ _CACHES: dict[str, tuple[str, str]] = {
     "ivf_index": (f"{_OPS}.similarity", "_IVF_ART"),
     "pq_index": (f"{_OPS}.similarity", "_PQ_ART"),
     "srp_codes": (f"{_OPS}.similarity", "_SRP_ART"),
+    "knn_graph": (f"{_OPS}.similarity", "_KNN_ART"),
     "minhash": (f"{_OPS}.dedup", "_MH_ART"),
     "graph": (f"{_OPS}.graph", "_GRAPH_ART"),
     "wm_stats": (f"{_OPS}.relational", "_WM_STATS_ART"),

@@ -3179,3 +3179,204 @@ def topk_batch_kernel(spark, sf, n_q: int = _TOPKB_Q, k: int = _TOPKB_K):
     return e.select("vec_id", "label", "embedding").mapInPandas(
         _score, "qid long, vec_id long, label int, c double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-level kNN graph at rest (VERDICT r14 item 8)
+
+#: neighbors kept per vector in the materialized graph
+_KNN_K = 8
+
+#: (session, sf) -> at-rest kNN graph DataFrame (see materialize_knn_graph)
+_KNN_ART: dict = {}
+
+
+def knn_graph_at_rest(spark, sf):
+    """The materialized kNN graph for (session, sf), or None."""
+    from pandas_reporter_spark.tables import _session_key
+
+    return _KNN_ART.get((_session_key(spark), sf))
+
+
+def _knn_graph_rel(spark, sf, k: int = _KNN_K) -> DataFrame:
+    """Cell-scoped exact kNN graph — the SemDeDup geometry
+    (q_dedup_semantic's cells: the label column stands in for a
+    learned coarse quantizer): within each cell, exact pairwise
+    cosine, top-k neighbors per vector with the (cos DESC, id ASC)
+    tie-break. One row per (vec_id, rank).
+
+    Float discipline: the pairwise matrix accumulates ascending-dim
+    outer products from 0.0, so every entry is the SAME sequential
+    left-to-right float64 sum the `dot` expression and the DuckDB
+    oracle compute — bit-identical cos, rank-stable across engines
+    (the topk_batch kernel's discipline, extended to all-pairs).
+
+    Scale shape: cells process independently (groupBy(label)
+    applyInPandas — one shuffle on the cell key); within a cell the
+    kernel walks row-blocks of 1024 so memory is block x n_c, never
+    n_c². The in-cell pair space is quadratic BY DESIGN (SemDeDup
+    accepts it because a production quantizer sizes K ∝ n, holding
+    n_c — and therefore Σ n_c² — constant per the pq_dials
+    discipline); at 100 TB this runs once at ingest and every
+    graph/dedup/clustering consumer rides the ~k rows/vec artifact.
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings").select("label", "vec_id", "embedding")
+
+    def per_cell(pdf):
+        import numpy as np  # noqa: PLC0415 — worker-side
+        import pandas as pd  # noqa: PLC0415 — worker-side
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        dims = m.shape[1]
+        # norms: ascending-dim sequential sum of squares from 0.0
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(dims):
+            acc = acc + m[:, i] * m[:, i]
+        nrm = np.sqrt(acc)
+        out = []
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            blk = np.zeros((hi - lo, n), dtype=np.float64)
+            for i in range(dims):
+                # ascending-dim outer-product accumulation: entry
+                # (a, b) sums m[a,i]*m[b,i] in i order from 0.0 ==
+                # the `dot` expression's fold exactly
+                blk = blk + np.outer(m[lo:hi, i], m[:, i])
+            cosm = blk / np.outer(nrm[lo:hi], nrm)
+            for a in range(lo, hi):
+                row = cosm[a - lo]
+                mask = np.arange(n) != a
+                cv, iv = row[mask], ids[mask]
+                order = np.lexsort((iv, -cv))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.full(
+                                len(order), ids[a], dtype=np.int64
+                            ),
+                            "rank": np.arange(
+                                1, len(order) + 1, dtype=np.int64
+                            ),
+                            "neighbor_id": iv[order],
+                            "cos": cv[order],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return e.groupBy("label").applyInPandas(
+        per_cell, "vec_id long, rank long, neighbor_id long, cos double"
+    )
+
+
+def materialize_knn_graph(spark, sf, base: str = "/dev/shm") -> None:
+    """Persist the cell-scoped kNN graph once per snapshot — the
+    embedding-at-rest completion: SemDeDup-style clustering, graph
+    ops, and neighborhood features all read ~_KNN_K rows/vec instead
+    of re-paying the in-cell pairwise pass. Parquet on tmpfs with the
+    source-mtime fingerprint; idempotent; validates row count against
+    the analytically-expected Σ_cells n_c · min(n_c - 1, k) BEFORE
+    caching (the torn-artifact discipline), so a concurrent
+    overwrite's partial file can never prime a consumer."""
+    import os  # noqa: PLC0415
+
+    from pandas_reporter_spark.tables import _session_key
+
+    key = (_session_key(spark), sf)
+    if key in _KNN_ART or not os.path.isdir(base):
+        return
+    try:
+        src_tag = int(
+            os.path.getmtime(os.path.join(sf, "embeddings.parquet"))
+        )
+    except OSError:
+        src_tag = 0
+    out = os.path.join(
+        base,
+        f"prs_knn{_KNN_K}_"
+        f"{os.path.basename(os.path.normpath(sf))}_{src_tag}",
+    )
+    try:
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            _knn_graph_rel(spark, sf).write.mode("overwrite").parquet(out)
+        art = spark.read.parquet(out)
+        cells = (
+            load(spark, sf, "embeddings")
+            .groupBy("label")
+            .count()
+            .collect()
+        )
+        expected = sum(
+            int(r["count"]) * min(int(r["count"]) - 1, _KNN_K)
+            for r in cells
+        )
+        if art.count() != expected:
+            return
+        _KNN_ART[key] = art
+    except Exception:
+        return
+
+
+@query(
+    "q_similarity_knn_graph",
+    oracle=f"""
+    -- cell-scoped exact kNN graph (SemDeDup geometry): within each
+    -- label cell, top-{_KNN_K} neighbors per vector by exact cosine,
+    -- ties broken by neighbor id — bit-identical cos by the shared
+    -- sequential-sum float discipline
+    WITH p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {{cos}} AS cos
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, neighbor_id
+             ) AS rank
+      FROM p
+    )
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(cos, 6) AS cos
+    FROM r WHERE rank <= {_KNN_K}
+    """.format(cos=_duck_cos("a.embedding", "b.embedding")),
+)
+def q_similarity_knn_graph(spark, sf):
+    """The document-level kNN graph (VERDICT r14 item 8): top-k
+    in-cell cosine neighbors for EVERY vector — the one artifact that
+    feeds SemDeDup-style clustering, mutual-kNN graph ops, and
+    neighborhood features. Rides the at-rest graph when a session has
+    materialized it (`materialize_knn_graph` — the artifact IS this
+    plan's output, bit-equal by construction); else derives in-plan.
+
+    Scale notes live on `_knn_graph_rel`; the consumer here reads
+    ~{k} rows/vec either way, so downstream cost is corpus-linear.
+
+    Reference parity: none (driver-mandated similarity surface).
+    """
+    configure(spark)
+    art = knn_graph_at_rest(spark, sf)
+    rel = art if art is not None else _knn_graph_rel(spark, sf)
+    return rel.select(
+        "vec_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos")
+    )
+
+
+q_similarity_knn_graph.__doc__ = q_similarity_knn_graph.__doc__.format(
+    k=_KNN_K
+)

@@ -2758,6 +2758,51 @@ def _qc_fold_cols():
     return s, F.size(toks).cast("long")
 
 
+def qc_production_audit(docs) -> "DataFrame":
+    """The PRODUCTION tier of the hashed-feature classifier (VERDICT
+    r14 item 5): identical fold/rollup shape to `_qc_fold_cols`, with
+    token->bucket via native `xxhash64` instead of the portable
+    md5+substring+conv chain. The md5 chain exists ONLY for oracle
+    portability (DuckDB can replay it); a production cluster hashes
+    with the engine-native primitive, and the r14 decomposition
+    (docs/QC_FOLD_r14.json) showed the md5 primitive IS the remaining
+    sf10 floor. Oracle-incomparable by construction (DuckDB has no
+    xxhash64), so this is a bench-only row like hll_estimates:
+    determinism is pinned across reshards/partitionings by tests, and
+    the registered md5 query remains the correctness gate for the
+    shared fold + rollup shape. Weights ride the same materialized
+    literal table (a trained model would broadcast the same way);
+    bucket ids differ from the md5 form — same model family, different
+    feature hash, exactly the swap a production deployment makes."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    s = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: _qc_w_of(F.pmod(F.xxhash64(t), F.lit(_QC_BUCKETS))),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    doc = docs.select(
+        "source", s.alias("s"), F.size(toks).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("s") * _QC_TAU > F.col("dl"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum("s").cast("bigint").alias("sum_score"),
+    )
+
+
+def qc_scores_production(spark, sf) -> "DataFrame":
+    """Bench entry point for the production classifier tier."""
+    configure(spark)
+    return qc_production_audit(load(spark, sf, "documents"))
+
+
 #: classifier oracle — shared VERBATIM by the batch query and its
 #: streaming twin (q_stream_quality_gate): the stream's complete-mode
 #: final counts must equal the batch rollup exactly.

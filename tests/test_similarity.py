@@ -702,3 +702,48 @@ def test_topk_batch_contains_single_query_answer_and_forms_agree(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_knn_graph_artifact_bit_equals_fresh_plan(spark, tmp_path_factory):
+    """materialize_knn_graph -> the consumer rides the artifact and its
+    rows are BIT-equal to the fresh in-plan derivation (the artifact IS
+    the plan's output); torn artifacts (wrong row count) are rejected,
+    leaving the consumer on the fresh path."""
+    import os
+    import shutil
+
+    from pandas_reporter_spark.operators import similarity as S
+    from pandas_reporter_spark.registry import QUERIES
+
+    sf = str(tmp_path_factory.mktemp("knn_sf"))
+    shutil.rmtree(sf)
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    base = str(tmp_path_factory.mktemp("knn_base"))
+
+    fresh = {tuple(r) for r in QUERIES["q_similarity_knn_graph"](spark, sf).collect()}
+    assert S.knn_graph_at_rest(spark, sf) is None
+
+    # torn artifact: half the rows, structurally valid, _SUCCESS present
+    tag = int(os.path.getmtime(os.path.join(sf, "embeddings.parquet")))
+    out = os.path.join(
+        base, f"prs_knn{S._KNN_K}_{os.path.basename(os.path.normpath(sf))}_{tag}"
+    )
+    full = S._knn_graph_rel(spark, sf)
+    full.limit(full.count() // 2).write.mode("overwrite").parquet(out)
+    S.materialize_knn_graph(spark, sf, base=base)
+    assert S.knn_graph_at_rest(spark, sf) is None, "torn graph was cached"
+
+    shutil.rmtree(out)
+    S.materialize_knn_graph(spark, sf, base=base)
+    assert S.knn_graph_at_rest(spark, sf) is not None
+    primed = {tuple(r) for r in QUERIES["q_similarity_knn_graph"](spark, sf).collect()}
+    assert primed == fresh and primed
+    # every vector in a >=2 cell appears, ranks dense from 1
+    import collections
+
+    by_vec = collections.defaultdict(list)
+    for vec_id, rank, neighbor_id, cos in primed:
+        by_vec[vec_id].append(rank)
+        assert neighbor_id != vec_id
+    for ranks in by_vec.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -783,3 +783,36 @@ def test_bpe_segment_kernel_bit_equal_to_chain(spark):
         F.sum(F.length("w") + 1).alias("raw"),
     ).collect()[0]
     assert stats["sa"] < stats["raw"]
+
+
+def test_qc_production_tier_deterministic_and_consistent(spark):
+    """The engine-only xxhash64 classifier tier (bench-only row): no
+    DuckDB oracle exists (no xxhash64 there), so its gates are (a)
+    bit-identical results across input partitionings and shuffle
+    widths — pure deterministic expression work must not care how the
+    scan is sliced — and (b) structural parity with the oracled md5
+    form: same sources, same per-source doc counts (the feature hash
+    cannot change which docs exist), sane pass counts."""
+    from pandas_reporter_spark.operators.text import qc_production_audit
+    from pandas_reporter_spark.registry import QUERIES
+    from pandas_reporter_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    a = {tuple(r) for r in qc_production_audit(d.repartition(13)).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {tuple(r) for r in qc_production_audit(d.coalesce(1)).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and a
+    md5_form = {
+        r["source"]: (r["n_docs"], r["n_pass"])
+        for r in QUERIES["q_text_quality_classifier"](spark, sf).collect()
+    }
+    prod = {src: (nd, np_) for src, nd, np_, _ in a}
+    assert set(prod) == set(md5_form)
+    for src, (nd, np_) in prod.items():
+        assert nd == md5_form[src][0], "doc counts must not depend on hash"
+        assert 0 <= np_ <= nd

@@ -28,6 +28,7 @@ CONSUMERS = {
     "ivf_index": ["q_similarity_ivf"],
     "pq_index": ["q_similarity_pq_adc"],
     "srp_codes": ["q_similarity_srp"],
+    "knn_graph": ["q_similarity_knn_graph"],
     "minhash": ["q_dedup_minhash"],
     "graph": ["q_graph_pagerank"],
     # the registered weighted-median-approx is the verdict-grid

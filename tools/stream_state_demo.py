@@ -30,9 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: pin that state tracks the WATERMARK HORIZON, not batch size
 N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "30"))
 FILES_PER_TRIGGER = 1
-#: comma-set of ops to run: dedup,join (default both)
+#: comma-set of ops to run: dedup,join,stateful (default all)
 OPS = set(
-    os.environ.get("SPARK_GRAFT_STREAM_OPS", "dedup,join").split(",")
+    os.environ.get("SPARK_GRAFT_STREAM_OPS", "dedup,join,stateful").split(",")
 )
 
 
@@ -262,6 +262,148 @@ def run_join(spark, sf_dir: str) -> dict:
     }
 
 
+def run_stateful(spark, sf_dir: str) -> dict:
+    """VERDICT r14 item 3: the custom GroupState accumulator
+    (q_events_stateful's shape — map-side combine, then per-user
+    (count, cents) held in GroupState) under the PRODUCTION
+    configuration: time-ordered landing files, bounded admission,
+    update-mode emission across many micro-batches. The state bound
+    here is structural, not watermark-driven: GroupState holds ONE row
+    per distinct key regardless of event count, so the ratio pins
+    state ∝ #users (not corpus) and the zero-loss check compares the
+    final per-user totals against the batch groupBy in exact integer
+    cents (order-independent across any batch admission schedule)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas_reporter_spark.operators.events as ev
+    from pandas_reporter_spark.tables import load, normalize_ts
+
+    src = _landing(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    total = e.count()
+    expect = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    schema = spark.read.parquet(src).schema
+    s = normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cents = np.floor(
+                pdf["value"].to_numpy() * 100.0 + 0.5
+            ).astype("int64")
+            yield (
+                pd.DataFrame(
+                    {"user_id": pdf["user_id"], "n": 1, "cents": cents}
+                )
+                .groupby("user_id", as_index=False)
+                .sum()
+            )
+
+    def upd(key, pdfs, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(pdf["n"].sum())
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "cents": [cents]}
+        )
+
+    out = (
+        s.select("user_id", "value")
+        .mapInPandas(partial, "user_id long, n long, cents long")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            upd,
+            outputStructType="user_id long, n long, cents long",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "demos" + uuid.uuid4().hex[:8]
+    ckpt = f"/dev/shm/prs_ckpt_{name}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    t0 = time.time()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        ev._capture_progress(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    wall = time.time() - t0
+    # update mode re-emits a key's running totals each batch it appears
+    # in; the FINAL row per key (max n) is the answer
+    got = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("cents", "n").alias("cents"),
+        )
+        .collect()
+    }
+    spark.catalog.dropTempView(name)
+    state = [
+        op["numRowsTotal"]
+        for p in ev.LAST_PROGRESS
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    mem = [
+        op["memoryUsedBytes"]
+        for p in ev.LAST_PROGRESS
+        for op in p.get("stateOperators", [])
+        if op.get("memoryUsedBytes") is not None
+    ]
+    return {
+        "op": "stateful",
+        "sf": sf_dir,
+        "total_events": total,
+        "n_users": len(expect),
+        "zero_loss": got == expect,
+        "batches": len(ev.LAST_PROGRESS),
+        "max_state_rows": max(state) if state else None,
+        "final_state_rows": state[-1] if state else None,
+        "max_state_bytes": max(mem) if mem else None,
+        "wall_s": round(wall, 2),
+        "state_bound_ratio": (
+            round(max(state) / total, 4) if state and total else None
+        ),
+        "n_files": N_FILES,
+    }
+
+
 def main():
     from pandas_reporter_spark.session import get_session
 
@@ -277,6 +419,10 @@ def main():
             rj = run_join(spark, sf)
             rows.append(rj)
             print(json.dumps(rj), flush=True)
+        if "stateful" in OPS:
+            rs = run_stateful(spark, sf)
+            rows.append(rs)
+            print(json.dumps(rs), flush=True)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
