@@ -78,84 +78,74 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-14 ROTATION. Built from tools/staleness.py with the
-    # r13 vintage (0d9b6f0) added. Audit state at round start: stale =
-    # exactly the four r13 KNOWN_DEFERRED perf-only changes; nothing
-    # unrecorded. Slot budget (50):
-    # (1) the four deferrals — first official records on their
-    #     post-change bodies (KNOWN_DEFERRED drained back to empty);
-    # (2) the whole r9 cohort (30 rows) — burns the oldest vintage:
-    #     after r14 nothing in the cumulative record is older than r10;
-    # (3) the three AST-frozen r8 survivors (q_explode, q_json_variant,
-    #     q_window_rank) — records valid, but re-recording retires the
-    #     r8 vintage entirely;
-    # (4) bodies changing THIS round (verdict items 2/3/5/6): the
-    #     q_dedup_fuzzy position-tagged deletion-variant join rewrite
-    #     (three-branch; no cap exists), the classifier rollup fusion
-    #     (already slot (1)), the dictionary-join BPE apply, and the
-    #     q_similarity_hamming_rerank re-pin;
-    # (5) remaining slots to r10 rows resident in the modules this
-    #     round churns (text.py / dedup.py / similarity.py), so any
-    #     accidental helper-closure drift lands on a fresh record.
-    # (1) r13 deferrals — record their post-change bodies
-    "q_sink_compaction",
-    "q_text_perplexity_bigram",
-    "q_text_quality_classifier",
-    "q_stream_quality_gate",
-    # (2) r9 cohort burn (oldest vintage, alphabetical)
-    "q_agg_histogram",
-    "q_agg_mode",
-    "q_agg_stringagg",
-    "q_dedup_incremental",
-    "q_dedup_simhash",
-    "q_embed_quantize",
-    "q_events_anomaly",
-    "q_events_funnel",
-    "q_events_resample",
-    "q_events_retention",
-    "q_events_sliding",
-    "q_events_transitions",
-    "q_events_tumbling",
-    "q_fillna_group",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_merge_upsert",
-    "q_null_funcs",
-    "q_profile_table",
-    "q_text_kl_divergence",
-    "q_text_repetition",
-    "q_tpch_q14",
-    "q_tpch_q2",
-    "q_tpch_q21",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_unpivot",
-    "q_window_firstlast",
-    "q_window_ntile",
-    "q_window_rolling",
-    # (3) r8 retirement (AST-frozen, records valid — vintage hygiene)
-    "q_explode",
-    "q_json_variant",
-    "q_window_rank",
-    # (4) bodies changing this round
-    "q_dedup_fuzzy",
-    "q_text_bpe_apply",
-    "q_similarity_hamming_rerank",
-    # (5) r10 rows in churn-prone modules
-    "q_text_chi2",
-    "q_text_decontaminate",
-    "q_text_logprob",
-    "q_text_normalize",
-    "q_text_vocab_overlap",
-    "q_mix_temperature",
-    "q_split_train_val",
-    "q_dedup_ngram_jaccard",
-    "q_similarity_maxsim",
-    # first record for the round's new operator (funds its slot by
-    # dropping the q_embed_centroids r10 filler — fresh-by-audit, a
-    # missing first record costs a round, a valid-but-old re-record
-    # costs nothing)
-    "q_similarity_topk_batch",
+    # ---- ROUND-15 ROTATION. Built from tools/staleness.py with the
+    # r14 vintage (04b1608) added. Audit state at build time: stale =
+    # exactly q_multimodal_features (make_png gained the pixel-payload
+    # parameter feeding q_dedup_phash; the feature query's closure
+    # includes it); unrecorded = the round's two new operators.
+    # Slot budget (50):
+    # (1) the two new operators — first records (a missing first
+    #     record costs a round);
+    # (2) the one stale body (q_multimodal_features);
+    # (3) the whole r10 cohort (32 rows) — burns the oldest vintage:
+    #     after r15 nothing in the cumulative record is older than r11;
+    # (4) remaining 15 slots to r11 rows: the two residents of the
+    #     modules this round churns (similarity.py / text.py), then
+    #     oldest-first alphabetical.
+    # (1) first records for the round's new operators
+    "q_dedup_phash",
+    "q_similarity_knn_graph",
+    # (2) stale body (decoder gained the pixel payload)
+    "q_multimodal_features",
+    # (3) r10 cohort burn (oldest vintage, alphabetical)
+    "q_agg_global",
+    "q_agg_group_ols",
+    "q_agg_stats",
+    "q_census_workflow",
+    "q_embed_centroids",
+    "q_events_interpolate",
+    "q_events_scd2",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_asof",
+    "q_multimodal_resize",
+    "q_pivot",
+    "q_sample",
+    "q_sketch_cms",
+    "q_sketch_quantile",
+    "q_source_cr_bulk",
+    "q_source_cr_pivot",
+    "q_stream_topk",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_udf_pandas",
+    "q_varrep_source",
+    # (4) r11 rows: churned-module residents first, then oldest-first
+    "q_embed_stats",
+    "q_text_url_normalize",
+    "q_agg_approx_countd",
+    "q_agg_distinct",
+    "q_agg_group_sum",
+    "q_agg_multi",
+    "q_agg_percentile",
+    "q_agg_skew_kurt",
+    "q_cube",
+    "q_date_funcs",
+    "q_dedup_keep_first",
+    "q_dedup_minhash",
+    "q_except",
+    "q_fillna",
+    "q_filter",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in
