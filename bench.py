@@ -178,7 +178,7 @@ BENCH_QUERIES = [
     # oracle-incomparable, determinism pinned in tests; see
     # _bench_overrides), and the at-rest kNN graph consumer
     "q_dedup_phash",
-    "q_text_qc_production",
+    "qc_production",
     "q_similarity_knn_graph",
 ]
 
@@ -216,7 +216,7 @@ def _bench_overrides():
         # has no xxhash64); the registered md5 form stays the
         # correctness gate, this row shows the portable-hash floor
         # vanish (VERDICT r14 item 5)
-        "q_text_qc_production": qc_scores_production,
+        "qc_production": qc_scores_production,
     }
 
 
