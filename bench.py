@@ -180,6 +180,12 @@ BENCH_QUERIES = [
     "q_dedup_phash",
     "qc_production",
     "q_similarity_knn_graph",
+    # round-15 second sitting: retrieval-quality eval of the int8 tier
+    # (recall/MRR/NDCG vs the exact ranking) and the contrastive
+    # in-batch false-negative audit (batch-bounded pair join)
+    "q_search_eval_ndcg",
+    "q_embed_inbatch_collisions",
+    "q_dedup_semdedup",
 ]
 
 

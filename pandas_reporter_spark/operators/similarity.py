@@ -3380,3 +3380,503 @@ def q_similarity_knn_graph(spark, sf):
 q_similarity_knn_graph.__doc__ = q_similarity_knn_graph.__doc__.format(
     k=_KNN_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 (second sitting): the two missing diagnostics of the embedding
+# pipeline — retrieval-quality evaluation (how good is the quantized index)
+# and the contrastive-batch audit (how clean are the training batches).
+# ---------------------------------------------------------------------------
+
+#: evaluation geometry: vec_id < _EVAL_NQ are the query set, the rest the
+#: corpus; metrics are @_EVAL_K. Graded relevance is rank-derived
+#: (rel = _EVAL_K + 1 - rank_true for the true top-K, else 0) so the gain
+#: (2^rel - 1) is an EXACT integer in both engines; the DCG discount is the
+#: natural-log variant (ln(rank+1)) because ln is the one transcendental
+#: this engine already trusts cross-engine (the q_agg_entropy /
+#: q_text_logprob discipline) — Spark's log2 lowers to log(x)/log(2) while
+#: DuckDB's log2 is a distinct libm entry point, an avoidable ulp hazard.
+_EVAL_NQ = 20
+_EVAL_K = 10
+
+#: oracle-side integer dot over the int8 codes (embeddings are 64-dim;
+#: products and the sum are exact integers, order-free)
+_DUCK_DOT8 = (
+    "CAST(list_aggregate(list_transform(range(1, 65), "
+    "i -> {a}[i] * {b}[i]), 'sum') AS BIGINT)"
+)
+
+#: per-term nano-quantized DCG gain at system rank `rank` for true rank
+#: `rel_rank` (SQL text shared by the DCG and IDCG legs so both engines
+#: evaluate the identical expression shape)
+_DUCK_GAIN = (
+    "CAST(round((CAST((CAST(1 AS BIGINT) << (11 - {rel_rank})) - 1 AS DOUBLE)"
+    " / ln(CAST({rank} + 1 AS DOUBLE))) * 1000000000.0, 0) AS BIGINT)"
+)
+
+
+@query(
+    "q_search_eval_ndcg",
+    oracle=f"""
+    -- retrieval-quality eval: int8-reconstructed ranking vs the exact
+    -- cosine ground truth, per query: recall-hits@10, rank of the true
+    -- top-1, MRR, and NDCG@10 (graded rel = 11 - rank_true, ln discount)
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+      FROM b
+    ),
+    qq AS (
+      SELECT vec_id, x, scale,
+             list_transform(x, v -> CAST(greatest(-127.0,
+               least(127.0, round(v / scale, 0))) AS BIGINT)) AS q8
+      FROM m
+    ),
+    pair AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             {_duck_cos('q.x', 'c.x')} AS cos,
+             (CAST({_DUCK_DOT8.format(a='q.q8', b='c.q8')} AS DOUBLE)
+              * q.scale) * c.scale AS recon
+      FROM qq q JOIN qq c ON q.vec_id < {_EVAL_NQ} AND c.vec_id >= {_EVAL_NQ}
+    ),
+    r AS (
+      SELECT qid, cid,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, cid) AS rank_true,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY recon DESC, cid) AS rank_sys
+      FROM pair
+    ),
+    idcg AS (
+      SELECT CAST(SUM({_DUCK_GAIN.format(rel_rank='i', rank='i')})
+             AS BIGINT) AS idcg_nano
+      FROM (SELECT unnest(generate_series(1, {_EVAL_K})) AS i)
+    ),
+    met AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN rank_true <= {_EVAL_K}
+                            AND rank_sys <= {_EVAL_K}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+             CAST(MAX(CASE WHEN rank_true = 1 THEN rank_sys END)
+                  AS BIGINT) AS rank_of_true1,
+             CAST(SUM(CASE WHEN rank_true <= {_EVAL_K}
+                            AND rank_sys <= {_EVAL_K}
+                       THEN {_DUCK_GAIN.format(rel_rank='rank_true',
+                                               rank='rank_sys')}
+                       ELSE 0 END) AS BIGINT) AS dcg_nano
+      FROM r GROUP BY qid
+    )
+    SELECT qid, hits10, rank_of_true1,
+           CAST(round(1000000000.0 / rank_of_true1, 0) AS BIGINT) AS rr_nano,
+           dcg_nano,
+           round(CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE), 6)
+             AS ndcg_r6
+    FROM met CROSS JOIN idcg
+    """,
+)
+def q_search_eval_ndcg(spark, sf):
+    """Retrieval-quality evaluation of the int8 index against the exact
+    ranking — the missing closing loop of the ANN/quantization ladder:
+    the grid (docs/ANN_GRID_r14.json) reports rank-percentile drift per
+    tier, but a retrieval deployment reports recall@k / MRR / NDCG@k,
+    so this query computes them, per query, for the symmetric-int8 tier
+    (the q_embed_quantize scheme: per-vector max-abs scale, reconstructed
+    score = dot8·scale_q·scale_c).
+
+    Per query (vec_id < 20): `hits10` = |top-10_true ∩ top-10_int8|
+    (recall@10 numerator), `rank_of_true1` = the int8 rank of the true
+    nearest neighbor (MRR numerator as `rr_nano`), and NDCG@10 with
+    rank-derived graded relevance (rel = 11 - rank_true, gain 2^rel - 1
+    exact-integer, ln-discount — see _EVAL_NQ note) quantized to
+    nano-units per term before the sum (the q_agg_entropy float
+    discipline), plus the raw `dcg_nano` so the driver hash pins the
+    integer path, not just the 6-dp ratio.
+
+    Plan shape: quantize in the scan projection (the q_embed_quantize
+    expressions verbatim), broadcast the 20-row query block, score
+    n_q·n_c pairs in one stage (two ranking keys per pair: the exact
+    cosine and the int8 reconstruction — both sequential-fold doubles,
+    bit-identical cross-engine), then ONE shuffle on qid for both
+    row_number windows (same partitioning → one Exchange, two in-memory
+    sorts). At 100 TB the eval corpus is a sampled slice by
+    construction (n_q is fixed and small; the pair stage is
+    corpus-linear and embarrassingly parallel) — and the production
+    candidate source for deep corpora is q_similarity_topk_batch's
+    zero-shuffle kernel, which this query's metrics certify.
+
+    Reference parity: none (driver-mandated similarity surface,
+    SURVEY §2.3 evaluation family).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    ).withColumn(
+        "scale",
+        F.array_max(F.transform("x", lambda v: F.abs(v))) / 127.0,
+    ).withColumn(
+        "q8",
+        F.transform(
+            "x",
+            lambda v: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.round(v / F.col("scale"), 0)),
+            ).cast("long"),
+        ),
+    )
+    qs = base.filter(F.col("vec_id") < _EVAL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("x").alias("xq"),
+        F.col("scale").alias("scale_q"),
+        F.col("q8").alias("q8q"),
+    )
+    cs = base.filter(F.col("vec_id") >= _EVAL_NQ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("x").alias("xc"),
+        F.col("scale").alias("scale_c"),
+        F.col("q8").alias("q8c"),
+    )
+    dot8 = F.aggregate(
+        F.zip_with("q8q", "q8c", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pair = cs.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "cid",
+        cosine(F.col("xq"), F.col("xc")).alias("cos"),
+        ((dot8.cast("double") * F.col("scale_q")) * F.col("scale_c")).alias(
+            "recon"
+        ),
+    )
+    wt = W.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    ws = W.partitionBy("qid").orderBy(F.col("recon").desc(), "cid")
+    ranked = pair.select(
+        "qid",
+        F.row_number().over(wt).alias("rank_true"),
+        F.row_number().over(ws).alias("rank_sys"),
+    )
+    # per-term nano-quantized gain: exact-integer numerator (shiftleft),
+    # single ln in the denominator — the identical expression both legs
+    # and both engines evaluate
+    gain = F.round(
+        (
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(11 - rank_true AS INT)) - 1 AS DOUBLE)"
+            )
+            / F.log((F.col("rank_sys") + F.lit(1)).cast("double"))
+        )
+        * F.lit(1000000000.0),
+        0,
+    ).cast("long")
+    in_k = (F.col("rank_true") <= _EVAL_K) & (F.col("rank_sys") <= _EVAL_K)
+    met = ranked.groupBy("qid").agg(
+        F.sum(F.when(in_k, 1).otherwise(0)).cast("long").alias("hits10"),
+        F.max(F.when(F.col("rank_true") == 1, F.col("rank_sys")))
+        .cast("long")
+        .alias("rank_of_true1"),
+        F.sum(F.when(in_k, gain).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("dcg_nano"),
+    )
+    rng = spark.range(1, _EVAL_K + 1).select(F.col("id").alias("i"))
+    igain = F.round(
+        (
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(11 - i AS INT)) - 1 AS DOUBLE)"
+            )
+            / F.log((F.col("i") + F.lit(1)).cast("double"))
+        )
+        * F.lit(1000000000.0),
+        0,
+    ).cast("long")
+    idcg = rng.agg(F.sum(igain).cast("long").alias("idcg_nano"))
+    return met.crossJoin(F.broadcast(idcg)).select(
+        "qid",
+        "hits10",
+        "rank_of_true1",
+        F.round(F.lit(1000000000.0) / F.col("rank_of_true1"), 0)
+        .cast("long")
+        .alias("rr_nano"),
+        "dcg_nano",
+        F.round(
+            F.col("dcg_nano").cast("double") / F.col("idcg_nano").cast("double"),
+            6,
+        ).alias("ndcg_r6"),
+    )
+
+
+#: contrastive-batch audit geometry: fixed batch size (the training
+#: batch), batch count derived from the corpus count the same way on both
+#: engines, assignment by the portable 60-bit md5 of vec_id (the
+#: q_mix_temperature / token-index discipline) so both engines place every
+#: vector in the identical batch.
+_BATCH_SIZE = 64
+_COLLISION_TAU = 0.9
+
+
+@query(
+    "q_embed_inbatch_collisions",
+    oracle=f"""
+    -- in-batch false-negative audit: hash vectors into training batches
+    -- of ~{_BATCH_SIZE}, count within-batch pairs whose exact cosine
+    -- clears the collision threshold {_COLLISION_TAU}
+    WITH n AS (
+      SELECT CAST(ceil(COUNT(*) / {_BATCH_SIZE}.0) AS BIGINT) AS nb
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % (SELECT nb FROM n) AS batch
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT a.batch AS batch,
+             {_duck_cos('a.embedding', 'b2.embedding')} AS cos
+      FROM b a JOIN b b2
+        ON a.batch = b2.batch AND a.vec_id < b2.vec_id
+    ),
+    rows_per AS (SELECT batch, COUNT(*) AS n_rows FROM b GROUP BY batch),
+    agg AS (
+      SELECT batch, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN cos >= {_COLLISION_TAU} THEN 1 ELSE 0 END)
+               AS n_collisions,
+             MAX(cos) AS mx,
+             SUM(CAST(round(cos * 1000000000.0, 0) AS BIGINT))
+               AS sum_cos_nano
+      FROM pr GROUP BY batch
+    )
+    SELECT r.batch AS batch,
+           CAST(r.n_rows AS BIGINT) AS n_rows,
+           CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(a.n_collisions, 0) AS BIGINT) AS n_collisions,
+           round(a.mx, 6) AS max_cos_r6,
+           CAST(COALESCE(a.sum_cos_nano, 0) AS BIGINT) AS sum_cos_nano
+    FROM rows_per r LEFT JOIN agg a ON r.batch = a.batch
+    """,
+)
+def q_embed_inbatch_collisions(spark, sf):
+    """Contrastive-training batch audit: rate of in-batch FALSE NEGATIVES
+    — pairs that land in the same training batch (so one would be the
+    other's "negative" under in-batch sampling) while being near-
+    duplicates by exact cosine. The standard data-quality check run
+    before contrastive embedding training: a corpus with unremoved
+    near-dups poisons the InfoNCE loss at exactly the rate this query
+    measures.
+
+    Batch assignment is the training sharder's hash (portable 60-bit
+    md5 of vec_id mod ceil(n/{B}) — the q_mix_temperature discipline,
+    so the oracle places every vector identically); per batch it
+    reports row count, pairs checked, collisions at cosine ≥ {tau},
+    the max cosine seen (round-6), and the order-free nano-quantized
+    cosine sum pinning the full pair stream, not just the extremes.
+
+    Plan shape: ONE shuffle on the batch key, then a self-join whose
+    groups are ≤ ~{B} rows BY CONSTRUCTION — pair volume is
+    n·({B}-1)/2, linear in the corpus, never all-pairs; norms are
+    hoisted into the scan projection (one dot per pair, bit-identical
+    to the per-pair recompute — the q_dedup_embedding discipline). No
+    skew is possible: md5 spreads uniformly and the group bound is the
+    batch size. At 100 TB this runs as one linear pass per training
+    epoch plan; the collision threshold and batch size are the
+    training recipe's own hyperparameters.
+
+    Reference parity: none (driver-mandated similarity surface,
+    SURVEY §2.3 evaluation family).
+    """
+    import math  # noqa: PLC0415
+
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    n = corpus_count(e, spark, sf)
+    nb = max(1, math.ceil(n / float(_BATCH_SIZE)))
+    b = e.select(
+        "vec_id",
+        "embedding",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(nb)
+        ).alias("batch"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = b.select(
+        "batch",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = b.select(
+        "batch",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pr = (
+        a.join(c, "batch")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "batch",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+            .alias("cos"),
+        )
+    )
+    agg = pr.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("cos") >= _COLLISION_TAU, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collisions"),
+        F.max("cos").alias("mx"),
+        F.sum(F.round(F.col("cos") * F.lit(1000000000.0), 0).cast("long"))
+        .cast("long")
+        .alias("sum_cos_nano"),
+    )
+    rows_per = b.groupBy("batch").agg(F.count(F.lit(1)).alias("n_rows"))
+    return rows_per.join(agg, "batch", "left").select(
+        "batch",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_collisions", F.lit(0)).cast("long").alias(
+            "n_collisions"
+        ),
+        F.round("mx", 6).alias("max_cos_r6"),
+        F.coalesce("sum_cos_nano", F.lit(0)).cast("long").alias(
+            "sum_cos_nano"
+        ),
+    )
+
+
+q_embed_inbatch_collisions.__doc__ = q_embed_inbatch_collisions.__doc__.format(
+    B=_BATCH_SIZE, tau=_COLLISION_TAU
+)
+
+
+#: SemDeDup drop threshold: a vector is a semantic duplicate when an
+#: in-cell kNN neighbor with a LOWER id sits at cosine >= tau. Driver
+#: embeddings contain no >= 0.99 pairs (honest zero-drop accounting —
+#: same posture as q_dedup_embedding); the drop machinery is pinned on
+#: planted fixtures in tests/test_new_ops.py.
+_SEMDEDUP_TAU = 0.99
+
+
+@query(
+    "q_dedup_semdedup",
+    oracle=f"""
+    -- SemDeDup over the cell-scoped kNN graph: drop a vector when any
+    -- of its top-{_KNN_K} in-cell neighbors has cosine >= {_SEMDEDUP_TAU}
+    -- and a lower id (keep-lowest-id); per-cell accounting plus the
+    -- nearest-neighbor density profile
+    WITH p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {{cos}} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, neighbor_id
+             ) AS rank
+      FROM p
+    ),
+    per_vec AS (
+      SELECT vec_id,
+             MAX(CASE WHEN cos >= {_SEMDEDUP_TAU}
+                       AND neighbor_id < vec_id THEN 1 ELSE 0 END)
+               AS dropped,
+             MAX(CASE WHEN rank = 1 THEN cos END) AS nn_cos
+      FROM r WHERE rank <= {_KNN_K}
+      GROUP BY vec_id
+    )
+    SELECT e.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(COALESCE(v.dropped, 0)) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN COALESCE(v.dropped, 0) = 1
+                     THEN e.vec_id ELSE 0 END) AS BIGINT) AS dropped_id_sum,
+           round(MAX(v.nn_cos), 6) AS max_nn_cos_r6,
+           CAST(SUM(COALESCE(CAST(round(v.nn_cos * 1000000000.0, 0)
+             AS BIGINT), 0)) AS BIGINT) AS nn_cos_nano_sum
+    FROM embeddings e LEFT JOIN per_vec v ON e.vec_id = v.vec_id
+    GROUP BY e.label
+    """.format(cos=_duck_cos("a.embedding", "b.embedding")),
+)
+def q_dedup_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023 geometry) riding the at-rest kNN
+    graph — the second consumer the r14-item-8 artifact was built for:
+    within each cell, a vector is a semantic duplicate when any of its
+    top-{k} neighbors clears cosine {tau} with a LOWER id
+    (keep-lowest-id, the q_dedup_embedding rule), and the query reports
+    per-cell drop accounting plus the nearest-neighbor DENSITY profile
+    (max and order-free nano-summed top-1 cosine) — the curve a
+    curation run reads to pick tau before committing to a drop rate.
+
+    Plan shape: when `materialize_knn_graph` has primed the sidecar,
+    this reads ~{k} rows/vec from parquet — the in-cell pairwise pass
+    is already paid, so the whole query is two small aggregates (per
+    vec, then per cell) plus one join back to (vec_id, label); fresh
+    sessions derive the graph in-plan (cost profile of
+    `q_similarity_knn_graph`, cells keep per-cell pair volume bounded).
+    Driver embeddings hold no >= {tau} pairs, so n_dropped is honestly
+    zero there; the drop rule and keep-lowest-id orientation are pinned
+    on planted near-identical fixtures in tests.
+
+    Reference parity: none (driver-mandated dedup family, SURVEY §2.3).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    art = knn_graph_at_rest(spark, sf)
+    rel = art if art is not None else _knn_graph_rel(spark, sf)
+    per_vec = rel.groupBy("vec_id").agg(
+        F.max(
+            F.when(
+                (F.col("cos") >= _SEMDEDUP_TAU)
+                & (F.col("neighbor_id") < F.col("vec_id")),
+                1,
+            ).otherwise(0)
+        ).alias("dropped"),
+        F.max(F.when(F.col("rank") == 1, F.col("cos"))).alias("nn_cos"),
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(per_vec, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce("dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.coalesce("dropped", F.lit(0)) == 1, F.col("vec_id"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("dropped_id_sum"),
+            F.round(F.max("nn_cos"), 6).alias("max_nn_cos_r6"),
+            F.sum(
+                F.coalesce(
+                    F.round(F.col("nn_cos") * F.lit(1000000000.0), 0).cast(
+                        "long"
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("nn_cos_nano_sum"),
+        )
+    )
+
+
+q_dedup_semdedup.__doc__ = q_dedup_semdedup.__doc__.format(
+    k=_KNN_K, tau=_SEMDEDUP_TAU
+)

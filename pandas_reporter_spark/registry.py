@@ -84,17 +84,25 @@ _PRIORITY = (
     # parameter feeding q_dedup_phash; the feature query's closure
     # includes it); unrecorded = the round's two new operators.
     # Slot budget (50):
-    # (1) the two new operators — first records (a missing first
-    #     record costs a round);
+    # (1) the round's new operators — first records (a missing first
+    #     record costs a round); two from the first sitting, two from
+    #     the second;
     # (2) the one stale body (q_multimodal_features);
     # (3) the whole r10 cohort (32 rows) — burns the oldest vintage:
     #     after r15 nothing in the cumulative record is older than r11;
     # (4) remaining 15 slots to r11 rows: the two residents of the
     #     modules this round churns (similarity.py / text.py), then
     #     oldest-first alphabetical.
-    # (1) first records for the round's new operators
+    # (1) first records for the round's new operators (the second
+    #     sitting added the retrieval-quality eval, the in-batch
+    #     collision audit, and the SemDeDup kNN-graph consumer; first
+    #     records outrank re-records, so they take the three tail r11
+    #     slots q_fillna/q_filter/q_except)
     "q_dedup_phash",
     "q_similarity_knn_graph",
+    "q_search_eval_ndcg",
+    "q_embed_inbatch_collisions",
+    "q_dedup_semdedup",
     # (2) stale body (decoder gained the pixel payload)
     "q_multimodal_features",
     # (3) r10 cohort burn (oldest vintage, alphabetical)
@@ -143,9 +151,6 @@ _PRIORITY = (
     "q_date_funcs",
     "q_dedup_keep_first",
     "q_dedup_minhash",
-    "q_except",
-    "q_fillna",
-    "q_filter",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

@@ -384,3 +384,110 @@ def test_quality_classifier_matches_python_reimplementation(spark, tmp_path):
         r["source"]: (r["n_docs"], r["n_pass"], r["sum_score"]) for r in rows
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-15 second sitting: retrieval-quality eval + in-batch collision audit
+# ---------------------------------------------------------------------------
+
+
+def _embed_dir(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_eval_ndcg_perfect_under_lossless_quantization(spark, tmp_path):
+    """When int8 quantization is EXACT (integer entries, max-abs 127 →
+    scale 1.0) and all vectors share one norm (permutations of a fixed
+    multiset), the reconstructed ranking equals the true cosine ranking,
+    so every metric is perfect: hits10 = 10, rank_of_true1 = 1,
+    ndcg_r6 = 1.0."""
+    import random
+
+    from pandas_reporter_spark.operators.similarity import q_search_eval_ndcg
+
+    base = [127] + [((i * 37) % 111) - 55 for i in range(63)]
+    rng = random.Random(7)
+    rows = []
+    for vid in range(50):  # 20 queries + 30 corpus
+        v = list(base)
+        rng.shuffle(v)
+        rows.append((vid, [float(x) for x in v], vid % 4))
+    out = q_search_eval_ndcg(spark, _embed_dir(spark, tmp_path, rows))
+    got = {r["qid"]: r for r in out.collect()}
+    assert len(got) == 20
+    for r in got.values():
+        assert r["hits10"] == 10
+        assert r["rank_of_true1"] == 1
+        assert r["rr_nano"] == 1_000_000_000
+        assert r["ndcg_r6"] == 1.0
+
+
+def test_inbatch_collisions_find_planted_duplicate(spark, tmp_path):
+    """100 gaussian vectors → 2 md5 batches; ONE planted exact-duplicate
+    pair placed in the SAME batch must be the only collision; pair and
+    row accounting must close exactly."""
+    import hashlib
+    import random
+
+    from pandas_reporter_spark.operators.similarity import (
+        q_embed_inbatch_collisions,
+    )
+
+    def batch_of(vid, nb=2):
+        return (
+            int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % nb
+        )
+
+    # find two ids in the same batch to carry the duplicate
+    a = 0
+    b = next(v for v in range(1, 100) if batch_of(v) == batch_of(a))
+    rng = random.Random(11)
+    vecs = {
+        vid: [rng.gauss(0.0, 1.0) for _ in range(64)] for vid in range(100)
+    }
+    vecs[b] = list(vecs[a])  # exact duplicate -> cosine 1.0
+    rows = [(vid, [float(x) for x in v], 0) for vid, v in vecs.items()]
+    out = q_embed_inbatch_collisions(
+        spark, _embed_dir(spark, tmp_path, rows)
+    ).collect()
+    by_batch = {r["batch"]: r for r in out}
+    assert len(by_batch) == 2
+    assert sum(r["n_rows"] for r in out) == 100
+    for r in out:  # pair accounting closes per batch
+        assert r["n_pairs"] == r["n_rows"] * (r["n_rows"] - 1) // 2
+    assert sum(r["n_collisions"] for r in out) == 1
+    hit = by_batch[batch_of(a)]
+    assert hit["n_collisions"] == 1
+    assert hit["max_cos_r6"] == 1.0
+    other = by_batch[1 - batch_of(a)]
+    assert other["max_cos_r6"] < 0.9
+
+
+def test_semdedup_drops_higher_id_of_planted_pair(spark, tmp_path):
+    """One planted near-identical pair inside a cell: the HIGHER id is
+    dropped (keep-lowest-id orientation), nothing else is; a copy of the
+    same vector in a DIFFERENT cell survives (cell-scoped rule)."""
+    import random
+
+    from pandas_reporter_spark.operators.similarity import q_dedup_semdedup
+
+    rng = random.Random(5)
+    rows = []
+    for vid in range(40):
+        rows.append(
+            (vid, [float(rng.gauss(0.0, 1.0)) for _ in range(64)], vid % 2)
+        )
+    # vid 10 and vid 30 are in cell 0 (even ids); make 30 a near-copy
+    base = rows[10][1]
+    rows[30] = (30, [v + 0.001 for v in base], 0)
+    # vid 31 (cell 1) gets the SAME vector: cross-cell dup must survive
+    rows[31] = (31, [v + 0.001 for v in base], 1)
+    out = {r["label"]: r for r in q_dedup_semdedup(spark, _embed_dir(
+        spark, tmp_path, rows)).collect()}
+    assert out[0]["n_dropped"] == 1
+    assert out[0]["dropped_id_sum"] == 30
+    assert out[0]["max_nn_cos_r6"] >= 0.99
+    assert out[1]["n_dropped"] == 0
