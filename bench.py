@@ -186,6 +186,11 @@ BENCH_QUERIES = [
     "q_search_eval_ndcg",
     "q_embed_inbatch_collisions",
     "q_dedup_semdedup",
+    # round-15 third sitting: training-efficiency + corpus/embedding
+    # diversity diagnostics
+    "q_mix_length_buckets",
+    "q_text_ngram_diversity",
+    "q_embed_separation",
 ]
 
 

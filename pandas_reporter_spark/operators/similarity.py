@@ -3240,41 +3240,67 @@ def _knn_graph_rel(spark, sf, k: int = _KNN_K) -> DataFrame:
             return empty
         m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        # sort the cell by id so that a STABLE row-wise argsort on
+        # -cos breaks ties in ascending-id column order — exactly the
+        # per-row lexsort((iv, -cv)) the original (r15 first-sitting)
+        # loop computed, but one C-level sort per block instead of one
+        # Python lexsort + one DataFrame PER ROW (that shape measured
+        # ~390 s for the sf10 build; this one ~10× less)
+        id_order = np.argsort(ids, kind="stable")
+        m, ids = m[id_order], ids[id_order]
         dims = m.shape[1]
+        take = min(k, n - 1)
+        mT = np.ascontiguousarray(m.T)  # dim-major for the tile loop
         # norms: ascending-dim sequential sum of squares from 0.0
         acc = np.zeros(n, dtype=np.float64)
         for i in range(dims):
             acc = acc + m[:, i] * m[:, i]
         nrm = np.sqrt(acc)
         out = []
+        tile = 512
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)
-            blk = np.zeros((hi - lo, n), dtype=np.float64)
-            for i in range(dims):
-                # ascending-dim outer-product accumulation: entry
-                # (a, b) sums m[a,i]*m[b,i] in i order from 0.0 ==
-                # the `dot` expression's fold exactly
-                blk = blk + np.outer(m[lo:hi, i], m[:, i])
-            cosm = blk / np.outer(nrm[lo:hi], nrm)
-            for a in range(lo, hi):
-                row = cosm[a - lo]
-                mask = np.arange(n) != a
-                cv, iv = row[mask], ids[mask]
-                order = np.lexsort((iv, -cv))[:k]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": np.full(
-                                len(order), ids[a], dtype=np.int64
-                            ),
-                            "rank": np.arange(
-                                1, len(order) + 1, dtype=np.int64
-                            ),
-                            "neighbor_id": iv[order],
-                            "cos": cv[order],
-                        }
-                    )
+            nb = hi - lo
+            cosm = np.empty((nb, n), dtype=np.float64)
+            # column-tiled ascending-dim outer-product accumulation:
+            # entry (a, b) still sums m[a,i]*m[b,i] in i order from
+            # 0.0 == the `dot` fold exactly (tiling changes WHICH
+            # elements share a pass, never any element's op sequence)
+            # — but the 4 MB tile stays cache-resident across the 64
+            # passes instead of streaming a 160 MB block 64 times
+            for c0 in range(0, n, tile):
+                c1 = min(c0 + tile, n)
+                blk = np.zeros((nb, c1 - c0), dtype=np.float64)
+                for i in range(dims):
+                    blk = blk + np.outer(mT[i, lo:hi], mT[i, c0:c1])
+                cosm[:, c0:c1] = blk / np.outer(nrm[lo:hi], nrm[c0:c1])
+            rows_local = np.arange(nb)
+            # the emitted neighbor values are untouched: only the
+            # self column and already-taken columns are masked, and
+            # values are recorded before masking
+            cosm[rows_local, np.arange(lo, hi)] = -np.inf
+            sel_id = np.empty((nb, take), dtype=np.int64)
+            sel_cos = np.empty((nb, take), dtype=np.float64)
+            for r in range(take):
+                # argmax returns the FIRST maximum; columns are
+                # ascending-id, so ties break toward the lower id —
+                # exactly the lexsort((iv, -cv)) discipline
+                j = np.argmax(cosm, axis=1)
+                sel_id[:, r] = ids[j]
+                sel_cos[:, r] = cosm[rows_local, j]
+                cosm[rows_local, j] = -np.inf
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids[lo:hi], take),
+                        "rank": np.tile(
+                            np.arange(1, take + 1, dtype=np.int64), nb
+                        ),
+                        "neighbor_id": sel_id.ravel(),
+                        "cos": sel_cos.ravel(),
+                    }
                 )
+            )
         return pd.concat(out, ignore_index=True) if out else empty
 
     return e.groupBy("label").applyInPandas(
@@ -3415,6 +3441,47 @@ _DUCK_GAIN = (
 )
 
 
+def _gain_expr(rel_rank: str, rank: str):
+    """The Spark twin of _DUCK_GAIN over the named rank columns:
+    exact-integer numerator (shiftleft), single ln denominator, nano
+    quantization — identical in the DCG leg, the IDCG leg, the JVM
+    form and the kernel form."""
+    return F.round(
+        (
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(11 - {rel_rank} AS INT)) - 1 AS DOUBLE)"
+            )
+            / F.log((F.col(rank) + F.lit(1)).cast("double"))
+        )
+        * F.lit(1000000000.0),
+        0,
+    ).cast("long")
+
+
+def _seq_acc_sq(m):
+    """Ascending-dim sequential Σ mᵢ² from 0.0 — the `norm` fold."""
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for i in range(m.shape[1]):
+        acc = acc + m[:, i] * m[:, i]
+    return acc
+
+
+def _int8_codes(m, scale):
+    """The q_embed_quantize int8 codes, numpy-side but BIT-IDENTICAL to
+    the JVM `round(v/scale, 0)` clamp chain: Spark's Round(double, 0)
+    is decimal HALF_UP (away from zero), which the fractional-part
+    test below reproduces exactly — `av - floor(av)` is an exact
+    float64 subtraction, so the >= 0.5 comparison agrees with the
+    decimal expansion for every double (no `floor(x + 0.5)` boundary
+    bug, where the addition itself can round across the half)."""
+    v = m / scale[:, None]
+    av = np.abs(v)
+    fl = np.floor(av)
+    r = np.where(av - fl >= 0.5, fl + 1.0, fl)
+    return np.clip(np.sign(v) * r, -127.0, 127.0).astype(np.int64)
+
+
 @query(
     "q_search_eval_ndcg",
     oracle=f"""
@@ -3496,21 +3563,213 @@ def q_search_eval_ndcg(spark, sf):
     discipline), plus the raw `dcg_nano` so the driver hash pins the
     integer path, not just the 6-dp ratio.
 
-    Plan shape: quantize in the scan projection (the q_embed_quantize
-    expressions verbatim), broadcast the 20-row query block, score
-    n_q·n_c pairs in one stage (two ranking keys per pair: the exact
-    cosine and the int8 reconstruction — both sequential-fold doubles,
-    bit-identical cross-engine), then ONE shuffle on qid for both
-    row_number windows (same partitioning → one Exchange, two in-memory
-    sorts). At 100 TB the eval corpus is a sampled slice by
-    construction (n_q is fixed and small; the pair stage is
-    corpus-linear and embarrassingly parallel) — and the production
-    candidate source for deep corpora is q_similarity_topk_batch's
-    zero-shuffle kernel, which this query's metrics certify.
+    Registered plan: the ZERO-SHUFFLE two-pass Arrow kernel (the
+    q_similarity_topk_batch discipline, similarity.py:3165): the query
+    block ships as a bounded driver artifact; pass 1 scores every
+    Arrow batch against all 20 queries with the ORDER-EXACT
+    sequential float64 sums the `dot`/`norm` expressions define and
+    emits only each batch's per-query top-10-by-cos ∪ top-10-by-recon
+    (≤ n_q·2k rows per batch — nothing corpus-width shuffles). Global
+    row_number over that union is exact for every rank ≤ k by the
+    standard top-k-merge argument: any item in a global top-10 beats
+    all items outside its batch-local top-10, so all its global
+    betters are in the union — and an item OUTSIDE a global top-10
+    sees all 10 global winners in the union, so its union rank is
+    ≥ 11 and the in_k gate cannot false-positive. `rank_of_true1`
+    needs the UNBOUNDED int8 rank of one cid per query, which no
+    local top-k can carry, so pass 2 re-scans with the 20 collected
+    (cid, recon) thresholds broadcast and counts strictly-better
+    reconstructions per batch (20 rows out per batch; count + 1 = the
+    row_number by construction, ties broken by cid like the window).
+    The int8 codes are numpy-side but bit-identical to the JVM chain
+    (_int8_codes: decimal-HALF_UP via the exact fractional-part test);
+    all metric arithmetic stays in Spark expressions over the tiny
+    union, so the driver hash pins the same integer path as the JVM
+    form (eval_ndcg_jvm, kept as the A/B equality oracle — the
+    measured 4.2× sf10 gap of the window form was the 20-partition
+    qid Exchange sorting the full n_q·n_c pair stream).
 
     Reference parity: none (driver-mandated similarity surface,
     SURVEY §2.3 evaluation family).
     """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+
+    qrows = (
+        e.filter(F.col("vec_id") < _EVAL_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out_schema = (
+        "qid long, hits10 long, rank_of_true1 long, rr_nano long, "
+        "dcg_nano long, ndcg_r6 double"
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qblock = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        sc = float(np.max(np.abs(qv)) / 127.0)
+        qblock.append(
+            (
+                int(r["vec_id"]),
+                qv,
+                sc,
+                _int8_codes(qv[None, :], np.array([sc]))[0],
+                float(np.sqrt(_seq_acc_sq(qv[None, :])[0])),
+            )
+        )
+    qid_arr = np.array([q[0] for q in qblock], dtype=np.int64)
+    Q = np.stack([q[1] for q in qblock], axis=1)  # dim × n_q
+    qsc = np.array([q[2] for q in qblock], dtype=np.float64)
+    Q8 = np.stack([q[3] for q in qblock], axis=1)  # dim × n_q int64
+    qn = np.array([q[4] for q in qblock], dtype=np.float64)
+
+    corpus = e.filter(F.col("vec_id") >= _EVAL_NQ).select(
+        "vec_id", "embedding"
+    )
+
+    def _score_block(m, scale, q8c, nc):
+        # per element: the same mult-then-add sequence per ascending
+        # dim as the `dot` fold; division/products associate exactly
+        # as the JVM expressions
+        acc = np.zeros((m.shape[0], Q.shape[1]), dtype=np.float64)
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i : i + 1] * Q[i : i + 1, :]
+        cos = acc / (qn[None, :] * nc[:, None])
+        d8 = q8c @ Q8  # exact int64 — fold order immaterial
+        recon = (d8.astype(np.float64) * qsc[None, :]) * scale[:, None]
+        return cos, recon
+
+    def _pass1(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            scale = np.max(np.abs(m), axis=1) / 127.0
+            cos, recon = _score_block(
+                m, scale, _int8_codes(m, scale), np.sqrt(_seq_acc_sq(m))
+            )
+            out = []
+            for j in range(len(qid_arr)):
+                keep = np.union1d(
+                    np.lexsort((vids, -cos[:, j]))[:_EVAL_K],
+                    np.lexsort((vids, -recon[:, j]))[:_EVAL_K],
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(
+                                len(keep), qid_arr[j], dtype=np.int64
+                            ),
+                            "cid": vids[keep],
+                            "cos": cos[keep, j],
+                            "recon": recon[keep, j],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    union = corpus.mapInPandas(
+        _pass1, "qid long, cid long, cos double, recon double"
+    ).persist()
+    wt = W.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    ws = W.partitionBy("qid").orderBy(F.col("recon").desc(), "cid")
+    ranked = union.select(
+        "qid",
+        "cid",
+        "recon",
+        F.row_number().over(wt).alias("rank_true"),
+        F.row_number().over(ws).alias("rank_sys"),
+    )
+    t1 = {
+        int(r["qid"]): (int(r["cid"]), float(r["recon"]))
+        for r in ranked.filter(F.col("rank_true") == 1)
+        .select("qid", "cid", "recon")
+        .collect()
+    }
+    if not t1:  # empty corpus: every metric set is empty
+        return spark.createDataFrame([], out_schema)
+    t1_order = [j for j in range(len(qid_arr)) if int(qid_arr[j]) in t1]
+    t1_qid = np.array([qid_arr[j] for j in t1_order], dtype=np.int64)
+    t1_cid = np.array([t1[int(q)][0] for q in t1_qid], dtype=np.int64)
+    t1_rec = np.array([t1[int(q)][1] for q in t1_qid], dtype=np.float64)
+
+    def _pass2(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            scale = np.max(np.abs(m), axis=1) / 127.0
+            _, recon = _score_block(
+                m, scale, _int8_codes(m, scale), np.sqrt(_seq_acc_sq(m))
+            )
+            rec = recon[:, t1_order]
+            better = (rec > t1_rec[None, :]) | (
+                (rec == t1_rec[None, :]) & (vids[:, None] < t1_cid[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": t1_qid,
+                    "n_better": better.sum(axis=0).astype(np.int64),
+                }
+            )
+
+    rt1 = (
+        corpus.mapInPandas(_pass2, "qid long, n_better long")
+        .groupBy("qid")
+        .agg(
+            (F.sum("n_better") + F.lit(1))
+            .cast("long")
+            .alias("rank_of_true1")
+        )
+    )
+    in_k = (F.col("rank_true") <= _EVAL_K) & (F.col("rank_sys") <= _EVAL_K)
+    met = ranked.groupBy("qid").agg(
+        F.sum(F.when(in_k, 1).otherwise(0)).cast("long").alias("hits10"),
+        F.sum(
+            F.when(in_k, _gain_expr("rank_true", "rank_sys")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("dcg_nano"),
+    )
+    rng = spark.range(1, _EVAL_K + 1).select(F.col("id").alias("i"))
+    idcg = rng.agg(
+        F.sum(_gain_expr("i", "i")).cast("long").alias("idcg_nano")
+    )
+    return (
+        met.join(rt1, "qid")
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "qid",
+            "hits10",
+            "rank_of_true1",
+            F.round(F.lit(1000000000.0) / F.col("rank_of_true1"), 0)
+            .cast("long")
+            .alias("rr_nano"),
+            "dcg_nano",
+            F.round(
+                F.col("dcg_nano").cast("double")
+                / F.col("idcg_nano").cast("double"),
+                6,
+            ).alias("ndcg_r6"),
+        )
+    )
+
+
+def eval_ndcg_jvm(spark, sf):
+    """The one-stage JVM window form of q_search_eval_ndcg — kept as
+    the registered kernel's A/B equality oracle (the topk_batch
+    three-form discipline): quantize in the scan projection, broadcast
+    the query block, score n_q·n_c pairs in one stage, ONE qid shuffle
+    for both row_number windows. Row-identical to the kernel by
+    construction; measured 4.2× DuckDB at sf10 because the qid
+    Exchange has only n_q partitions and sorts the full pair stream
+    twice, which is why the kernel is the registered plan."""
     configure(spark)
     e = load(spark, sf, "embeddings")
     base = e.select(
@@ -3880,3 +4139,146 @@ def q_dedup_semdedup(spark, sf):
 q_dedup_semdedup.__doc__ = q_dedup_semdedup.__doc__.format(
     k=_KNN_K, tau=_SEMDEDUP_TAU
 )
+
+
+@query(
+    "q_embed_separation",
+    oracle=f"""
+    -- embedding-space separation per cell: within-cell cohesion
+    -- (cosine to own centroid) vs the nearest OTHER centroid — the
+    -- cluster-quality curve read before trusting cell-scoped ops
+    -- (IVF probes, SemDeDup cells) on a given labeling
+    WITH comp AS (
+      SELECT label, u.pos AS pos,
+             CAST(floor(CAST(u.val AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS units
+      FROM embeddings,
+           LATERAL (
+             SELECT UNNEST(embedding) AS val,
+                    generate_subscripts(embedding, 1) AS pos
+           ) u
+    ),
+    agg AS (
+      SELECT label, pos,
+             (CAST(SUM(units) AS DOUBLE) / 1000000.0) / COUNT(*) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY pos) AS cv
+      FROM agg GROUP BY label
+    ),
+    w AS (
+      SELECT e.label AS label,
+             {{cos_ec}} AS cs
+      FROM embeddings e JOIN cent c ON e.label = c.label
+    ),
+    ws AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(round(cs * 1000000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS within_nano_sum,
+             round(MAX(cs), 6) AS within_max_r6
+      FROM w GROUP BY label
+    ),
+    bt AS (
+      SELECT a.label AS label, b.label AS nn_label,
+             {{cos_ab}} AS cc,
+             row_number() OVER (PARTITION BY a.label
+               ORDER BY {{cos_ab}} DESC, b.label) AS rnk
+      FROM cent a JOIN cent b ON a.label <> b.label
+    )
+    SELECT label, n_vecs, nn_label, round(cc, 6) AS nn_cos_r6,
+           within_nano_sum, within_max_r6
+    FROM ws JOIN bt USING (label)
+    WHERE rnk = 1
+    """.format(
+        cos_ec=_duck_cos("e.embedding", "c.cv"),
+        cos_ab=_duck_cos("a.cv", "b.cv"),
+    ),
+)
+def q_embed_separation(spark, sf):
+    """Embedding-space separation diagnostics per cell — the
+    cluster-quality profile (within-cell cohesion vs nearest-other-
+    centroid similarity, a silhouette-style contrast at aggregate
+    cost) that decides whether a labeling is tight enough to scope
+    cell-local operators: q_similarity_ivf probes, q_dedup_semantic /
+    q_dedup_semdedup cells, and the kNN-graph sidecar all assume
+    within-cell neighbors dominate — this query measures by how much.
+
+    Per cell: n_vecs, the nearest OTHER centroid (by centroid-pair
+    cosine, lowest-label tiebreak), and the within-cell cohesion
+    profile (order-free nano-quantized sum + round-6 max of each
+    vector's cosine to its own centroid).
+
+    Float discipline: centroids use the exact integer-unit quantizer
+    (the q_embed_centroids 1e-6 discipline — component sums are exact
+    longs, so the derived double centroid is bit-identical
+    cross-engine and partition-order independent); every downstream
+    cosine is the sequential `dot` fold against that deterministic
+    array; per-row cosines nano-quantize BEFORE the order-free sum.
+
+    Plan: one posexplode aggregate builds centroids (#labels × dim
+    scalar cells, map-side combined), centroids broadcast back for a
+    single linear cohesion scan, and the #labels² centroid-pair block
+    is driver-trivial. No corpus-width shuffle at any scale.
+
+    Reference parity: none (driver-mandated similarity surface,
+    SURVEY §2.3 embedding-diagnostics family).
+    """
+    configure(spark)
+    e = load(spark, sf, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+    )
+    agg = comp.groupBy("label", "pos").agg(
+        ((F.sum("units").cast("double") / F.lit(1e6)) / F.count("*")).alias(
+            "c"
+        )
+    )
+    cent = agg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    w = e.join(F.broadcast(cent), "label").select(
+        "label", cosine(F.col("embedding"), F.col("cv")).alias("cs")
+    )
+    ws = w.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.round(F.col("cs") * F.lit(1000000000.0), 0).cast("long"))
+        .cast("long")
+        .alias("within_nano_sum"),
+        F.round(F.max("cs"), 6).alias("within_max_r6"),
+    )
+    b = cent.select(
+        F.col("label").alias("nn_label"), F.col("cv").alias("cv2")
+    )
+    bt = (
+        cent.crossJoin(F.broadcast(b))
+        .filter(F.col("label") != F.col("nn_label"))
+        .select(
+            "label",
+            "nn_label",
+            cosine(F.col("cv"), F.col("cv2")).alias("cc"),
+        )
+    )
+    nn = bt.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("label").orderBy(F.col("cc").desc(), "nn_label")
+        ),
+    ).filter(F.col("rnk") == 1)
+    return ws.join(nn, "label").select(
+        "label",
+        "n_vecs",
+        "nn_label",
+        F.round("cc", 6).alias("nn_cos_r6"),
+        "within_nano_sum",
+        "within_max_r6",
+    )

@@ -4467,3 +4467,204 @@ def q_text_fim(spark, sf):
             F.sum("hc").cast("bigint").alias("out_check"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 third sitting: training-efficiency + corpus-diversity diagnostics.
+# ---------------------------------------------------------------------------
+
+#: length-bucketing band width (tokens). Production trainers bucket by
+#: powers of two; the synthetic docs span ~20-80 whitespace tokens, so a
+#: 16-token band gives the histogram actual resolution while keeping the
+#: cap rule pure-integer ((n+15) div 16 * 16 — no log2 float hazard).
+_LENBUCKET_BAND = 16
+
+
+@query(
+    "q_mix_length_buckets",
+    oracle=f"""
+    -- sequence-length bucketing: padding waste per 16-token band vs
+    -- the naive single-batch (pad-to-global-max) baseline
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ),
+    g AS (SELECT MAX(n) AS gmax FROM t),
+    b AS (
+      SELECT n, ((n + {_LENBUCKET_BAND - 1}) // {_LENBUCKET_BAND})
+                * {_LENBUCKET_BAND} AS cap
+      FROM t
+    )
+    SELECT CAST(cap AS BIGINT) AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * cap - SUM(n) AS BIGINT) AS bucket_waste,
+           CAST(COUNT(*) * (SELECT gmax FROM g) - SUM(n) AS BIGINT)
+             AS naive_waste
+    FROM b
+    GROUP BY cap
+    """,
+)
+def q_mix_length_buckets(spark, sf):
+    """Sequence-length bucketing audit — the padding-waste accounting a
+    trainer runs before choosing a batching strategy: documents are
+    bucketed into {band}-token bands (bucket_cap = the band ceiling,
+    pure integer arithmetic so both engines agree exactly), and each
+    band reports its doc count, real token mass, padding waste when
+    batches are drawn within the band (pad-to-band-cap), and the
+    counterfactual waste under naive pad-to-global-max batching. The
+    gap between the two columns IS the motivation for length-grouped
+    batching (the dynamic-batching story every large-scale trainer
+    implements).
+
+    Plan: one scan computes token counts per doc (whitespace split,
+    empties filtered — the q_text_tokens convention), one 16-ish-group
+    map-side-combined aggregate, and the global max joins in as a
+    broadcast single-row cross join. No wide shuffle at any scale; at
+    100 TB the aggregate carries #bands × partials.
+
+    Reference parity: none (driver-mandated LLM-pipeline surface,
+    SURVEY §2.3 sampling/mixing family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    n = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    t = d.select(n.cast("long").alias("n"))
+    cap = F.expr(
+        f"CAST(((n + {_LENBUCKET_BAND - 1}) DIV {_LENBUCKET_BAND})"
+        f" * {_LENBUCKET_BAND} AS BIGINT)"
+    )
+    gmax = t.agg(F.max("n").alias("gmax"))
+    return (
+        t.select(cap.alias("bucket_cap"), "n")
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("bucket_waste"),
+            (F.col("n_docs") * F.col("gmax") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("naive_waste"),
+        )
+    )
+
+
+q_mix_length_buckets.__doc__ = q_mix_length_buckets.__doc__.format(
+    band=_LENBUCKET_BAND
+)
+
+
+@query(
+    "q_text_ngram_diversity",
+    oracle="""
+    -- corpus diversity per source: type-token ratio and distinct-
+    -- trigram ratio (the Self-BLEU-style repetition diagnostics a
+    -- curation run reads before mixing sources)
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT source, unnest(ts) AS g FROM toks
+    ),
+    tri AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+      FROM toks WHERE len(ts) >= 3
+    ),
+    u AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_vocab
+      FROM uni GROUP BY source
+    ),
+    t3 AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+      FROM tri GROUP BY source
+    )
+    SELECT source, n_tokens, n_vocab,
+           round(CAST(n_vocab AS DOUBLE) / n_tokens, 6) AS ttr_r6,
+           n_trigrams, n_distinct_trigrams,
+           round(CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams, 6)
+             AS trigram_diversity_r6
+    FROM u JOIN t3 USING (source)
+    """,
+)
+def q_text_ngram_diversity(spark, sf):
+    """N-gram diversity per source — the repetition/diversity
+    diagnostics (type-token ratio, distinct-trigram ratio) that rank
+    sources by templated-content risk before mixing: a boilerplate-
+    heavy crawl slice shows a collapsed trigram ratio long before
+    exact dedup fires.
+
+    Plan: one scan builds the filtered token array (the q_text_tokens
+    convention: lower + whitespace split, empties dropped); unigrams
+    explode directly, trigrams explode from an in-array transform
+    (JVM-side sequence/element_at — no UDF, no string re-parse); each
+    branch dictionary-collapses on (source, gram) with map-side
+    partial counts BEFORE the per-source rollup (the decontaminate
+    discipline — the wide shuffle carries one row per distinct gram,
+    not one per occurrence), then the two ~|sources|-row branches
+    join. Zipf skew on hot grams is absorbed by the partial-count
+    collapse; nothing corpus-width reaches the final aggregate.
+
+    Reference parity: none (driver-mandated LLM-pipeline surface,
+    SURVEY §2.3 text-analysis family).
+    """
+    configure(spark)
+    d = load(spark, sf, "documents")
+    ts = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    toks = d.select("source", ts.alias("ts"))
+    uni = toks.select("source", F.explode("ts").alias("g"))
+    tri = toks.filter(F.size("ts") >= 3).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 2), i -> "
+                "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),"
+                " element_at(ts, i + 2)))"
+            )
+        ).alias("g"),
+    )
+
+    def _branch(df, n_name, d_name):
+        return (
+            df.groupBy("source", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(
+                F.sum("c").cast("long").alias(n_name),
+                F.count(F.lit(1)).cast("long").alias(d_name),
+            )
+        )
+
+    u = _branch(uni, "n_tokens", "n_vocab")
+    t3 = _branch(tri, "n_trigrams", "n_distinct_trigrams")
+    return u.join(t3, "source").select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.round(
+            F.col("n_vocab").cast("double") / F.col("n_tokens"), 6
+        ).alias("ttr_r6"),
+        "n_trigrams",
+        "n_distinct_trigrams",
+        F.round(
+            F.col("n_distinct_trigrams").cast("double")
+            / F.col("n_trigrams"),
+            6,
+        ).alias("trigram_diversity_r6"),
+    )

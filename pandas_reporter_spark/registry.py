@@ -95,14 +95,20 @@ _PRIORITY = (
     #     oldest-first alphabetical.
     # (1) first records for the round's new operators (the second
     #     sitting added the retrieval-quality eval, the in-batch
-    #     collision audit, and the SemDeDup kNN-graph consumer; first
-    #     records outrank re-records, so they take the three tail r11
-    #     slots q_fillna/q_filter/q_except)
+    #     collision audit, and the SemDeDup kNN-graph consumer; the
+    #     third sitting added the length-bucketing audit, the n-gram
+    #     diversity diagnostics, and the embedding-separation profile;
+    #     first records outrank re-records, so they take the six tail
+    #     r11 slots q_fillna/q_filter/q_except/q_date_funcs/
+    #     q_dedup_keep_first/q_dedup_minhash)
     "q_dedup_phash",
     "q_similarity_knn_graph",
     "q_search_eval_ndcg",
     "q_embed_inbatch_collisions",
     "q_dedup_semdedup",
+    "q_mix_length_buckets",
+    "q_text_ngram_diversity",
+    "q_embed_separation",
     # (2) stale body (decoder gained the pixel payload)
     "q_multimodal_features",
     # (3) r10 cohort burn (oldest vintage, alphabetical)
@@ -148,9 +154,6 @@ _PRIORITY = (
     "q_agg_percentile",
     "q_agg_skew_kurt",
     "q_cube",
-    "q_date_funcs",
-    "q_dedup_keep_first",
-    "q_dedup_minhash",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

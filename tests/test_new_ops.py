@@ -491,3 +491,122 @@ def test_semdedup_drops_higher_id_of_planted_pair(spark, tmp_path):
     assert out[0]["dropped_id_sum"] == 30
     assert out[0]["max_nn_cos_r6"] >= 0.99
     assert out[1]["n_dropped"] == 0
+
+
+def test_eval_ndcg_kernel_equals_jvm_form(spark, tmp_path):
+    """The registered two-pass Arrow-kernel plan and the one-stage JVM
+    window form (eval_ndcg_jvm, the A/B equality oracle) must be
+    row-identical — including on data where int8 quantization is LOSSY
+    (gaussian floats), so the two ranking keys genuinely disagree and
+    every metric path (union merge, in_k gate, pass-2 better-count) is
+    exercised."""
+    import random
+
+    from pandas_reporter_spark.operators.similarity import (
+        eval_ndcg_jvm,
+        q_search_eval_ndcg,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (vid, [float(rng.gauss(0.0, 1.0)) for _ in range(64)], vid % 4)
+        for vid in range(120)
+    ]
+    d = _embed_dir(spark, tmp_path, rows)
+    a = sorted(map(tuple, q_search_eval_ndcg(spark, d).collect()))
+    b = sorted(map(tuple, eval_ndcg_jvm(spark, d).collect()))
+    assert len(a) == 20
+    assert a == b
+    # lossy data: at least one query's int8 ranking must actually
+    # deviate, or the A/B proves nothing
+    assert any(r[1] < 10 or r[2] != 1 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# round-15 third sitting: length buckets, n-gram diversity, separation
+# ---------------------------------------------------------------------------
+
+
+def test_length_buckets_accounting_closes(spark, tmp_path):
+    """Known token counts → known caps; per-bucket waste closes exactly
+    and naive waste uses the global max."""
+    from pandas_reporter_spark.operators.text import q_mix_length_buckets
+
+    texts = {
+        0: "a b c",              # 3 tokens  -> cap 16
+        1: " ".join("t" * 1 for _ in range(16)),   # 16 -> cap 16
+        2: " ".join(["w"] * 17),  # 17 -> cap 32
+        3: " ".join(["x"] * 40),  # 40 -> cap 48 (global max)
+    }
+    rows = [
+        (i, t, "en", "s", len(t)) for i, t in texts.items()
+    ]
+    out = {
+        r["bucket_cap"]: r
+        for r in q_mix_length_buckets(
+            spark, _docs_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {16, 32, 48}
+    b16 = out[16]
+    assert b16["n_docs"] == 2 and b16["sum_tokens"] == 19
+    assert b16["bucket_waste"] == 2 * 16 - 19
+    assert b16["naive_waste"] == 2 * 40 - 19
+    assert out[48]["bucket_waste"] == 48 - 40
+    assert out[48]["naive_waste"] == 0
+
+
+def test_ngram_diversity_planted_repetition(spark, tmp_path):
+    """A fully-repetitive source collapses to 1 distinct token and 1
+    distinct trigram; an all-distinct source has full diversity."""
+    from pandas_reporter_spark.operators.text import q_text_ngram_diversity
+
+    rep = " ".join(["spam"] * 10)           # 10 tokens, 8 trigrams, all equal
+    uniq = " ".join(f"w{i}" for i in range(10))  # all distinct
+    rows = [
+        (0, rep, "en", "rep", len(rep)),
+        (1, uniq, "en", "uniq", len(uniq)),
+    ]
+    out = {
+        r["source"]: r
+        for r in q_text_ngram_diversity(
+            spark, _docs_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert out["rep"]["n_tokens"] == 10 and out["rep"]["n_vocab"] == 1
+    assert out["rep"]["n_trigrams"] == 8
+    assert out["rep"]["n_distinct_trigrams"] == 1
+    assert out["rep"]["ttr_r6"] == 0.1
+    assert out["rep"]["trigram_diversity_r6"] == 0.125
+    assert out["uniq"]["n_vocab"] == 10
+    assert out["uniq"]["n_distinct_trigrams"] == 8
+    assert out["uniq"]["ttr_r6"] == 1.0
+    assert out["uniq"]["trigram_diversity_r6"] == 1.0
+
+
+def test_embed_separation_two_planted_clusters(spark, tmp_path):
+    """Two tight, orthogonal-ish clusters: each cell's nearest other
+    centroid is the other cell, within-cohesion is ~1 for the cell of
+    identical vectors, and the centroid-pair cosine is low."""
+    from pandas_reporter_spark.operators.similarity import (
+        q_embed_separation,
+    )
+
+    base0 = [1.0 if i < 32 else 0.0 for i in range(64)]
+    base1 = [0.0 if i < 32 else 1.0 for i in range(64)]
+    rows = [(vid, list(base0), 0) for vid in range(10)]
+    rows += [(vid, list(base1), 1) for vid in range(10, 20)]
+    out = {
+        r["label"]: r
+        for r in q_embed_separation(
+            spark, _embed_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    for lab, other in [(0, 1), (1, 0)]:
+        r = out[lab]
+        assert r["n_vecs"] == 10
+        assert r["nn_label"] == other
+        assert r["within_max_r6"] >= 0.999999
+        assert r["within_nano_sum"] >= 10 * 999_999_000
+        assert r["nn_cos_r6"] <= 0.000001
