@@ -4487,8 +4487,7 @@ _LENBUCKET_BAND = 16
     -- the naive single-batch (pad-to-global-max) baseline
     WITH t AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '),
-                  x -> x <> '')) AS BIGINT) AS n
+             CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n
       FROM documents
     ),
     g AS (SELECT MAX(n) AS gmax FROM t),
@@ -4519,18 +4518,22 @@ def q_mix_length_buckets(spark, sf):
     batching (the dynamic-batching story every large-scale trainer
     implements).
 
-    Plan: one scan computes token counts per doc (whitespace split,
-    empties filtered — the q_text_tokens convention), one 16-ish-group
-    map-side-combined aggregate, and the global max joins in as a
-    broadcast single-row cross join. No wide shuffle at any scale; at
-    100 TB the aggregate carries #bands × partials.
+    Plan: one scan computes token counts per doc via `regexp_count` of
+    non-space runs — on ANY input exactly the non-empty-token count of
+    the single-space split (the q_text_tokens convention), but pure
+    JVM regex with no array allocation and no interpreted
+    higher-order filter (the HOF form measured 2.9 s at sf10; this
+    one sub-second) — then one 16-ish-group map-side-combined
+    aggregate, and the global max joins in as a broadcast single-row
+    cross join. No wide shuffle at any scale; at 100 TB the aggregate
+    carries #bands × partials.
 
     Reference parity: none (driver-mandated LLM-pipeline surface,
     SURVEY §2.3 sampling/mixing family).
     """
     configure(spark)
     d = load(spark, sf, "documents")
-    n = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    n = F.regexp_count(F.col("text"), F.lit("[^ ]+"))
     t = d.select(n.cast("long").alias("n"))
     cap = F.expr(
         f"CAST(((n + {_LENBUCKET_BAND - 1}) DIV {_LENBUCKET_BAND})"
@@ -4620,6 +4623,15 @@ def q_text_ngram_diversity(spark, sf):
     not one per occurrence), then the two ~|sources|-row branches
     join. Zipf skew on hot grams is absorbed by the partial-count
     collapse; nothing corpus-width reaches the final aggregate.
+
+    String grams are a MEASURED choice, not an oversight
+    (docs/DIVERSITY_AB_r15.json): the with_hashed_shingles ~20×
+    hash-vs-string lesson (dedup.py:75) does not transfer here —
+    there each token hash feeds 64 minhash mixes, amortizing the
+    md5-per-token cost; here each gram is consumed once, so the
+    portable-hash form measured 2× SLOWER at sf10 (6.1 vs 3.4 s,
+    interleaved min-of-3 — the md5 floor of QC_FOLD_r14 with nothing
+    to amortize it).
 
     Reference parity: none (driver-mandated LLM-pipeline surface,
     SURVEY §2.3 text-analysis family).
