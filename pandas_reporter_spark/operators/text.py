@@ -1337,6 +1337,12 @@ def q_text_kl_divergence(spark, sf):
     # so values are bit-identical to the join form; st is dictionary-
     # sized, so per-source/per-token window partitions stay small at
     # any corpus scale.
+    #
+    # r15 NOT-DONE note: persisting st to also fuse the grand-total
+    # pass measured 0.91 -> 3.61 s at sf0.1 (primed tokenize artifact
+    # makes the doubled dictionary aggregation cheap; caching the
+    # string-keyed dictionary costs more than it saves). Measured and
+    # reverted — OPTIMIZATION_r15.md.
     tot = st.agg(F.sum("c_st").alias("n"))
     w_s = W.partitionBy("source")
     w_t = W.partitionBy("token")
@@ -2317,6 +2323,14 @@ def q_agg_entropy(spark, sf):
     )
 
 
+#: Previous DSIR invocation's persisted bucket stream, retired on the
+#: next call (the q_text_perplexity_bigram cache-hygiene pattern: the
+#: returned plan is lazy, so the function cannot unpersist its own
+#: cache). Shared by the unigram and bigram forms — they cache the
+#: same role and never run concurrently in a query path.
+_DSIR_TOK_HANDLES: list = []
+
+
 @query(
     "q_pipeline_dsir",
     oracle="""
@@ -2431,18 +2445,48 @@ def q_pipeline_dsir(spark, sf):
                 ).alias("b"),
             )
         )
+    # The bucketed stream feeds BOTH the profile pass and the scoring
+    # pass, and Catalyst cannot share the scan across them (different
+    # pruned columns). Persist the post-md5 stream (the
+    # q_text_perplexity_bigram discipline: narrow fixed-width rows,
+    # MEMORY_AND_DISK spill-safe at any SF, handle retired on the next
+    # invocation) so tokenize + md5 run ONCE, not once per pass.
+    from pyspark import StorageLevel
+
+    while _DSIR_TOK_HANDLES:
+        try:
+            _DSIR_TOK_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    _DSIR_TOK_HANDLES.append(tok)
     prof = tok.groupBy("b").agg(
         F.sum(
             F.when(F.col("source") == "src0", F.col("tf")).otherwise(0)
         ).alias("ct"),
         F.sum("tf").alias("cr"),
     )
-    tot = prof.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    # grand totals as UNPARTITIONED window sums over prof (r15, guide
+    # §2.4): prof is a fixed ≤256-row frame (the hash-bucket domain,
+    # corpus-independent), so the single-partition window is safe at
+    # any scale — and the r11 `prof.agg` + crossJoin form re-executed
+    # the whole profile pass (scan + tokenize + md5) a second time
+    # just to sum 256 longs (plan-audited: 2 of the fresh path's 4
+    # FileScans were the doubled profile). Integer window sums are
+    # exact and order-independent — bit-identical weights.
+    tot_w = W.partitionBy()
+    prof = prof.select(
+        "b",
+        "ct",
+        "cr",
+        F.sum("ct").over(tot_w).alias("tt"),
+        F.sum("cr").over(tot_w).alias("tr"),
+    )
     # ONE fused ln of the ratio product (ADVICE r11): multiplies and
     # divides of exact count operands are IEEE-exact, so the engines
     # can only diverge on the single ln call — not four compounding
     # ones. Shape mirrors the oracle's w CTE operand-for-operand.
-    w = prof.crossJoin(F.broadcast(tot)).select(
+    w = prof.select(
         "b",
         F.round(
             F.log(
@@ -2654,14 +2698,34 @@ def q_pipeline_dsir_bigram(spark, sf):
             % 256
         ).alias("b"),
     )
+    # share ONE tokenize + bigram-build + md5 pass across the profile
+    # and scoring consumers (see q_pipeline_dsir / perplexity_bigram)
+    from pyspark import StorageLevel
+
+    while _DSIR_TOK_HANDLES:
+        try:
+            _DSIR_TOK_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+    bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    _DSIR_TOK_HANDLES.append(bg)
     prof = bg.groupBy("b").agg(
         F.sum(
             F.when(F.col("source") == "src0", 1).otherwise(0)
         ).alias("ct"),
         F.count(F.lit(1)).alias("cr"),
     )
-    tot = prof.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    w = prof.crossJoin(F.broadcast(tot)).select(
+    # grand totals via an unpartitioned window over the fixed ≤256-row
+    # profile (see q_pipeline_dsir — removes the doubled profile pass)
+    tot_w = W.partitionBy()
+    prof = prof.select(
+        "b",
+        "ct",
+        "cr",
+        F.sum("ct").over(tot_w).alias("tt"),
+        F.sum("cr").over(tot_w).alias("tr"),
+    )
+    w = prof.select(
         "b",
         F.round(
             F.log(
@@ -2967,18 +3031,27 @@ def q_text_overlap_matrix(spark, sf):
     content crosses source boundaries) — the source-level complement
     of the doc-level benchmark check (q_text_decontaminate).
 
-    Scale shape: the corpus collapses to the DISTINCT (source,
-    shingle-hash) dictionary before anything shuffles — shingles
-    hash to fixed-width 60-bit md5 keys precisely because this
-    dictionary DOES shuffle (the distinct + the self-join), unlike
-    q_text_decontaminate's broadcast probe where hashing measured as
-    pure overhead. The self-join fans out at most C(|sources|, 2)
-    rows per shingle (sources are a handful, not a corpus dimension),
-    so pair volume is dictionary-sized × a small constant. Jaccard is
-    exact integer arithmetic: micro-units via BIGINT division of
-    counts — nothing for the float discipline to quantize. At 100 TB
-    the only corpus-scale exchange is the dictionary distinct, which
-    partial-aggregates map-side on (source, hash).
+    Scale shape (r15 rewrite — guide §2.4 "remove shuffles outright"):
+    the corpus collapses to a per-HASH source SET in one aggregation —
+    groupBy(h).collect_set(source) subsumes the r13 form's DISTINCT
+    (source, h) (ObjectHashAggregate partial-merges the ≤|sources|
+    sets map-side), so the 60-bit md5 dictionary crosses the network
+    ONCE. Shared-pair counts and per-source totals both derive from
+    the sets in-array: each h row explodes to its C(|set|, 2)
+    unordered pairs plus one (s, s) self-marker per member, and ONE
+    tiny (≤|sources|²-group, map-side-combined) aggregate counts
+    them. The r13 self-join form paid a second dictionary exchange
+    for the join AND a full second corpus shingle scan for the
+    per-source totals (plan-audited: 2 FileScans, 4 Exchanges); this
+    form is 1 scan, 1 corpus-scale exchange, 1 ~|sources|²-row
+    exchange, 0 joins. Values are identical by construction: the
+    per-h source set IS the distinct (source, h) relation, and a < b
+    over the sorted set enumerates exactly the join's a.h = b.h AND
+    a.source < b.source triples. Jaccard stays exact integer
+    arithmetic: micro-units via BIGINT division of counts — nothing
+    for the float discipline to quantize. Zipf-hot shingles shared by
+    every source cap at |sources| set members — bounded fan-out, no
+    skew amplification.
 
     Reference parity: none (driver-mandated pipeline surface).
     """
@@ -3003,7 +3076,7 @@ def q_text_overlap_matrix(spark, sf):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    dict_sh = (
+    per_h = (
         d.select("source", F.explode(sh).alias("shingle"))
         .select(
             "source",
@@ -3011,33 +3084,46 @@ def q_text_overlap_matrix(spark, sf):
             .cast("long")
             .alias("h"),
         )
-        .distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
     )
-    tot = dict_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = dict_sh.select(F.col("source").alias("src_a"), "h")
-    b = dict_sh.select(F.col("source").alias("src_b"), "h")
-    pairs = (
-        a.join(b, "h")
-        .filter(F.col("src_a") < F.col("src_b"))
+    # (a, a) marks "source a holds this shingle" (the n_sh totals);
+    # (a, b), a < b from the sorted set, marks one shared-pair triple.
+    # Self-pairs cannot collide with real pairs: the set is distinct,
+    # so every real pair has src_a < src_b strictly.
+    marks = per_h.select(
+        F.explode(
+            F.concat(
+                F.expr("transform(ss, s -> struct(s AS src_a, s AS src_b))"),
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss) - i - 1), "
+                    "b -> struct(a AS src_a, b AS src_b))))"
+                ),
+            )
+        ).alias("p")
+    )
+    counted = (
+        marks.select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    ta = tot.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
-    tb = tot.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(ta), "src_a")
-        .join(F.broadcast(tb), "src_b")
-        .select(
-            "src_a",
-            "src_b",
-            "n_shared",
-            "n_a",
-            "n_b",
-            F.expr(
-                "CAST((1000000 * n_shared) DIV (n_a + n_b - n_shared)"
-                " AS BIGINT)"
-            ).alias("jacc_micro"),
-        )
+    # bounded artifact: ≤ |sources|² rows (sources are a handful, not
+    # a corpus dimension) — assemble the matrix driver-side, exact
+    # integer arithmetic identical to the oracle's BIGINT division
+    rows = counted.collect()
+    n_sh = {r["src_a"]: int(r["n"]) for r in rows if r["src_a"] == r["src_b"]}
+    out = []
+    for r in rows:
+        a, b = r["src_a"], r["src_b"]
+        if a >= b:
+            continue
+        shared, na, nb = int(r["n"]), n_sh[a], n_sh[b]
+        out.append((a, b, shared, na, nb, (1000000 * shared) // (na + nb - shared)))
+    return spark.createDataFrame(
+        out,
+        "src_a string, src_b string, n_shared bigint, n_a bigint,"
+        " n_b bigint, jacc_micro bigint",
     )
 
 
@@ -3416,6 +3502,48 @@ def q_text_bpe_train(spark, sf):
 #: plan as before); the k=64 grid row rides it (docs/BPE_K_r13.json).
 _BPE_CKPT_EVERY = 8
 
+#: Dictionary-size ceiling for the DRIVER-SIDE merge loop (r15): below
+#: it the whole k-round argmax recurrence runs in-process over the
+#: collected word dictionary (bit-identical merges — the
+#: bpe_learn_local loop, pinned in tests); above it the distributed
+#: loop runs as before. Rationale (guide §1.2 "the distributed
+#: algorithm first"): each distributed round is one dictionary-scale
+#: Spark job (2 stages of shuffle-partition tasks + a 1-row argmax
+#: collect), so for a SMALL dictionary the loop's cost is k × the
+#: per-job scheduling floor — measured 2.7 s for k=8 over a 31-row
+#: dictionary at sf0.1, vs < 1 ms in-process. 1M rows (~40 MB of
+#: words+counts) is a bounded driver artifact by the repo's own
+#: production analysis (the k≈30k deployment collects the ~400 MB
+#: Heaps-law dictionary once — bpe_learn_local docstring); at 100 TB
+#: the dictionary exceeds the ceiling and the distributed rounds run.
+_BPE_LOCAL_MAX_ROWS = 1_000_000
+
+
+def _bpe_merge_rounds(dic: dict, k: int) -> list:
+    """The serial k-round merge recurrence over a symbol-string
+    dictionary {s: count} — (count DESC, pair ASC) argmax,
+    boundary-anchored left-to-right non-overlapping literal replace.
+    Shared by bpe_learn_local and _bpe_learn's small-dictionary path;
+    bit-identical to the distributed rounds (pinned in tests)."""
+    merges = []
+    for rnd in range(k):
+        pc: dict = {}
+        for s, c in dic.items():
+            t = s.split(" ")
+            for j in range(len(t) - 1):
+                pc[(t[j], t[j + 1])] = pc.get((t[j], t[j + 1]), 0) + c
+        if not pc:
+            break  # exhausted: every word is one symbol already
+        (lhs, rhs), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd + 1, lhs, rhs, n, lhs + rhs))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        nxt: dict = {}
+        for s, c in dic.items():
+            s2 = f" {s} ".replace(pat, rep).strip()
+            nxt[s2] = nxt.get(s2, 0) + c
+        dic = nxt
+    return merges
+
 
 def _bpe_learn(spark, sf, k):
     """The k-round merge loop shared by train (returns the table) and
@@ -3451,6 +3579,19 @@ def _bpe_learn(spark, sf, k):
         )
         .persist()
     )
+    # r15 hybrid: ONE distributed pass compresses the corpus to the
+    # weighted word dictionary; when that dictionary is provably small
+    # (count over the just-persisted base — a job round 1 paid anyway),
+    # the serial merge recurrence runs driver-side instead of as k
+    # dictionary-scale Spark jobs. Measured sf0.1: 2.67 -> ~0.6 s for
+    # the registered k=8 (the dictionary there is 31 rows; each
+    # distributed round was pure per-job scheduling floor).
+    if base.count() <= _BPE_LOCAL_MAX_ROWS:
+        dic: dict = {}
+        for r in base.collect():  # w -> s is injective, but sum anyway
+            dic[r["s"]] = dic.get(r["s"], 0) + int(r["c"])
+        base.unpersist()
+        return _bpe_merge_rounds(dic, k)
     merges = []
     cur = base
     for rnd in range(k):
@@ -3531,24 +3672,7 @@ def bpe_learn_local(spark, sf, k):
     for r in rows:
         s = " ".join(r["w"]) + " " + _BPE_MARK
         dic[s] = dic.get(s, 0) + int(r["c"])
-    merges = []
-    for rnd in range(k):
-        pc: dict = {}
-        for s, c in dic.items():
-            t = s.split(" ")
-            for j in range(len(t) - 1):
-                pc[(t[j], t[j + 1])] = pc.get((t[j], t[j + 1]), 0) + c
-        if not pc:
-            break
-        (lhs, rhs), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((rnd + 1, lhs, rhs, n, lhs + rhs))
-        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
-        nxt: dict = {}
-        for s, c in dic.items():
-            s2 = f" {s} ".replace(pat, rep).strip()
-            nxt[s2] = nxt.get(s2, 0) + c
-        dic = nxt
-    return merges
+    return _bpe_merge_rounds(dic, k)
 
 
 def _bpe_apply_oracle(k: int) -> str:
@@ -4613,16 +4737,25 @@ def q_text_ngram_diversity(spark, sf):
     heavy crawl slice shows a collapsed trigram ratio long before
     exact dedup fires.
 
-    Plan: one scan builds the filtered token array (the q_text_tokens
-    convention: lower + whitespace split, empties dropped); unigrams
-    explode directly, trigrams explode from an in-array transform
-    (JVM-side sequence/element_at — no UDF, no string re-parse); each
-    branch dictionary-collapses on (source, gram) with map-side
-    partial counts BEFORE the per-source rollup (the decontaminate
-    discipline — the wide shuffle carries one row per distinct gram,
-    not one per occurrence), then the two ~|sources|-row branches
-    join. Zipf skew on hot grams is absorbed by the partial-count
-    collapse; nothing corpus-width reaches the final aggregate.
+    Plan (r15 fusion — guide §2.4): ONE scan builds the filtered
+    token array (the q_text_tokens convention: lower + whitespace
+    split, empties dropped) and explodes unigrams and trigrams
+    TOGETHER as (k, gram) pairs — k=0/1 tags the n-gram order, the
+    trigrams from an in-array transform (JVM-side sequence/
+    element_at — no UDF, no string re-parse). One dictionary collapse
+    on (source, k, gram) with map-side partial counts (the
+    decontaminate discipline — the wide shuffle carries one row per
+    distinct gram, not one per occurrence), then ONE conditional
+    per-source rollup replaces the r15-first-sitting form's two
+    branches + join (plan-audited before/after: 2 FileScans + 4
+    Exchanges + BroadcastHashJoin → 1 FileScan + 2 Exchanges, no
+    join; the tag cannot conflate grams — a trigram string contains
+    spaces, a unigram never does, and k separates them anyway). A
+    source whose docs are all shorter than 3 tokens has no trigram
+    rows and NULL trigram aggregates — dropped by the same inner-join
+    semantics the oracle's `u JOIN t3` applies. Zipf skew on hot
+    grams is absorbed by the partial-count collapse; nothing
+    corpus-width reaches the final aggregate.
 
     String grams are a MEASURED choice, not an oversight
     (docs/DIVERSITY_AB_r15.json): the with_hashed_shingles ~20×
@@ -4640,32 +4773,41 @@ def q_text_ngram_diversity(spark, sf):
     d = load(spark, sf, "documents")
     ts = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     toks = d.select("source", ts.alias("ts"))
-    uni = toks.select("source", F.explode("ts").alias("g"))
-    tri = toks.filter(F.size("ts") >= 3).select(
+    grams = toks.select(
         "source",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(ts) - 2), i -> "
-                "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),"
-                " element_at(ts, i + 2)))"
+            F.concat(
+                F.expr("transform(ts, t -> struct(0 AS k, t AS g))"),
+                F.expr(
+                    "CASE WHEN size(ts) >= 3 THEN "
+                    "transform(sequence(1, size(ts) - 2), i -> "
+                    "struct(1 AS k, concat_ws(' ', element_at(ts, i),"
+                    " element_at(ts, i + 1), element_at(ts, i + 2)) AS g)) "
+                    "ELSE CAST(array() AS array<struct<k:int,g:string>>) END"
+                ),
             )
-        ).alias("g"),
+        ).alias("p"),
     )
-
-    def _branch(df, n_name, d_name):
-        return (
-            df.groupBy("source", "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("source")
-            .agg(
-                F.sum("c").cast("long").alias(n_name),
-                F.count(F.lit(1)).cast("long").alias(d_name),
-            )
-        )
-
-    u = _branch(uni, "n_tokens", "n_vocab")
-    t3 = _branch(tri, "n_trigrams", "n_distinct_trigrams")
-    return u.join(t3, "source").select(
+    dic = (
+        grams.select("source", "p.k", "p.g")
+        .groupBy("source", "k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = dic.groupBy("source").agg(
+        F.sum(F.when(F.col("k") == 0, F.col("c"))).cast("long").alias(
+            "n_tokens"
+        ),
+        F.count(F.when(F.col("k") == 0, True)).cast("long").alias("n_vocab"),
+        F.sum(F.when(F.col("k") == 1, F.col("c"))).cast("long").alias(
+            "n_trigrams"
+        ),
+        F.count(F.when(F.col("k") == 1, True)).cast("long").alias(
+            "n_distinct_trigrams"
+        ),
+    )
+    return per.filter(
+        F.col("n_tokens").isNotNull() & F.col("n_trigrams").isNotNull()
+    ).select(
         "source",
         "n_tokens",
         "n_vocab",
