@@ -1794,36 +1794,49 @@ def q_dedup_substring(spark, sf):
     diff_at = lambda j: F.element_at(  # noqa: E731
         "ext", (j + 1).cast("int")
     ) - F.element_at("ext", j.cast("int"))
-    perdoc = bounded.select(
+    # ONE evaluation of the CDC chain (r15, guide §1.2 "don't compute
+    # things you throw away"): the before-plan evaluated the rolling-
+    # hash extents THREE times — once for the per-doc stats, once for
+    # the duplicate-digest dictionary, once for the join-back stream.
+    # Collapse to a single scan that emits per doc the bounded stats
+    # plus the ≥min-token chunk digests as an in-row array (16 B md5 +
+    # count per long chunk — text never persists), persist THAT, and
+    # derive all three consumers from it. Same digests, same counts,
+    # same rollups — exact equivalence; ContextCleaner releases the
+    # cache with the plan (the q_dedup_minhash discipline).
+    from pyspark import StorageLevel
+
+    base = bounded.select(
         "doc_id",
         (F.size("ext") - 1).cast("long").alias("n_chunks"),
-        F.size(
-            F.filter(js, lambda j: diff_at(j) >= _CDC_MIN_TOKENS)
-        )
-        .cast("long")
-        .alias("n_long"),
+        F.transform(
+            F.filter(js, lambda j: diff_at(j) >= _CDC_MIN_TOKENS),
+            lambda j: F.struct(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            "t",
+                            (
+                                F.element_at("ext", j.cast("int")) + 1
+                            ).cast("int"),
+                            diff_at(j).cast("int"),
+                        ),
+                    )
+                ).alias("chunk_md5"),
+                diff_at(j).alias("n_toks"),
+            ),
+        ).alias("chunks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    perdoc = base.select(
+        "doc_id",
+        "n_chunks",
+        F.size("chunks").cast("long").alias("n_long"),
     )
-    long_chunks = (
-        bounded.select("doc_id", "t", "ext", F.explode(js).alias("j"))
-        .filter(diff_at(F.col("j")) >= _CDC_MIN_TOKENS)
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        "t",
-                        (
-                            F.element_at("ext", F.col("j").cast("int"))
-                            + 1
-                        ).cast("int"),
-                        diff_at(F.col("j")).cast("int"),
-                    ),
-                )
-            ).alias("chunk_md5"),
-            diff_at(F.col("j")).alias("n_toks"),
-        )
-    )
+    long_chunks = base.select(
+        "doc_id", F.explode("chunks").alias("ch")
+    ).select("doc_id", F.col("ch.chunk_md5").alias("chunk_md5"),
+             F.col("ch.n_toks").alias("n_toks"))
     dup = (
         long_chunks.groupBy("chunk_md5")
         .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
@@ -1927,9 +1940,20 @@ def q_dedup_substring_removal(spark, sf):
     """
     configure(spark)
     docs = load(spark, sf, "documents")
+    # persist the chunk stream: the keeper dictionary AND the flag
+    # join both consume it, and un-persisted each re-ran the CDC
+    # rolling-hash chain from the parquet scan (r15, guide §1.2; the
+    # q_dedup_substring fusion measured 2.21 → 1.78 s interleaved).
+    # The cache is local blocks, never a shuffle — the "digests not
+    # text" posture governs what crosses exchanges, which is unchanged
+    # (firsts shuffles (md5, key); the rebuild was always per-doc).
+    from pyspark import StorageLevel
+
     chunks = cdc_chunks(docs).withColumn(
         "_key", F.col("doc_id") * 100000 + F.col("chunk_idx")
-    ).withColumn("chunk_md5", F.md5("chunk"))
+    ).withColumn("chunk_md5", F.md5("chunk")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     firsts = (
         chunks.filter(F.col("n_toks") >= _CDC_MIN_TOKENS)
         .groupBy("chunk_md5")

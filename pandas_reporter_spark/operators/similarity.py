@@ -3696,6 +3696,16 @@ def q_search_eval_ndcg(spark, sf):
     t1_cid = np.array([t1[int(q)][0] for q in t1_qid], dtype=np.int64)
     t1_rec = np.array([t1[int(q)][1] for q in t1_qid], dtype=np.float64)
 
+    # pass 2 needs ONLY the int8 reconstructions against the t1
+    # columns — not the order-exact cosine fold (a dim-length loop of
+    # vectorized adds) nor the norms _score_block also computes. The
+    # arithmetic below is the _score_block recon chain verbatim
+    # (same int64 matmul, same multiply order) restricted to the t1
+    # query columns, so the values are bit-identical (r15, guide
+    # §1.2 "don't compute things you throw away").
+    Q8_t1 = Q8[:, t1_order]
+    qsc_t1 = qsc[t1_order]
+
     def _pass2(batches):
         for pdf in batches:
             if not len(pdf):
@@ -3703,10 +3713,8 @@ def q_search_eval_ndcg(spark, sf):
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             vids = pdf["vec_id"].to_numpy().astype(np.int64)
             scale = np.max(np.abs(m), axis=1) / 127.0
-            _, recon = _score_block(
-                m, scale, _int8_codes(m, scale), np.sqrt(_seq_acc_sq(m))
-            )
-            rec = recon[:, t1_order]
+            d8 = _int8_codes(m, scale) @ Q8_t1  # exact int64
+            rec = (d8.astype(np.float64) * qsc_t1[None, :]) * scale[:, None]
             better = (rec > t1_rec[None, :]) | (
                 (rec == t1_rec[None, :]) & (vids[:, None] < t1_cid[None, :])
             )

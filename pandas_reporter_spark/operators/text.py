@@ -3197,8 +3197,10 @@ def q_text_perplexity_bigram(spark, sf):
     c(w1 ·) derives from that dictionary itself (h1 is functionally
     dependent on h12, so c1 = Σ of the predecessor's h12 groups —
     removing the second corpus pass measured 15.2 → 8.3 s at sf10);
-    both re-join onto the bigram stream on their own hash keys, and V
-    is one broadcast scalar. Per-bigram NLL quantizes
+    the per-h12 weight pre-joins at DICTIONARY scale (c12 ⋈ c1 ⋈ V),
+    so the corpus-width bigram stream joins that weight table ONCE
+    (r15 — the earlier form rejoined the stream on h12 and then again
+    on h1), and V is one broadcast scalar. Per-bigram NLL quantizes
     to nano-units BEFORE the per-doc int64 sum (fused single ln, the
     q_pipeline_dsir ulp discipline), the per-doc mean is exact
     integer division of positive longs (identical trunc semantics in
@@ -3252,7 +3254,11 @@ def q_text_perplexity_bigram(spark, sf):
     # back the second tokenize+md5 pass: 15.4 → 8.9 s at sf10 with
     # the cache paid in-run (r13 A/B; at 100 TB the same role is
     # played by the at-rest tokenize artifact, which a long-lived
-    # pipeline materializes at ingest).
+    # pipeline materializes at ingest). (r15 NOT-DONE: pre-aggregating
+    # the persisted stream to (doc_id, h12, count) — exact-equivalent
+    # via Σ c·w_nano — measured 1.77 → 2.58 s in an interleaved A/B
+    # at sf0.1: the extra full-stream exchange before the persist
+    # costs more than the distinct-(doc,bigram) reduction saves.)
     from pyspark import StorageLevel
 
     # The returned plan is lazy (the caller collects it), so the cache
@@ -3278,17 +3284,33 @@ def q_text_perplexity_bigram(spark, sf):
         F.min("h1").alias("h1"), F.count(F.lit(1)).alias("c12")
     )
     c1 = c12.groupBy("h1").agg(F.sum("c12").alias("c1"))
-    v = (
-        d.select(F.explode(t).alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
-    )
-    scored = (
-        bg.select("doc_id", "h12")
-        .join(c12, "h12")
-        .join(c1, "h1")
+    # V (distinct vocab) rides the shared tokenize artifact when the
+    # session has materialized it (ingest contract): countDistinct
+    # over the (doc, token) relation equals countDistinct over the
+    # exploded corpus — the artifact keeps empty tokens, the filter
+    # matches the oracle's list_filter. Absent the artifact, the
+    # standalone corpus pass stands (the plan the oracle gate always
+    # exercises).
+    art = doc_token_tf(spark, sf)
+    if art is not None:
+        v = (
+            art.filter(F.col("token") != "")
+            .agg(F.countDistinct("token").alias("v"))
+        )
+    else:
+        v = (
+            d.select(F.explode(t).alias("tok"))
+            .agg(F.countDistinct("tok").alias("v"))
+        )
+    # dictionary-side pre-join: the per-h12 weight derives entirely at
+    # dictionary scale (c12 ⋈ c1 on h1, V broadcast), so the stream
+    # rejoins ONCE on h12 — the before-plan rejoined the full stream
+    # on h12 AND then again on h1 (two stream-width joins).
+    wdict = (
+        c12.join(c1, "h1")
         .crossJoin(F.broadcast(v))
         .select(
-            "doc_id",
+            "h12",
             F.round(
                 F.log(
                     (F.col("c12").cast("double") + 1.0)
@@ -3301,6 +3323,7 @@ def q_text_perplexity_bigram(spark, sf):
             .alias("w_nano"),
         )
     )
+    scored = bg.select("doc_id", "h12").join(wdict, "h12")
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -4451,15 +4474,26 @@ def q_pipeline_curriculum(spark, sf):
 
         docq = _docq_rel(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     hist = docq.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # N derives from the SAME bounded histogram via a full-frame
+    # window over the single-partition dictionary sort — the separate
+    # docq.agg(count) scan + crossJoin the before-plan ran re-read the
+    # score relation just to sum ≤257k longs (r15, guide §2.4: two
+    # operations keyed the same way share one pass).
     cum = hist.select(
         "q",
         F.sum("c").over(W.orderBy("q")).cast("bigint").alias("cum"),
+        F.sum("c")
+        .over(
+            W.orderBy("q").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
     )
-    tot = docq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ks = spark.createDataFrame([(k,) for k in range(1, 8)], "k int")
     b = (
-        cum.crossJoin(F.broadcast(tot))
-        .join(
+        cum.join(
             F.broadcast(ks),
             F.lit(8) * F.col("cum") >= F.col("k") * F.col("n"),
         )

@@ -109,8 +109,31 @@ _PRIORITY = (
     "q_mix_length_buckets",
     "q_text_ngram_diversity",
     "q_embed_separation",
-    # (2) stale body (decoder gained the pixel payload)
+    # (2) stale bodies: the decoder gained the pixel payload
+    #     (q_multimodal_features), and the optimization round's batch-1
+    #     plan rewrites (corpus-scan fusion, BPE driver-side hybrid,
+    #     DSIR window/persist rework — OPTIMIZATION_r15.md) touched
+    #     five query bodies; oracle-verified at sf0.01/sf0.001 this
+    #     session, official re-records here. They displace the five
+    #     lowest-priority r11 fillers (q_agg_group_sum/q_agg_multi/
+    #     q_agg_percentile/q_agg_skew_kurt/q_cube — unchanged bodies,
+    #     r11 is no longer the oldest vintage after the cohort burn).
     "q_multimodal_features",
+    "q_pipeline_dsir",
+    "q_pipeline_dsir_bigram",
+    "q_text_bpe_apply",
+    "q_text_bpe_train",
+    "q_text_overlap_matrix",
+    # batch-2 plan rewrites (perplexity dictionary pre-join, CDC
+    # single-evaluation fusion, curriculum window fusion; the NDCG
+    # kernel change is q_search_eval_ndcg, already a first-record slot
+    # above) — these displace the remaining four r11 fillers
+    # (q_embed_stats/q_text_url_normalize/q_agg_approx_countd/
+    # q_agg_distinct, unchanged bodies).
+    "q_text_perplexity_bigram",
+    "q_pipeline_curriculum",
+    "q_dedup_substring",
+    "q_dedup_substring_removal",
     # (3) r10 cohort burn (oldest vintage, alphabetical)
     "q_agg_global",
     "q_agg_group_ols",
@@ -144,16 +167,6 @@ _PRIORITY = (
     "q_tpch_q8",
     "q_udf_pandas",
     "q_varrep_source",
-    # (4) r11 rows: churned-module residents first, then oldest-first
-    "q_embed_stats",
-    "q_text_url_normalize",
-    "q_agg_approx_countd",
-    "q_agg_distinct",
-    "q_agg_group_sum",
-    "q_agg_multi",
-    "q_agg_percentile",
-    "q_agg_skew_kurt",
-    "q_cube",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

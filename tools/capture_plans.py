@@ -31,6 +31,24 @@ def main() -> None:
     names = only or [n for n in bench.BENCH_QUERIES if n in qs]
     spark = get_session("capture_plans")
 
+    # SPARK_GRAFT_PRIME=1: build the at-rest sidecars first so captured
+    # plans show the same primed shapes the bench times (r15 — the
+    # unprimed capture shows artifact consumers' self-derive fallback
+    # plans instead, e.g. the BM25 leg re-tokenizing the corpus).
+    if os.environ.get("SPARK_GRAFT_PRIME", "").strip() in ("1", "true"):
+        try:
+            from pandas_reporter_spark.tables import relayout
+
+            relayout(spark, SF_DIR)
+        except Exception:
+            pass
+        try:
+            from pandas_reporter_spark.ingest import ingest
+
+            ingest(spark, SF_DIR)
+        except Exception:
+            pass
+
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           "plans", "r15")
     os.makedirs(outdir, exist_ok=True)
