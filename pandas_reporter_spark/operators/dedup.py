@@ -627,12 +627,30 @@ def _mh_width(docs, spark=None, sf=None) -> int:
 
 
 def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
-                            bucket_cap: int | None = None):
+                            bucket_cap: int | None = None,
+                            size_ratio: float | None = None):
     """(hashed-shingle DF, candidate-pair DF) — the shared front of the
     minhash family. Uses the session's checkpointed artifact when
     materialize_minhash has run; otherwise builds and persists the
     shingle table (read by the signature branch and both payload-join
-    sides of minhash_pairs)."""
+    sides of minhash_pairs).
+
+    ``size_ratio``: EXACT shingle-count prefilter applied INSIDE the
+    bucket pair explosion (r15, guide §3.2 "reduce the big side before
+    shuffling it"): hs is array_distinct, so |A∩B| ≤ min(|A|,|B|) and
+    J = I/(|A|+|B|−I) ≥ t REQUIRES min(|A|,|B|) ≥ t·max(|A|,|B|) —
+    pairs failing the ratio cannot pass the verify at threshold t, so
+    dropping them at generation time changes nothing downstream
+    (ε = 1e-9 keeps exact-boundary ratios on the verify side: a float
+    ulp can only ADMIT a pair into the verify, never drop one). Sizes
+    ride the collect_list structs (8 extra bytes per band row), the
+    filter runs during the explode — BEFORE the pair-dedup exchange —
+    and the payload/verify joins see only ratio-compatible survivors
+    (sf10: 15.8 M → 9.8 M pairs). A post-hoc size JOIN on the deduped
+    pair stream was measured instead and REJECTED (+0.2 s at sf10:
+    two extra pair-stream joins cost more than the 38% verify cut).
+    None (the capped/candidates path) keeps the oracle-pinned
+    unfiltered candidate semantics."""
     from pyspark import StorageLevel
 
     art = None
@@ -655,6 +673,35 @@ def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
     # the all-empty-docs mega-bucket out of the pair explosion (its
     # pairs previously died at the jaccard verify, but only after
     # being generated).
+    if size_ratio is not None:
+        sz = d.select("doc_id", F.size("hs").alias("sz"))
+        pa, pb = F.col("pa"), F.col("pb")
+        buckets = (
+            bands.filter(F.col("sig").isNotNull())
+            .join(sz, "doc_id")
+            .groupBy("band", "sig")
+            .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .repartition(n, "band", "sig")  # coalesce-exempt, see below
+        )
+        cand = (
+            buckets.select(F.explode("ids").alias("pa"), "ids")
+            .select("pa", F.explode("ids").alias("pb"))
+            .filter(
+                (pa["doc_id"] < pb["doc_id"])
+                & (
+                    F.least(pa["sz"], pb["sz"]).cast("double")
+                    >= F.lit(size_ratio - 1e-9)
+                    * F.greatest(pa["sz"], pb["sz"])
+                )
+            )
+            .select(
+                pa["doc_id"].alias("doc_a"), pb["doc_id"].alias("doc_b")
+            )
+            .repartition(n, "doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        return d, cand
     buckets = (
         bands.filter(F.col("sig").isNotNull())
         .groupBy("band", "sig")
@@ -730,7 +777,8 @@ def minhash_pairs(docs, id_col: str = "doc_id", threshold: float = 0.8,
     # so every mh value is bit-equal to the HOF form — pinned by
     # tests/test_dedup.py recall and the no-self-pairs invariants.
     d, cand = _mh_shingles_candidates(
-        docs, id_col=id_col, spark=spark, sf=sf, bucket_cap=bucket_cap
+        docs, id_col=id_col, spark=spark, sf=sf, bucket_cap=bucket_cap,
+        size_ratio=threshold,
     )
     # payload joins happen AFTER candidate dedup — shingle sets move
     # only for candidate pairs
@@ -917,7 +965,12 @@ def q_dedup_embedding(spark, sf):
     e = load(spark, sf, "embeddings")
     cand = lsh_candidate_pairs(e, spark, sf)
     # norms hoisted into the scan projection: ONE dot per candidate
-    # pair instead of three (bit-identical to the per-pair recompute)
+    # pair instead of three (bit-identical to the per-pair recompute).
+    # (r15 NOT-DONE: unrolling the 64-dim fold into a flat
+    # element_at expression chain — bit-identical IEEE order —
+    # measured 5.1 → 27.2 s at sf10: the 190-term generated method
+    # regresses codegen instead of escaping CodegenFallback. The HOF
+    # aggregate(zip_with) fold IS the fast form on Spark 4.)
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     ea = en.select(
         F.col("vec_id").alias("vec_a"),
@@ -1552,28 +1605,47 @@ def q_dedup_spans(spark, sf):
         "doc_id", F.split("text", " ").alias("t")
     )
     n_chunks = F.ceil(F.size("t") / F.lit(16.0)).cast("long")
-    chunks = docs.select(
+    # r15 rewrite (guide §8 "decide with small rows, move big rows
+    # once"): the previous form shuffled SPAN TEXT three times — both
+    # sides of the chunk-equality join, then the per-doc collect_list
+    # of kept (idx, chunk) structs. Now every decision travels as a
+    # 16-byte md5 + a chunk index: the first-occurrence dictionary
+    # groups digests, the keeper flags come back as per-doc INDEX
+    # lists, and the surviving text is re-derived from the original
+    # document row (the identical slice expression that built the
+    # chunk) behind one doc_id join — text crosses exactly one
+    # exchange. Chunk identity by md5 equals identity by text modulo
+    # md5 collisions (none at any SF; the q_dedup_substring family
+    # already rests on md5 chunk identity, and the oracle's
+    # text-grouped firsts agree row-for-row).
+    chunk_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice("t", i * 16 + 1, 16)
+    )
+    ch = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-                lambda i: F.concat_ws(" ", F.slice("t", i * 16 + 1, 16)),
+                lambda i: F.md5(chunk_at(i)),
             )
-        ).alias("chunk_idx", "chunk"),
+        ).alias("chunk_idx", "h"),
     ).withColumn("_key", F.col("doc_id") * 100000 + F.col("chunk_idx"))
-    firsts = chunks.groupBy("chunk").agg(F.min("_key").alias("first_key"))
-    joined = chunks.join(firsts, "chunk")
+    firsts = ch.groupBy("h").agg(F.min("_key").alias("first_key"))
     is_first = F.col("_key") == F.col("first_key")
-    agg = joined.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.when(is_first, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.array_sort(
-            F.collect_list(
-                F.when(is_first, F.struct("chunk_idx", "chunk"))
-            )
-        ).alias("_kept"),
+    flags = (
+        ch.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(is_first, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.when(is_first, F.col("chunk_idx")))
+            ).alias("_kept_idx"),
+        )
     )
-    return agg.select(
+    return docs.join(flags, "doc_id").select(
         "doc_id",
         "n_chunks",
         "n_kept",
@@ -1581,7 +1653,8 @@ def q_dedup_spans(spark, sf):
             F.col("n_kept") > 0,
             F.md5(
                 F.concat_ws(
-                    " ", F.transform("_kept", lambda s: s["chunk"])
+                    " ",
+                    F.transform("_kept_idx", lambda i: chunk_at(i)),
                 )
             ),
         ).alias("kept_md5"),

@@ -367,9 +367,15 @@ def q_tpch_q18(spark, sf):
     )
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
+    # join ORDER (r15, guide §2.3): orders ⋈ big FIRST — the > 200
+    # filter keeps ~6% of orders, so the customer join then shuffles
+    # only the survivors. The previous left-deep (customer ⋈ orders)
+    # ⋈ big shuffled the FULL customer×orders result (carrying
+    # c_name) by orderkey before the selective filter could bite.
+    # Inner joins commute; result identical (oracle-checked).
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",

@@ -44,6 +44,15 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# r15 NOT-DONE: an unrolled fixed-64 `dot` (flat element_at chain,
+# bit-identical left-to-right IEEE fold) was built to escape the HOF
+# CodegenFallback and measured 5.1 → 27.2 s (q_dedup_embedding) /
+# 4.1 → 27.6 s (q_similarity_join) at sf10 — the ~190-term generated
+# method is far SLOWER than Spark 4's interpreted HOF fold over
+# primitive arrays. Removed; the aggregate(zip_with(...)) form above
+# is the measured-fast exact dot.
+
+
 #: Oracle-side dot product over DuckDB lists, mirroring `dot` exactly:
 #: element-wise double-cast multiply, then left-to-right double sum.
 _DUCK_DOT = (
@@ -444,7 +453,10 @@ def q_similarity_join(spark, sf):
     e = load(spark, sf, "embeddings")
     cand = lsh_candidate_pairs(e, spark, sf)
     # per-vector norms hoisted into the scan projection — one dot per
-    # pair instead of three; bit-identical to the per-pair recompute
+    # pair instead of three; bit-identical to the per-pair recompute.
+    # (r15 NOT-DONE: the unrolled fixed-64 element_at chain measured
+    # 4.1 → 27.6 s at sf10 — see q_dedup_embedding's note; the HOF
+    # fold is the fast form on Spark 4.)
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     ea = en.select(
         F.col("vec_id").alias("vec_a"),
