@@ -78,95 +78,75 @@ _OPERATOR_MODULES = (
 #: with a few relational representatives; the relational long tail
 #: (all green in round 2) re-registers after the fold.
 _PRIORITY = (
-    # ---- ROUND-15 ROTATION. Built from tools/staleness.py with the
-    # r14 vintage (04b1608) added. Audit state at build time: stale =
-    # exactly q_multimodal_features (make_png gained the pixel-payload
-    # parameter feeding q_dedup_phash; the feature query's closure
-    # includes it); unrecorded = the round's two new operators.
+    # ---- ROUND-16 ROTATION. Built from tools/staleness.py with the
+    # r15 vintage (70ec21e) added. Audit state at build time: stale =
+    # exactly the five bodies the r15 timeout snapshot (3acf701)
+    # rewrote without scheduling (the r15 verdict's item 1); no
+    # unrecorded queries (optimization round, no new operators).
     # Slot budget (50):
-    # (1) the round's new operators — first records (a missing first
-    #     record costs a round); two from the first sitting, two from
-    #     the second;
-    # (2) the one stale body (q_multimodal_features);
-    # (3) the whole r10 cohort (32 rows) — burns the oldest vintage:
-    #     after r15 nothing in the cumulative record is older than r11;
-    # (4) remaining 15 slots to r11 rows: the two residents of the
-    #     modules this round churns (similarity.py / text.py), then
-    #     oldest-first alphabetical.
-    # (1) first records for the round's new operators (the second
-    #     sitting added the retrieval-quality eval, the in-batch
-    #     collision audit, and the SemDeDup kNN-graph consumer; the
-    #     third sitting added the length-bucketing audit, the n-gram
-    #     diversity diagnostics, and the embedding-separation profile;
-    #     first records outrank re-records, so they take the six tail
-    #     r11 slots q_fillna/q_filter/q_except/q_date_funcs/
-    #     q_dedup_keep_first/q_dedup_minhash)
-    "q_dedup_phash",
-    "q_similarity_knn_graph",
-    "q_search_eval_ndcg",
-    "q_embed_inbatch_collisions",
-    "q_dedup_semdedup",
-    "q_mix_length_buckets",
-    "q_text_ngram_diversity",
-    "q_embed_separation",
-    # (2) stale bodies: the decoder gained the pixel payload
-    #     (q_multimodal_features), and the optimization round's batch-1
-    #     plan rewrites (corpus-scan fusion, BPE driver-side hybrid,
-    #     DSIR window/persist rework — OPTIMIZATION_r15.md) touched
-    #     five query bodies; oracle-verified at sf0.01/sf0.001 this
-    #     session, official re-records here. They displace the five
-    #     lowest-priority r11 fillers (q_agg_group_sum/q_agg_multi/
-    #     q_agg_percentile/q_agg_skew_kurt/q_cube — unchanged bodies,
-    #     r11 is no longer the oldest vintage after the cohort burn).
-    "q_multimodal_features",
-    "q_pipeline_dsir",
-    "q_pipeline_dsir_bigram",
-    "q_text_bpe_apply",
-    "q_text_bpe_train",
-    "q_text_overlap_matrix",
-    # batch-2 plan rewrites (perplexity dictionary pre-join, CDC
-    # single-evaluation fusion, curriculum window fusion; the NDCG
-    # kernel change is q_search_eval_ndcg, already a first-record slot
-    # above) — these displace the remaining four r11 fillers
-    # (q_embed_stats/q_text_url_normalize/q_agg_approx_countd/
-    # q_agg_distinct, unchanged bodies).
-    "q_text_perplexity_bigram",
-    "q_pipeline_curriculum",
-    "q_dedup_substring",
-    "q_dedup_substring_removal",
-    # (3) r10 cohort burn (oldest vintage, alphabetical)
-    "q_agg_global",
-    "q_agg_group_ols",
-    "q_agg_stats",
-    "q_census_workflow",
-    "q_embed_centroids",
-    "q_events_interpolate",
-    "q_events_scd2",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_asof",
-    "q_multimodal_resize",
-    "q_pivot",
-    "q_sample",
-    "q_sketch_cms",
-    "q_sketch_quantile",
-    "q_source_cr_bulk",
-    "q_source_cr_pivot",
-    "q_stream_topk",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q22",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_udf_pandas",
-    "q_varrep_source",
+    # (1) the five stale bodies — the minhash exact-ratio prefilter
+    #     front (stales q_dedup_minhash/_capped/_containment), the
+    #     spans md5-identity rewrite, and the q18 join reorder;
+    # (2) bodies this optimization round rewrites (appended as they
+    #     land, displacing tail r11 fillers — the staleness test
+    #     enforces the bookkeeping);
+    # (3) the rest burns the r11 cohort (oldest vintage,
+    #     alphabetical); after r16 the oldest remaining vintage is r12
+    #     plus whatever r11 rows the (2) displacements push out.
+    # (1) stale bodies from the r15 snapshot commit
+    "q_dedup_minhash",
+    "q_dedup_minhash_capped",
+    "q_dedup_containment",
+    "q_dedup_spans",
+    "q_tpch_q18",
+    # (2) bodies rewritten this round (see OPTIMIZATION_r16.md)
+    # (3) r11 cohort burn (oldest vintage, alphabetical; q_dedup_minhash
+    #     is r11 but already holds a stale slot above)
+    "q_agg_approx_countd",
+    "q_agg_distinct",
+    "q_agg_group_sum",
+    "q_agg_multi",
+    "q_agg_percentile",
+    "q_agg_skew_kurt",
+    "q_cube",
+    "q_date_funcs",
+    "q_dedup_keep_first",
+    "q_embed_stats",
+    "q_except",
+    "q_fillna",
+    "q_filter",
+    "q_filter_compound",
+    "q_grouping_sets",
+    "q_having",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_bucketed_atrest",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_limit",
+    "q_product_moe",
+    "q_project",
+    "q_project_arith",
+    "q_project_margin_carry",
+    "q_proportion_moe",
+    "q_ratio_moe",
+    "q_rollup",
+    "q_rse",
+    "q_scan_parquet",
+    "q_sketch_hll",
+    "q_sort",
+    "q_str_funcs",
+    "q_str_substr",
+    "q_text_url_normalize",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_window_lag_lead",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

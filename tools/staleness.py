@@ -55,6 +55,7 @@ RECORD_COMMITS = {
     12: "cf67d0d",
     13: "0d9b6f0",
     14: "04b1608",
+    15: "70ec21e",
 }
 
 #: Modules that register queries (mirrors registry._OPERATOR_MODULES).
