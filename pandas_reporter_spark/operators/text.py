@@ -3342,6 +3342,52 @@ def q_text_perplexity_bigram(spark, sf):
     )
 
 
+#: explicit schema for the document file stream (readStream requires
+#: one); matches the driver snapshot AND the relayout copy (relayout
+#: rewrites load()'s output unchanged).
+_DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _read_documents_stream(spark, sf: str):
+    """readStream over the documents corpus, preferring the session's
+    multi-file relayout copy (events._read_events_stream's lesson,
+    applied to the document streams): the driver snapshot is ONE
+    row-group file, so a stream sourced from it runs its entire map
+    side — scan → score/key → shuffle write — as a SINGLE task per
+    micro-batch no matter how many cores exist. A real landing dir is
+    many files by construction; the relayout copy reproduces that
+    shape. Identical rows either way; fork layout per source shape
+    (driver snapshot = single FILE {sf}/documents.parquet; synthetic
+    trees = a DIRECTORY of part files)."""
+    import os
+
+    from pandas_reporter_spark import tables
+
+    lay = tables._RELAYOUT_DIRS.get(sf)
+    if lay is not None:
+        dst = os.path.join(lay, "documents")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return (
+                spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(dst)
+            )
+    p = os.path.join(sf, "documents.parquet")
+    if os.path.isdir(p):
+        return (
+            spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(p)
+        )
+    return (
+        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+
+
 @query("q_stream_quality_gate", oracle=_QC_ORACLE)
 def q_stream_quality_gate(spark, sf):
     """The model quality gate at INGEST TIME — the streaming twin of
@@ -3366,31 +3412,10 @@ def q_stream_quality_gate(spark, sf):
 
     Reference parity: none (driver-mandated streaming surface).
     """
-    import os
-
     from pandas_reporter_spark.operators.events import _run_stream
 
     configure(spark)
-    schema = (
-        "doc_id long, text string, lang string, source string, n_chars long"
-    )
-    # file-stream source layout fork (the events._read_events_stream
-    # lesson): the driver snapshot is a single FILE {sf}/documents
-    # .parquet (monitor {sf}, glob that name); synthetic trees and any
-    # real landing dir are a DIRECTORY of part files
-    p = os.path.join(sf, "documents.parquet")
-    if os.path.isdir(p):
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(p)
-        )
-    else:
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf)
-        )
+    src = _read_documents_stream(spark, sf)
     s, dl = _qc_fold_cols()
     scored = src.select(
         "source", s.alias("s"), dl.alias("dl")
@@ -4109,8 +4134,6 @@ def q_stream_sample_weighted(spark, sf):
 
     Reference parity: none (driver-mandated streaming surface).
     """
-    import os
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -4121,22 +4144,7 @@ def q_stream_sample_weighted(spark, sf):
     )
 
     configure(spark)
-    schema = (
-        "doc_id long, text string, lang string, source string, n_chars long"
-    )
-    p = os.path.join(sf, "documents.parquet")
-    if os.path.isdir(p):
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(p)
-        )
-    else:
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf)
-        )
+    src = _read_documents_stream(spark, sf)
     h = portable_token_hash(
         F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))
     )

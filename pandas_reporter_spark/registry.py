@@ -99,7 +99,12 @@ _PRIORITY = (
     "q_dedup_containment",
     "q_dedup_spans",
     "q_tpch_q18",
-    # (2) bodies rewritten this round (see OPTIMIZATION_r16.md)
+    # (2) bodies rewritten this round (see OPTIMIZATION_r16.md) — each
+    #     displaces a tail r11 filler:
+    #     - document-stream relayout source (displaced q_union_all,
+    #       q_window_lag_lead)
+    "q_stream_quality_gate",
+    "q_stream_sample_weighted",
     # (3) r11 cohort burn (oldest vintage, alphabetical; q_dedup_minhash
     #     is r11 but already holds a stale slot above)
     "q_agg_approx_countd",
@@ -145,8 +150,6 @@ _PRIORITY = (
     "q_text_url_normalize",
     "q_topk",
     "q_topk_per_group",
-    "q_union_all",
-    "q_window_lag_lead",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

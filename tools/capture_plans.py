@@ -50,7 +50,7 @@ def main() -> None:
             pass
 
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "plans", "r15")
+                          "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"))
     os.makedirs(outdir, exist_ok=True)
 
     for name in names:
