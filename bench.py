@@ -236,12 +236,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    # AQE off for the bench session ONLY (production default stays on;
-    # see session._aqe_default): at sf0.1 every shuffle stage runs in
-    # tens of ms, and AQE's per-stage job materialization + re-plan
-    # round-trip is measured overhead — 6.69s -> 4.77s over the 10
-    # slowest batch queries (paired A/B). The caller's env wins.
-    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+    # AQE ON — the engine's production default and the posture the
+    # driver's correctness gate has always exercised. Rounds 8-15
+    # overrode it to false here (per-stage re-plan round-trips measured
+    # as overhead on that era's plans); a full 115-query interleaved
+    # re-A/B on the r16 code (one session, arm order alternating,
+    # min-of-3 both arms) measured AQE ON 4.7 s FASTER in total
+    # (52.87 → 48.19 s; 51 queries >20 ms better, 25 worse — the
+    # dictionary-exchange-heavy text/dedup/TPC-H rows gain 0.1-0.4 s
+    # each from partition coalescing). The off-override had become a
+    # local-only tuning the optimization rules call out; removing it
+    # also restores the scale-adaptive partitioning posture
+    # (OPTIMIZATION_r16.md). The caller's env still wins for A/Bs.
 
     from pandas_reporter_spark.session import get_session
     import __spark_entry__ as e

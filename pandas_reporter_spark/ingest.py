@@ -93,6 +93,13 @@ MATERIALIZERS: dict[str, tuple[Callable, str]] = {
         _m(f"{_OPS}.relational", "materialize_wm_stats"),
         "q_agg_weighted_median_approx (ANALYZE-style range stats)",
     ),
+    # AFTER doc_tokens (derives from it when primed — dictionary-scale
+    # distinct instead of a corpus re-tokenize)
+    "vocab_stats": (
+        _m(f"{_OPS}.text", "materialize_vocab_stats"),
+        "q_text_perplexity_bigram (corpus vocab size V as 1-row "
+        "ANALYZE-style stats)",
+    ),
 }
 
 #: materialize_* engine functions that are deliberately NOT part of the
@@ -121,6 +128,7 @@ _CACHES: dict[str, tuple[str, str]] = {
     "minhash": (f"{_OPS}.dedup", "_MH_ART"),
     "graph": (f"{_OPS}.graph", "_GRAPH_ART"),
     "wm_stats": (f"{_OPS}.relational", "_WM_STATS_ART"),
+    "vocab_stats": (f"{_OPS}.text", "_VOCAB_ART"),
 }
 
 

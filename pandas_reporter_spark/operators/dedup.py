@@ -653,6 +653,14 @@ def _mh_shingles_candidates(docs, id_col="doc_id", spark=None, sf=None,
     unfiltered candidate semantics."""
     from pyspark import StorageLevel
 
+    if bucket_cap is not None and size_ratio is not None:
+        # no current caller passes both, but minhash_pairs forwards
+        # both parameters — losing the hot-bucket guard silently would
+        # be a scale hazard (ADVICE r15)
+        raise ValueError(
+            "bucket_cap with size_ratio is not implemented: the capped "
+            "path keeps the oracle-pinned unfiltered candidate semantics"
+        )
     art = None
     if spark is not None and sf is not None:
         from pandas_reporter_spark.tables import _session_key
@@ -1670,6 +1678,11 @@ _CDC_W = 4
 _CDC_DIV = 16
 _CDC_MIN_TOKENS = 8
 
+#: live cache handles of the CDC substring family — each invocation
+#: retires the previous one's persisted chunk/digest stream (the
+#: text._PPL_BG_HANDLES discipline; ADVICE r15)
+_CDC_HANDLES: list = []
+
 
 def cdc_extents(tok_col, n_col):
     """Chunk-boundary extents [0, b1, b2, ..., n] for a token array —
@@ -1875,10 +1888,17 @@ def q_dedup_substring(spark, sf):
     # plus the ≥min-token chunk digests as an in-row array (16 B md5 +
     # count per long chunk — text never persists), persist THAT, and
     # derive all three consumers from it. Same digests, same counts,
-    # same rollups — exact equivalence; ContextCleaner releases the
-    # cache with the plan (the q_dedup_minhash discipline).
+    # same rollups — exact equivalence. Each invocation retires the
+    # previous one's cache handle (the _PPL_BG_HANDLES discipline,
+    # ADVICE r15 — waiting on ContextCleaner GC lets a long bench
+    # session accumulate abandoned cached blocks).
     from pyspark import StorageLevel
 
+    while _CDC_HANDLES:
+        try:
+            _CDC_HANDLES.pop().unpersist()
+        except Exception:
+            pass
     base = bounded.select(
         "doc_id",
         (F.size("ext") - 1).cast("long").alias("n_chunks"),
@@ -1901,6 +1921,7 @@ def q_dedup_substring(spark, sf):
             ),
         ).alias("chunks"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CDC_HANDLES.append(base)
     perdoc = base.select(
         "doc_id",
         "n_chunks",
@@ -2020,13 +2041,21 @@ def q_dedup_substring_removal(spark, sf):
     # The cache is local blocks, never a shuffle — the "digests not
     # text" posture governs what crosses exchanges, which is unchanged
     # (firsts shuffles (md5, key); the rebuild was always per-doc).
+    # This cache DOES hold chunk text, so the retire-previous-handle
+    # discipline matters doubly here (ADVICE r15).
     from pyspark import StorageLevel
 
+    while _CDC_HANDLES:
+        try:
+            _CDC_HANDLES.pop().unpersist()
+        except Exception:
+            pass
     chunks = cdc_chunks(docs).withColumn(
         "_key", F.col("doc_id") * 100000 + F.col("chunk_idx")
     ).withColumn("chunk_md5", F.md5("chunk")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _CDC_HANDLES.append(chunks)
     firsts = (
         chunks.filter(F.col("n_toks") >= _CDC_MIN_TOKENS)
         .groupBy("chunk_md5")

@@ -166,6 +166,11 @@ _RAW_SCHEMA_CACHE: dict = {}
 #: and durationMs.addBatch per micro-batch. Overwritten per run.
 LAST_PROGRESS: list = []
 
+#: previous q_stream_file_sink output dirs awaiting retirement (the
+#: returned frame reads its dir lazily, so it can only be removed on
+#: the NEXT invocation — tmpfs twin of the persist-handle discipline)
+_SINK_DIR_HANDLES: list = []
+
 
 def _capture_progress(q) -> None:
     import json as _json
@@ -601,9 +606,19 @@ def q_stream_file_sink(spark, sf):
     )
     # throwaway run: checkpoint WAL + sink output on tmpfs when present
     # (the same ~0.4 s fsync saving _run_stream documents); a real
-    # deployment passes durable locations for both
+    # deployment passes durable locations for both. out_dir must
+    # outlive THIS call (the returned frame reads it lazily), so each
+    # invocation retires the PREVIOUS one's dir instead — the persist
+    # handle-retirement discipline applied to tmpfs (without it every
+    # invocation leaked a parquet dir into /dev/shm for the process
+    # lifetime; 36 found after one bench session, r16).
+    import shutil
+
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    while _SINK_DIR_HANDLES:
+        shutil.rmtree(_SINK_DIR_HANDLES.pop(), ignore_errors=True)
     out_dir = tempfile.mkdtemp(prefix="pr_spark_stream_sink_", dir=base)
+    _SINK_DIR_HANDLES.append(out_dir)
     ckpt = tempfile.mkdtemp(prefix="pr_spark_stream_ckpt_", dir=base)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -627,9 +642,8 @@ def q_stream_file_sink(spark, sf):
         q.awaitTermination()
         _capture_progress(q)
     # the WAL is throwaway once the finite run terminated; out_dir must
-    # SURVIVE — the returned frame reads it lazily
-    import shutil
-
+    # SURVIVE — the returned frame reads it lazily (retired by the
+    # NEXT invocation, see above)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
 

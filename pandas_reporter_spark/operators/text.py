@@ -101,6 +101,68 @@ def materialize_doc_tokens(spark, sf, base: str = "/dev/shm") -> None:
     except Exception:
         return
 
+#: (session, sf) -> 1-row (v) DF — the corpus vocabulary size
+#: (see materialize_vocab_stats)
+_VOCAB_ART: dict = {}
+
+
+def vocab_stats(spark, sf):
+    """The materialized 1-row corpus vocab-size stat (v = count of
+    distinct non-empty whitespace tokens), or None. ANALYZE-style
+    table statistics, the materialize_wm_stats pattern: the perplexity
+    model's add-V smoothing constant is a property of the snapshot, so
+    a long-lived session computes it once at ingest instead of
+    re-aggregating the token dictionary per scoring pass."""
+    from pandas_reporter_spark.tables import _session_key
+
+    return _VOCAB_ART.get((_session_key(spark), sf))
+
+
+def materialize_vocab_stats(spark, sf, base: str = "/dev/shm") -> None:
+    """Build + checkpoint the vocab-size stat once per session. Derives
+    from the doc_token_tf artifact when that is already materialized
+    (dictionary-scale distinct instead of a corpus re-tokenize), else
+    from the corpus. Same tmpfs + mtime-fingerprint + validate idiom as
+    every sidecar; on failure consumers keep their self-derive plans."""
+    import os
+
+    from pandas_reporter_spark.tables import _session_key, load as _load
+
+    key = (_session_key(spark), sf)
+    if key in _VOCAB_ART or not os.path.isdir(base):
+        return
+    try:
+        src_tag = int(os.path.getmtime(os.path.join(sf, "documents.parquet")))
+    except OSError:
+        src_tag = 0
+    out = os.path.join(
+        base,
+        f"prs_vocab_{os.path.basename(os.path.normpath(sf))}_{src_tag}",
+    )
+    try:
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            art = doc_token_tf(spark, sf)
+            if art is not None:
+                toks = art.select("token")
+            else:
+                toks = _load(spark, sf, "documents").select(
+                    F.explode(F.split(F.lower("text"), " ")).alias("token")
+                )
+            (
+                toks.filter(F.col("token") != "")
+                .agg(F.countDistinct("token").alias("v"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        df = spark.read.parquet(out)
+        if df.count() != 1:  # torn artifact — self-derive instead
+            return
+        _VOCAB_ART[key] = df
+    except Exception:
+        return
+
+
 #: (session, sf) -> (postings, doclen, stats) — the at-rest inverted
 #: token index (see materialize_token_index)
 _TOKIDX_ART: dict = {}
@@ -2979,6 +3041,13 @@ def q_text_quality_classifier(spark, sf):
     )
 
 
+#: driver-side assembly ceiling for the overlap matrix: the collected
+#: relation is ≤ |sources|² counted rows, so this admits ~1000 sources;
+#: beyond it the same matrix assembles distributed (VERDICT r15 item 5,
+#: the _BPE_LOCAL_MAX_ROWS guard posture).
+_OVERLAP_LOCAL_MAX_ROWS = 1_000_000
+
+
 @query(
     "q_text_overlap_matrix",
     oracle="""
@@ -3110,20 +3179,51 @@ def q_text_overlap_matrix(spark, sf):
     )
     # bounded artifact: ≤ |sources|² rows (sources are a handful, not
     # a corpus dimension) — assemble the matrix driver-side, exact
-    # integer arithmetic identical to the oracle's BIGINT division
-    rows = counted.collect()
-    n_sh = {r["src_a"]: int(r["n"]) for r in rows if r["src_a"] == r["src_b"]}
-    out = []
-    for r in rows:
-        a, b = r["src_a"], r["src_b"]
-        if a >= b:
-            continue
-        shared, na, nb = int(r["n"]), n_sh[a], n_sh[b]
-        out.append((a, b, shared, na, nb, (1000000 * shared) // (na + nb - shared)))
-    return spark.createDataFrame(
-        out,
-        "src_a string, src_b string, n_shared bigint, n_a bigint,"
-        " n_b bigint, jacc_micro bigint",
+    # integer arithmetic identical to the oracle's BIGINT division.
+    # GUARDED (VERDICT r15 item 5, the _BPE_LOCAL_MAX_ROWS posture): a
+    # deployment with thousands of sources would turn the collect into
+    # a driver hazard, so above the ceiling the same matrix assembles
+    # distributed — two broadcast joins of the (src, total) dictionary
+    # against the pair rows, identical integer arithmetic (DIV).
+    rows = counted.limit(_OVERLAP_LOCAL_MAX_ROWS + 1).collect()
+    if len(rows) <= _OVERLAP_LOCAL_MAX_ROWS:
+        n_sh = {
+            r["src_a"]: int(r["n"]) for r in rows if r["src_a"] == r["src_b"]
+        }
+        out = []
+        for r in rows:
+            a, b = r["src_a"], r["src_b"]
+            if a >= b:
+                continue
+            shared, na, nb = int(r["n"]), n_sh[a], n_sh[b]
+            out.append(
+                (a, b, shared, na, nb, (1000000 * shared) // (na + nb - shared))
+            )
+        return spark.createDataFrame(
+            out,
+            "src_a string, src_b string, n_shared bigint, n_a bigint,"
+            " n_b bigint, jacc_micro bigint",
+        )
+    tot = counted.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("s"), F.col("n").alias("n_s")
+    )
+    return (
+        counted.filter(F.col("src_a") < F.col("src_b"))
+        .withColumnRenamed("n", "n_shared")
+        .join(F.broadcast(tot), F.col("src_a") == F.col("s"))
+        .select("src_a", "src_b", "n_shared", F.col("n_s").alias("n_a"))
+        .join(F.broadcast(tot), F.col("src_b") == F.col("s"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            F.col("n_s").alias("n_b"),
+            F.expr(
+                "CAST(1000000 * n_shared DIV (n_a + n_s - n_shared)"
+                " AS BIGINT)"
+            ).alias("jacc_micro"),
+        )
     )
 
 
@@ -3284,15 +3384,19 @@ def q_text_perplexity_bigram(spark, sf):
         F.min("h1").alias("h1"), F.count(F.lit(1)).alias("c12")
     )
     c1 = c12.groupBy("h1").agg(F.sum("c12").alias("c1"))
-    # V (distinct vocab) rides the shared tokenize artifact when the
-    # session has materialized it (ingest contract): countDistinct
-    # over the (doc, token) relation equals countDistinct over the
-    # exploded corpus — the artifact keeps empty tokens, the filter
-    # matches the oracle's list_filter. Absent the artifact, the
-    # standalone corpus pass stands (the plan the oracle gate always
-    # exercises).
+    # V (distinct vocab) is a SNAPSHOT STATISTIC — prefer the 1-row
+    # at-rest stat (materialize_vocab_stats, the ANALYZE-stats
+    # pattern: computed once at ingest), then the shared tokenize
+    # artifact (countDistinct over the (doc, token) relation equals
+    # countDistinct over the exploded corpus — the artifact keeps
+    # empty tokens, the filter matches the oracle's list_filter), then
+    # the standalone corpus pass (the plan the oracle gate always
+    # exercises). Identical value on every tier by construction.
+    vs = vocab_stats(spark, sf)
     art = doc_token_tf(spark, sf)
-    if art is not None:
+    if vs is not None:
+        v = vs
+    elif art is not None:
         v = (
             art.filter(F.col("token") != "")
             .agg(F.countDistinct("token").alias("v"))

@@ -105,6 +105,18 @@ _PRIORITY = (
     #       q_window_lag_lead)
     "q_stream_quality_gate",
     "q_stream_sample_weighted",
+    #     - CDC persist handle retirement (ADVICE r15; displaced
+    #       q_topk_per_group, q_topk)
+    "q_dedup_substring",
+    "q_dedup_substring_removal",
+    #     - overlap-matrix driver-assembly guard + distributed fallback
+    #       (VERDICT r15 item 5; displaced q_str_substr)
+    "q_text_overlap_matrix",
+    #     - file-sink tmpfs dir retirement (displaced q_str_funcs)
+    "q_stream_file_sink",
+    #     - V from the 1-row vocab-stats artifact, fallback unchanged
+    #       (displaced q_sort)
+    "q_text_perplexity_bigram",
     # (3) r11 cohort burn (oldest vintage, alphabetical; q_dedup_minhash
     #     is r11 but already holds a stale slot above)
     "q_agg_approx_countd",
@@ -144,12 +156,7 @@ _PRIORITY = (
     "q_rse",
     "q_scan_parquet",
     "q_sketch_hll",
-    "q_sort",
-    "q_str_funcs",
-    "q_str_substr",
     "q_text_url_normalize",
-    "q_topk",
-    "q_topk_per_group",
 )
 
 # Earlier rotations (r2-r6) and their slot-by-slot rationale live in

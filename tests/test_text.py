@@ -286,6 +286,43 @@ def test_overlap_matrix_planted_cross_source_shingle(spark, tmp_path):
     )
 
 
+def test_overlap_matrix_distributed_fallback_matches_local(
+    spark, tmp_path, monkeypatch
+):
+    """Above the driver-assembly row ceiling the matrix assembles
+    distributed (two broadcast joins); forcing the fallback with a
+    zero ceiling must reproduce the driver-side rows exactly —
+    including on a many-source frame (VERDICT r15 item 5)."""
+    from pandas_reporter_spark.operators import text as T
+    from pandas_reporter_spark.registry import QUERIES, load_all
+
+    load_all()
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        # 12 sources all holding the shared shingle, plus one private
+        # shingle each (every pair overlaps -> 66 pair rows + 12 totals)
+        (i, f"{shared} tok{i}", "en", f"src{i:02d}", 40)
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def run():
+        return sorted(
+            tuple(r) for r in QUERIES["q_text_overlap_matrix"](
+                spark, str(tmp_path)
+            ).collect()
+        )
+
+    local = run()
+    monkeypatch.setattr(T, "_OVERLAP_LOCAL_MAX_ROWS", 0)
+    dist = run()
+    assert local == dist
+    assert len(local) == 66  # C(12, 2) overlapping pairs
+
+
 def test_perplexity_bigram_ranks_novel_above_repetitive(spark, tmp_path):
     """A document of globally-unique bigrams must out-perplex a
     document that repeats one corpus-common bigram, single-token docs

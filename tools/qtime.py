@@ -25,7 +25,7 @@ def main() -> None:
         args = args[2:]
     names = args
 
-    os.environ.setdefault("SPARK_GRAFT_AQE", "false")  # match bench posture
+    # bench posture since r16: AQE on (production default); env wins for A/Bs
     import __spark_entry__ as e
     import bench
     from pandas_reporter_spark.session import get_session

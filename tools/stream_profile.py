@@ -39,7 +39,7 @@ def main() -> None:
         args = args[2:]
     names = args or STREAMING
 
-    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+    # bench posture since r16: AQE on (production default); env wins for A/Bs
     import __spark_entry__ as e
     import bench
     from pandas_reporter_spark.operators import events
